@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Central table catalog over the driver-provided parquet directories
+  * (`/root/repo/TESTDATA.md`).
+  *
+  * Scale notes: every reader goes through `spark.read.parquet` so Catalyst
+  * keeps predicate pushdown / column pruning / partition pruning on the
+  * scan. The small dimension tables (`region`, `nation`, `supplier`,
+  * `part`, `customer`) are broadcast-joined by the operators — on a real
+  * cluster they stay far below the broadcast threshold even at 1000x the
+  * test scale factors (region/nation are constant-size in TPC-H-style
+  * schemas).
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

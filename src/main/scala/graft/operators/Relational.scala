@@ -1,0 +1,128 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operators over the TPC-H-ish tables (SURVEY.md §2.9).
+  *
+  * Determinism contract with the DuckDB oracle: monetary aggregates are
+  * computed over `DECIMAL(12,2)`-cast inputs (exact, order-independent —
+  * a plain double sum is partition-order-dependent and would flap the
+  * driver's hash compare), then cast back to `DOUBLE` for a stable output
+  * schema. Every query ends in a total-order `orderBy`.
+  *
+  * Scale notes: aggregations are plain `groupBy().agg` — Spark splits them
+  * into partial (map-side) + final aggregation automatically, so the
+  * shuffle carries one row per (partition, group), not per input row.
+  * Joins against small dimension tables are explicitly `broadcast()` so no
+  * shuffle of the fact table is needed; at 100 TB the fact side streams
+  * through unchanged.
+  */
+object Relational {
+  private val Dec = DecimalType(12, 2)
+
+  /** TPC-H Q1-style pricing summary over lineitem.
+    * Reference analog: grouped stateful aggregation, cf.
+    * `/root/reference/src/main/ru/hse/flinkanomaly/Main.java:52-53`
+    * (keyBy + per-key state), generalized to multi-measure hash agg. */
+  def aggPricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li    = Tables.lineitem(spark, dir)
+    val qty   = $"l_quantity".cast(Dec)
+    val price = $"l_extendedprice".cast(Dec)
+    val disc  = $"l_discount".cast(Dec)
+    val tax   = $"l_tax".cast(Dec)
+    li.filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(price * (lit(1) - disc)).cast("double").as("sum_disc_price"),
+        sum(price * (lit(1) - disc) * (lit(1) + tax)).cast("double").as("sum_charge"),
+        (sum(qty).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(price).cast("double") / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val aggPricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Broadcast equi-join orders↔customer + aggregation by market segment. */
+  def joinOrdersCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy($"c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(Dec)).cast("double").as("total_revenue"),
+        (sum($"o_totalprice".cast(Dec)).cast("double") / count(lit(1))).as("avg_order_price"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val joinOrdersCustomersSql: String =
+    """SELECT c_mktsegment,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_order_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Top-10 orders by discounted lineitem revenue (sort + limit → Spark
+    * plans `TakeOrderedAndProject`: per-partition top-k, no global sort). */
+  def topnRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li    = Tables.lineitem(spark, dir)
+    val price = $"l_extendedprice".cast(Dec)
+    val disc  = $"l_discount".cast(Dec)
+    li.groupBy($"l_orderkey")
+      .agg(sum(price * (lit(1) - disc)).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey".asc)
+      .limit(10)
+  }
+
+  val topnRevenueSql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Ranking window function: top-3 orders per customer by total price. */
+  def windowRankOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    o.select($"o_custkey", $"o_orderkey", $"o_totalprice")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .orderBy($"o_custkey", $"rk")
+  }
+
+  val windowRankOrdersSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+}

@@ -18,18 +18,60 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg_pricing_summary"   -> (Relational.aggPricingSummary(_, _)),
-    "join_orders_customers" -> (Relational.joinOrdersCustomers(_, _)),
-    "topn_revenue"          -> (Relational.topnRevenue(_, _)),
-    "window_rank_orders"    -> (Relational.windowRankOrders(_, _)),
+    // §2.1-2.6 reference parity
+    "source_from_elements"     -> (ReferenceParity.sourceFromElements(_, _)),
+    "source_read_text"         -> (ReferenceParity.sourceReadText(_, _)),
+    "sink_text_roundtrip"      -> (ReferenceParity.sinkTextRoundtrip(_, _)),
+    "map_uppercase"            -> (ReferenceParity.mapUppercase(_, _)),
+    "filter_adults"            -> (ReferenceParity.filterAdults(_, _)),
+    "filter_unstable"          -> (ReferenceParity.filterUnstable(_, _)),
+    "union_all"                -> (ReferenceParity.unionAll(_, _)),
+    "stateful_concat_final"    -> (ReferenceParity.statefulConcatFinal(_, _)),
+    "stateful_concat_prefixes" -> (ReferenceParity.statefulConcatPrefixes(_, _)),
+    "tumbling_window_max"      -> (ReferenceParity.tumblingWindowMax(_, _)),
+    // §2.9 relational extensions
+    "agg_pricing_summary"      -> (Relational.aggPricingSummary(_, _)),
+    "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
+    "topn_revenue"             -> (Relational.topnRevenue(_, _)),
+    "window_rank_orders"       -> (Relational.windowRankOrders(_, _)),
+    // §2.9 event analytics
+    "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
+    "events_session_anomaly"   -> (EventOps.eventsSessionAnomaly(_, _)),
+    "dedup_events"             -> (EventOps.dedupEvents(_, _)),
+    "json_props_extract"       -> (EventOps.jsonPropsExtract(_, _)),
+    // text analysis
+    "text_token_counts"        -> (TextOps.textTokenCounts(_, _)),
+    "text_language_id"         -> (TextOps.textLanguageId(_, _)),
+    "text_quality_score"       -> (TextOps.textQualityScore(_, _)),
+    "text_token_count"         -> (TextOps.textTokenCount(_, _)),
+    "text_fingerprint"         -> (TextOps.textFingerprint(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "agg_pricing_summary"   -> Relational.aggPricingSummarySql,
-    "join_orders_customers" -> Relational.joinOrdersCustomersSql,
-    "topn_revenue"          -> Relational.topnRevenueSql,
-    "window_rank_orders"    -> Relational.windowRankOrdersSql,
+    "source_from_elements"     -> ReferenceParity.sourceFromElementsSql,
+    "source_read_text"         -> ReferenceParity.sourceReadTextSql,
+    "sink_text_roundtrip"      -> ReferenceParity.sinkTextRoundtripSql,
+    "map_uppercase"            -> ReferenceParity.mapUppercaseSql,
+    "filter_adults"            -> ReferenceParity.filterAdultsSql,
+    "filter_unstable"          -> ReferenceParity.filterUnstableSql,
+    "union_all"                -> ReferenceParity.unionAllSql,
+    "stateful_concat_final"    -> ReferenceParity.statefulConcatFinalSql,
+    "stateful_concat_prefixes" -> ReferenceParity.statefulConcatPrefixesSql,
+    "tumbling_window_max"      -> ReferenceParity.tumblingWindowMaxSql,
+    "agg_pricing_summary"      -> Relational.aggPricingSummarySql,
+    "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
+    "topn_revenue"             -> Relational.topnRevenueSql,
+    "window_rank_orders"       -> Relational.windowRankOrdersSql,
+    "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
+    "events_session_anomaly"   -> EventOps.eventsSessionAnomalySql,
+    "dedup_events"             -> EventOps.dedupEventsSql,
+    "json_props_extract"       -> EventOps.jsonPropsExtractSql,
+    "text_token_counts"        -> TextOps.textTokenCountsSql,
+    "text_language_id"         -> TextOps.textLanguageIdSql,
+    "text_quality_score"       -> TextOps.textQualityScoreSql,
+    "text_token_count"         -> TextOps.textTokenCountSql,
+    "text_fingerprint"         -> TextOps.textFingerprintSql,
   )
 }

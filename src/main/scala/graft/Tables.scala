@@ -24,7 +24,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects
+    * (`PARQUET_TYPE_ILLEGAL`). Read it as a nanos-epoch long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, session-settable) and
+    * convert to a microsecond `TimestampType` with integer division —
+    * `DIV 1000`, never a double divide: ns epochs (~1.7e18) exceed the
+    * 53-bit double mantissa. This matches DuckDB's silent ns→µs
+    * truncation, keeping oracle parity. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

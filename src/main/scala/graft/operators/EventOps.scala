@@ -1,0 +1,134 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream analytics over the `events` table (SURVEY.md §2.9):
+  * tumbling-window stats, z-score anomaly flagging, exact dedup, JSON
+  * extraction. All are deterministic against the DuckDB oracle: monetary/
+  * measure sums go through DECIMAL(12,2) (order-independent), derived
+  * doubles use identical expression trees in both engines so the IEEE
+  * results are bit-equal.
+  *
+  * Scale notes: each query is one hash-partitioned shuffle on its group
+  * key; stats joins broadcast the (tiny) per-group aggregate side, so the
+  * fact scan streams through without a second shuffle.
+  */
+object EventOps {
+  private val Dec = DecimalType(12, 2)
+
+  /** Tumbling 5-minute window stats per event_type — the reference's W1
+    * generalized from maxBy to multi-measure aggregation. */
+  def eventsTumblingStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "5 minutes").getField("start").as("w_ts"), $"event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum($"value".cast(Dec)).cast("double").as("sum_value"),
+        (sum($"value".cast(Dec)).cast("double") / count(lit(1))).as("avg_value"))
+      .select(unix_timestamp($"w_ts").as("w_start"), $"event_type",
+        $"n_events", $"sum_value", $"avg_value")
+      .orderBy($"w_start", $"event_type")
+  }
+
+  val eventsTumblingStatsSql: String =
+    """SELECT CAST(epoch(time_bucket(INTERVAL '5 minutes', ts)) AS BIGINT) AS w_start,
+      |       event_type,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_value
+      |FROM events
+      |GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
+      |ORDER BY w_start, event_type""".stripMargin
+
+  /** Z-score anomaly detection per event_type: flag events more than 3
+    * standard deviations from their type's mean. Mean/stddev are derived
+    * from exact decimal sums (sum, sum-of-squares) so both engines compute
+    * identical doubles — a direct `stddev_samp` would be
+    * summation-order-dependent.
+    *
+    * Scale note: the per-type stats dataframe is a handful of rows —
+    * broadcast join against the full events scan, no shuffle of the facts. */
+  def eventsSessionAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val d = $"value".cast(Dec)
+    val stats = e.groupBy($"event_type")
+      .agg(sum(d).cast("double").as("s"),
+        sum(d * d).cast("double").as("s2"),
+        count(lit(1)).as("n"))
+      .select($"event_type",
+        ($"s" / $"n").as("mean_v"),
+        sqrt(($"s2" - ($"s" * $"s") / $"n") / ($"n" - 1)).as("std_v"))
+    val z = ($"value" - $"mean_v") / $"std_v"
+    e.join(broadcast(stats), "event_type")
+      .filter(abs(z) > 3)
+      .select($"event_id", $"event_type", $"value", z.as("z"))
+      .orderBy($"event_id")
+  }
+
+  val eventsSessionAnomalySql: String =
+    """WITH stats AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS s2,
+      |    count(*) AS n
+      |  FROM events GROUP BY event_type),
+      |st AS (
+      |  SELECT event_type, s / n AS mean_v,
+      |         sqrt((s2 - (s * s) / n) / (n - 1)) AS std_v
+      |  FROM stats)
+      |SELECT e.event_id, e.event_type, e.value,
+      |       (e.value - st.mean_v) / st.std_v AS z
+      |FROM events e JOIN st USING (event_type)
+      |WHERE abs((e.value - st.mean_v) / st.std_v) > 3
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Exact deduplication: keep the earliest event per (user_id, event_type),
+    * ties broken by event_id — `dropDuplicates` made deterministic via
+    * ranking (dropDuplicates itself keeps an arbitrary row). */
+  def dedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"event_id", expr("unix_micros(ts)").as("ts_us"),
+        $"user_id", $"event_type", $"value", $"props")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val dedupEventsSql: String =
+    """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |       user_id, event_type, value, props
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |      FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** JSON scalar extraction over `events.props` + aggregation: histogram of
+    * the extracted `k` with a decimal-exact value sum per bucket. */
+  def jsonPropsExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select(get_json_object($"props", "$.k").cast("int").as("k"),
+        $"value")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast(Dec)).cast("double").as("sum_value"))
+      .orderBy($"k")
+  }
+
+  val jsonPropsExtractSql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+}

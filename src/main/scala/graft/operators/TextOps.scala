@@ -1,0 +1,206 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the text half of
+  * the large-scale training-data pipeline surface: token statistics,
+  * language identification, quality scoring, fingerprinting.
+  *
+  * Everything is built from codegen'd Catalyst expressions (split/explode/
+  * regexp/md5) — no UDFs — so the hot path stays inside whole-stage
+  * codegen and the same logic is expressible as the DuckDB oracle.
+  *
+  * Scale notes: `explode(split(...))` is a narrow Generate (no shuffle);
+  * the per-token aggregation shuffles one partial count per (partition,
+  * token) — with a ~fixed vocabulary that is O(vocab × partitions), not
+  * O(corpus). Per-document scores are embarrassingly parallel projections.
+  */
+object TextOps {
+
+  /** Whitespace token histogram over the corpus (SURVEY.md §2.9
+    * `text_token_counts`). */
+  def textTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+  }
+
+  val textTokenCountsSql: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+      |WHERE token <> ''
+      |GROUP BY token
+      |ORDER BY n DESC, token""".stripMargin
+
+  /** Per-language marker-token lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic, engine-independent scoring: count marker
+    * hits per language, predict the argmax (ties broken by fixed language
+    * order de < en < es < fr < zh). */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("small", "data", "scan", "key", "table"),
+    "en" -> Seq("column", "sort", "window", "row", "filter"),
+    "es" -> Seq("line", "part", "hash", "value", "query"),
+    "fr" -> Seq("order", "group", "customer", "slow", "fast"),
+    "zh" -> Seq("merge", "vector", "join", "stream", "batch"))
+
+  /** Language identification via marker-token counting
+    * (`text_language_id`): a portable stand-in for character-n-gram
+    * language models, structured the same way (per-class score, argmax). */
+  def textLanguageId(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tokens = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", explode(split(lower($"text"), " ")).as("token"))
+    val scoreCols = langMarkers.map { case (l, ms) =>
+      sum(when($"token".isInCollection(ms), 1).otherwise(0)).as(s"score_$l")
+    }
+    val scored = tokens.groupBy($"doc_id", $"lang")
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // argmax with ties broken by language order (strictly-greater compare
+    // against previous best keeps the earliest language on ties)
+    val pred = langMarkers.map(_._1).tail.foldLeft(
+      (lit("de"), col("score_de"))) { case ((bestL, bestS), l) =>
+      val s = col(s"score_$l")
+      (when(s > bestS, lit(l)).otherwise(bestL), when(s > bestS, s).otherwise(bestS))
+    }
+    scored.select($"doc_id", pred._1.as("pred_lang"),
+        ($"lang" === pred._1).cast("int").as("correct"))
+      .orderBy($"doc_id")
+  }
+
+  val textLanguageIdSql: String = {
+    val scoreCols = langMarkers.map { case (l, ms) =>
+      val list = ms.map(m => s"'$m'").mkString(", ")
+      s"sum(CASE WHEN token IN ($list) THEN 1 ELSE 0 END) AS score_$l"
+    }.mkString(",\n    ")
+    // same fold as the Spark side: strictly-greater keeps earliest on ties
+    val langs = langMarkers.map(_._1)
+    val pred = langs.tail.foldLeft("'de'" -> "score_de") { case ((bl, bs), l) =>
+      (s"(CASE WHEN score_$l > $bs THEN '$l' ELSE $bl END)",
+        s"(CASE WHEN score_$l > $bs THEN score_$l ELSE $bs END)")
+    }._1
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $scoreCols
+       |  FROM (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS token
+       |        FROM documents) t
+       |  GROUP BY doc_id, lang)
+       |SELECT doc_id, $pred AS pred_lang,
+       |       CAST(lang = $pred AS INT) AS correct
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document quality scoring (`text_quality_score`): length, token count,
+    * average token length, stopword ratio, and a rational composite score.
+    * All arithmetic is integer-derived double math with identical
+    * expression trees in both engines (bit-equal results). */
+  def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text",
+        length($"text").as("len_chars"),
+        size(split($"text", " ")).cast("bigint").as("n_tokens"),
+        size(filter(split(lower($"text"), " "),
+          t => t.isInCollection(stop))).cast("bigint").as("n_stop"))
+      .select($"doc_id", $"len_chars", $"n_tokens",
+        (($"len_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("avg_token_len"),
+        ($"n_stop".cast("double") / $"n_tokens").as("stopword_ratio"))
+      .withColumn("quality_score",
+        ($"avg_token_len" / 10.0) + ($"stopword_ratio" * 2.0))
+      .orderBy($"doc_id")
+  }
+
+  val textQualityScoreSql: String =
+    """SELECT doc_id, len_chars, n_tokens,
+      |  CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+      |  (CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens / 10.0)
+      |    + (CAST(n_stop AS DOUBLE) / n_tokens * 2.0) AS quality_score
+      |FROM (
+      |  SELECT doc_id,
+      |    length(text) AS len_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting two ways (`text_token_count`): whitespace split vs a
+    * BPE-ish word regex — the difference exposes punctuation/whitespace
+    * irregularities that matter for LLM token budgeting. */
+  def textTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        size(split($"text", " ")).cast("bigint").as("n_ws_tokens"),
+        size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).cast("bigint")
+          .as("n_word_tokens"),
+        length($"text").cast("bigint").as("n_chars_actual"))
+      .orderBy($"doc_id")
+  }
+
+  val textTokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_word_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_actual
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting (`text_fingerprint`): an exact content hash
+    * plus a winnowing-style min-hash over word 5-gram windows (the rolling-
+    * hash fingerprint used by near-dup detectors; md5 stands in for the
+    * rolling hash — both engines agree on it byte-for-byte). */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val grams = docs.select($"doc_id",
+        posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
+      .withColumn("gram",
+        concat_ws(" ",
+          $"w",
+          lead($"w", 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"pos")),
+          lead($"w", 2).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"pos")),
+          lead($"w", 3).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"pos")),
+          lead($"w", 4).over(org.apache.spark.sql.expressions.Window
+            .partitionBy($"doc_id").orderBy($"pos"))))
+      .filter(size(split($"gram", " ")) === 5)
+    val minGram = grams.groupBy($"doc_id")
+      .agg(min(md5($"gram")).as("fp_min_gram"))
+    docs.select($"doc_id", md5(lower($"text")).as("fp_exact"))
+      .join(minGram, Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+  }
+
+  val textFingerprintSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, t.w, t.pos FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split(lower(text), ' ')) AS w,
+      |      generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |    FROM documents) t),
+      |grams AS (
+      |  SELECT doc_id, concat_ws(' ', w,
+      |    lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+      |    lead(w, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+      |    lead(w, 3) OVER (PARTITION BY doc_id ORDER BY pos),
+      |    lead(w, 4) OVER (PARTITION BY doc_id ORDER BY pos)) AS gram
+      |  FROM words),
+      |mins AS (
+      |  SELECT doc_id, min(md5(gram)) AS fp_min_gram
+      |  FROM grams WHERE len(string_split(gram, ' ')) = 5
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, md5(lower(d.text)) AS fp_exact, m.fp_min_gram
+      |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+}

@@ -45,6 +45,20 @@ object SparkEntry {
     "text_quality_score"       -> (TextOps.textQualityScore(_, _)),
     "text_token_count"         -> (TextOps.textTokenCount(_, _)),
     "text_fingerprint"         -> (TextOps.textFingerprint(_, _)),
+    // dedup family
+    "dedup_exact_docs"         -> (DedupOps.dedupExactDocs(_, _)),
+    "dedup_minhash_lsh"        -> (DedupOps.dedupMinhashLsh(_, _)),
+    "dedup_simhash"            -> (DedupOps.dedupSimhash(_, _)),
+    "dedup_ngram_jaccard"      -> (DedupOps.dedupNgramJaccard(_, _)),
+    "dedup_embedding_cosine"   -> (DedupOps.dedupEmbeddingCosine(_, _)),
+    // similarity search
+    "similarity_topk"          -> (SimilarityOps.similarityTopk(_, _)),
+    "similarity_ann_lsh"       -> (SimilarityOps.similarityAnnLsh(_, _)),
+    // multimodal plumbing
+    "multimodal_meta"          -> (MultimodalOps.multimodalMeta(_, _)),
+    "multimodal_frame_sample"  -> (MultimodalOps.multimodalFrameSample(_, _)),
+    // model-based anomaly detection (no oracle — rows-only check)
+    "anomaly_kmeans"           -> (AnomalyOps.anomalyKmeans(_, _)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -73,5 +87,14 @@ object SparkEntry {
     "text_quality_score"       -> TextOps.textQualityScoreSql,
     "text_token_count"         -> TextOps.textTokenCountSql,
     "text_fingerprint"         -> TextOps.textFingerprintSql,
+    "dedup_exact_docs"         -> DedupOps.dedupExactDocsSql,
+    "dedup_minhash_lsh"        -> DedupOps.dedupMinhashLshSql,
+    "dedup_simhash"            -> DedupOps.dedupSimhashSql,
+    "dedup_ngram_jaccard"      -> DedupOps.dedupNgramJaccardSql,
+    "dedup_embedding_cosine"   -> DedupOps.dedupEmbeddingCosineSql,
+    "similarity_topk"          -> SimilarityOps.similarityTopkSql,
+    "similarity_ann_lsh"       -> SimilarityOps.similarityAnnLshSql,
+    "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,
+    "multimodal_frame_sample"  -> MultimodalOps.multimodalFrameSampleSql,
   )
 }

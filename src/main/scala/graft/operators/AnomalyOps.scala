@@ -1,0 +1,45 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Model-based anomaly detection (SURVEY.md §2.9 `anomaly_kmeans`):
+  * MLlib KMeans over the embedding table, flagging vectors whose distance
+  * to their centroid exceeds mean + 2σ within the cluster.
+  *
+  * No DuckDB oracle (model-based — the driver records a rows-only check);
+  * the test suite asserts seed-fixed invariants instead: every vector
+  * assigned, k clusters non-empty, anomaly fraction bounded.
+  *
+  * Scale notes: KMeans is the canonical iterative MLlib workload — each
+  * iteration is one map (assign) + one treeAggregate (recompute centers)
+  * over cached features; the post-pass is a broadcast join of k rows of
+  * per-cluster stats against the assignments.
+  */
+object AnomalyOps {
+
+  def anomalyKmeans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val features = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, arr) => (id, Vectors.dense(arr.map(_.toDouble))) }
+      .toDF("vec_id", "features")
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").fit(features)
+    val centers = model.clusterCenters
+    val assigned = model.transform(features)
+      .select($"vec_id", $"features", $"prediction")
+      .as[(Long, Vector, Int)]
+      .map { case (id, f, c) => (id, c, math.sqrt(Vectors.sqdist(f, centers(c)))) }
+      .toDF("vec_id", "cluster", "dist")
+    val stats = assigned.groupBy($"cluster")
+      .agg(avg($"dist").as("mean_d"), stddev_samp($"dist").as("sd_d"))
+    assigned.join(broadcast(stats), "cluster")
+      .select($"vec_id", $"cluster", round($"dist", 6).as("dist"),
+        ($"dist" > $"mean_d" + lit(2) * $"sd_d").cast("int").as("is_anomaly"))
+      .orderBy($"vec_id")
+  }
+}

@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document / embedding deduplication family — the core of a training-data
+  * pipeline at 100 TB:
+  *
+  *  - exact dedup (content-hash groupBy),
+  *  - MinHash + LSH banding (shingle → 16-perm signature → 4 bands →
+  *    bucket join → candidate pairs, scored by signature agreement),
+  *  - SimHash (16-bit sign-of-sum sketch; equal-sketch bucketing),
+  *  - exact n-gram Jaccard over an inverted shingle index with a
+  *    document-frequency cap,
+  *  - embedding cosine near-dup (fixed-point quantized dot product).
+  *
+  * Hashing is md5 (byte-identical across engines); embedding arithmetic is
+  * quantized to `floor(x * 1e6)` fixed-point BIGINTs so every sum is exact
+  * integer math and the derived doubles are bit-equal in Spark and DuckDB
+  * regardless of summation order.
+  *
+  * Scale notes: every stage is a narrow projection or a hash-partitioned
+  * groupBy/join on a key (shingle, signature band, sketch bucket) — the
+  * classic shuffle-bounded MinHash pipeline. The df-capped inverted index
+  * keeps the candidate join from exploding on stop-shingles; the LSH band
+  * join replaces the O(n²) pair enumeration that would never survive a
+  * 1000-executor corpus. The only O(n²) query here is the embedding
+  * near-dup oracle baseline — its scale path is the LSH bucketing in
+  * [[SimilarityOps.similarityAnnLsh]].
+  */
+object DedupOps {
+
+  /** Word 3-gram shingle set per document, computed with array higher-order
+    * functions (narrow, no window shuffle): split → slide(3) → explode →
+    * distinct. */
+  private[operators] def shingleSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .select($"doc_id",
+        explode(when(size($"ws") >= 3,
+          expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
+          .otherwise(expr("array()"))).as("sh"))
+      .distinct()
+  }
+
+  /** Shared oracle CTE producing the same shingle set (window-lead
+    * formulation — identical output, DuckDB-idiomatic). NOTE: no line may
+    * begin with '|' — this CTE is embedded in outer templates that call
+    * stripMargin again. */
+  private[operators] val shinglesCte: String =
+    """words AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+      |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents),
+      |shingles AS (
+      |  SELECT DISTINCT doc_id, sh FROM (
+      |    SELECT doc_id, w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY pos) ||
+      |           ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh,
+      |           lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+      |    FROM words) t WHERE w3 IS NOT NULL)""".stripMargin
+
+  /** Exact deduplication by content hash: one row per distinct normalized
+    * text, keeping the lowest doc_id. */
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .groupBy(md5(lower($"text")).as("content_hash"))
+      .agg(min($"doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"keep_id")
+  }
+
+  val dedupExactDocsSql: String =
+    """SELECT md5(lower(text)) AS content_hash, min(doc_id) AS keep_id,
+      |       count(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(lower(text))
+      |ORDER BY keep_id""".stripMargin
+
+  /** MinHash signatures (16 md5-seeded permutations; the min of the
+    * lexicographic hex string is a valid uniform min-hash) banded 4×4 for
+    * LSH; candidates share a band, then are scored by signature agreement
+    * (est. Jaccard = matching minhashes / 16) with a 0.5 cutoff. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sigs = shingleSets(spark, dir)
+      .select($"doc_id", explode(sequence(lit(0), lit(15))).as("i"), $"sh")
+      .select($"doc_id", $"i",
+        md5(concat($"i".cast("string"), lit("|"), $"sh")).as("h"))
+      .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
+    // i-ordered signature array (array_sort on struct orders by field i)
+    val sigArr = sigs.groupBy($"doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)").as("sig"))
+    val bands = sigs.groupBy($"doc_id", ($"i" / 4).cast("int").as("band"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '')")
+        .as("band_key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    cand
+      .join(sigArr.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
+      .join(sigArr.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))") / lit(16.0))
+          .as("est_jaccard"))
+      .filter($"est_jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupMinhashLshSql: String =
+    s"""WITH $shinglesCte,
+       |sigs AS (
+       |  SELECT doc_id, r.i, min(md5(CAST(r.i AS VARCHAR) || '|' || sh)) AS mh
+       |  FROM shingles CROSS JOIN range(16) r(i)
+       |  GROUP BY doc_id, r.i),
+       |bands AS (
+       |  SELECT doc_id, i // 4 AS band, string_agg(mh, '' ORDER BY i) AS band_key
+       |  FROM sigs GROUP BY doc_id, i // 4),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.band = b.band
+       |    AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |est AS (
+       |  SELECT c.doc_a, c.doc_b,
+       |         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
+       |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
+       |              JOIN sigs sb ON sb.doc_id = c.doc_b AND sa.i = sb.i
+       |  GROUP BY c.doc_a, c.doc_b)
+       |SELECT doc_a, doc_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** 16-bit SimHash per document: per bit j, sum ±1 over the j-th bit of
+    * each token's hash; sketch bit = sign of the sum. Documents sharing a
+    * sketch are duplicate candidates (hamming-0 bucketing — the
+    * shuffle-cheap case; wider hamming radii are a multi-probe extension). */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hv = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+      .filter($"w" =!= "")
+      .select($"doc_id", conv(substring(md5($"w"), 1, 4), 16, 10).cast("int").as("h"))
+    val bits = hv
+      .select($"doc_id", explode(sequence(lit(0), lit(15))).as("j"), $"h")
+      .groupBy($"doc_id", $"j")
+      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)).as("s"))
+    val sketch = bits.groupBy($"doc_id")
+      .agg(sum(when($"s" > 0, expr("shiftleft(1, j)")).otherwise(0)).as("simhash"))
+    sketch
+      .select($"doc_id", $"simhash",
+        count(lit(1)).over(Window.partitionBy($"simhash")).as("n_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |hv AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 4)) AS INT) AS h
+      |  FROM toks WHERE w <> ''),
+      |bits AS (
+      |  SELECT doc_id, r.j,
+      |         sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM hv CROSS JOIN range(16) r(j)
+      |  GROUP BY doc_id, r.j),
+      |sh AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_bucket
+      |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Exact word-3-gram Jaccard near-dup pairs via an inverted shingle
+    * index. Shingles appearing in more than 50 documents are dropped from
+    * the index (df cap — bounds the candidate join fan-out the way real
+    * near-dup pipelines do); pair similarity = |∩| / (|A| + |B| − |∩|),
+    * cutoff 0.5. */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = shingleSets(spark, dir)
+    val df = sh.groupBy($"sh").agg(count(lit(1)).as("nd"))
+    val sized = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val indexed = sh.join(df.filter($"nd" <= 50), "sh")
+    val inter = indexed.as("a").join(indexed.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
+    inter
+      .join(broadcast(sized.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a"))), "doc_a")
+      .join(broadcast(sized.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b"))), "doc_b")
+      .select($"doc_a", $"doc_b", jac.as("jaccard"))
+      .filter($"jaccard" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupNgramJaccardSql: String =
+    s"""WITH $shinglesCte,
+       |df AS (SELECT sh, count(*) AS nd FROM shingles GROUP BY sh),
+       |sized AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  JOIN df ON df.sh = a.sh AND df.nd <= 50
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT i.doc_a, i.doc_b,
+       |       CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) AS jaccard
+       |FROM inter i JOIN sized sa ON sa.doc_id = i.doc_a
+       |             JOIN sized sb ON sb.doc_id = i.doc_b
+       |WHERE CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Embedding cosine near-duplicate pairs (all-pairs baseline with the
+    * fixed-point quantization from [[SimilarityOps]]; cutoff 0.4). The
+    * all-pairs form is the correctness oracle — at corpus scale the same
+    * scoring runs inside [[SimilarityOps.similarityAnnLsh]] buckets. */
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = SimilarityOps.quantized(spark, dir)
+    n.as("a").join(n.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        SimilarityOps.cosine("a.q", "b.q", "a.n2", "b.n2").as("cos_sim"))
+      .filter($"cos_sim" >= 0.4)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val dedupEmbeddingCosineSql: String =
+    s"""WITH ${SimilarityOps.quantizedCte}
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${SimilarityOps.cosineSql("a", "b")} AS cos_sim
+       |FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |WHERE ${SimilarityOps.cosineSql("a", "b")} >= 0.4
+       |ORDER BY vec_a, vec_b""".stripMargin
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opaque-binary (multimodal) column plumbing: treat media payloads as
+  * `binary` columns with typed metadata, decoded/feature-extracted by
+  * imperative per-partition code.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic fake ([[FakeMediaCodec.decode]]) — but the
+  * Spark-side plumbing is real: a `binary` payload column, a
+  * `mapPartitions` pass with batched iteration (the Scala analog of a
+  * pandas-batch UDF: one codec instance per partition, streamed rows), and
+  * a typed output schema. Swapping [[FakeMediaCodec]] for a real codec is
+  * the only change needed at production scale.
+  *
+  * Scale notes: decode is embarrassingly parallel and narrow — no shuffle;
+  * partition sizing (`spark.sql.files.maxPartitionBytes`) is the only
+  * knob. Metadata-only downstream queries never deserialize the payload
+  * (column pruning drops the binary column at the scan).
+  */
+object MultimodalOps {
+
+  /** Decoded-media metadata row. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long, format: String)
+
+  /** STUB codec: derives metadata deterministically from the payload bytes
+    * in place of a real image decode. The arithmetic is mirrored by the
+    * DuckDB oracle, which is exactly what makes the plumbing testable
+    * without codecs. */
+  object FakeMediaCodec {
+    def decode(docId: Long, payload: Array[Byte]): MediaMeta = {
+      val n = payload.length.toLong
+      val fmt = (n % 3) match {
+        case 0 => "png"
+        case 1 => "jpeg"
+        case _ => "webp"
+      }
+      MediaMeta(docId, n, n % 640, (n * 7) % 480, fmt)
+    }
+  }
+
+  /** Binary payload column + per-partition decode → typed metadata.
+    * The payload is the document text's UTF-8 bytes standing in for real
+    * media bytes (same schema shape: `binary` + id). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads
+      .mapPartitions { it =>
+        // one codec per partition (mirrors per-batch codec reuse in a
+        // pandas UDF); rows stream through without materializing
+        it.map { case (id, bytes) => FakeMediaCodec.decode(id, bytes) }
+      }
+      .toDF()
+      .orderBy($"doc_id")
+  }
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(encode(text)) AS n_bytes,
+      |  octet_length(encode(text)) % 640 AS width,
+      |  (octet_length(encode(text)) * 7) % 480 AS height,
+      |  CASE octet_length(encode(text)) % 3
+      |    WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Frame-sampling plumbing over the payload: deterministic byte-offset
+    * "frames" (every 64th byte as an i8 sample) aggregated to a checksum —
+    * the shape of audio/video frame extraction without a codec. */
+  def multimodalFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val payloads = Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    payloads
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          var i = 0
+          var n = 0L
+          var sum = 0L
+          while (i < bytes.length) { sum += (bytes(i) & 0xffL); n += 1; i += 64 }
+          (id, n, sum)
+        }
+      }
+      .toDF("doc_id", "n_frames", "frame_checksum")
+      .orderBy($"doc_id")
+  }
+
+  val multimodalFrameSampleSql: String =
+    """SELECT doc_id,
+      |  CAST(len(samples) AS BIGINT) AS n_frames,
+      |  CAST(list_sum(samples) AS BIGINT) AS frame_checksum
+      |FROM (
+      |  SELECT doc_id,
+      |    [ord(substr(text, i, 1)) for i in range(1, length(text) + 1, 64)] AS samples
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+}

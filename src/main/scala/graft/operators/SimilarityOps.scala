@@ -1,0 +1,164 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the 64-dim embedding column:
+  *
+  *  - `similarity_topk` — brute-force cosine top-k (the exactness
+  *    baseline): broadcast the (small) query set against the full corpus,
+  *    rank per query;
+  *  - `similarity_ann_lsh` — sign-random-projection LSH: 6 deterministic
+  *    ±1 projections → 6-bit bucket → candidates share the query's bucket
+  *    → exact cosine re-rank inside the bucket. This is the scale path: at
+  *    100 TB the bucket join is a hash shuffle on a 6-bit key (extendable
+  *    to multi-table/multi-probe), never an all-pairs product.
+  *
+  * Determinism: embeddings are quantized to `floor(x * 1e6)` fixed-point
+  * BIGINTs; dot products and norms are exact integer sums, so the derived
+  * cosine doubles are bit-equal across engines and summation orders. The
+  * projection matrix is derived from md5 (seedless, engine-independent)
+  * and embedded as ±1 literals in both the Spark plan and the oracle SQL.
+  */
+object SimilarityOps {
+
+  /** Fixed-point quantized vectors with exact squared norms. */
+  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.embeddings(spark, dir)
+      .select($"vec_id",
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as bigint))")
+          .as("q"))
+      .withColumn("n2",
+        expr("cast(aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + x) as double)"))
+  }
+
+  private[operators] val quantizedCte: String =
+    """n AS (
+      |  SELECT vec_id,
+      |         list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS q,
+      |         CAST(list_sum(list_transform(
+      |           list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)),
+      |           x -> x * x)) AS DOUBLE) AS n2
+      |  FROM embeddings)""".stripMargin
+
+  /** Exact-integer dot product / norms → bit-stable cosine. */
+  private[operators] def cosine(qa: String, qb: String, n2a: String, n2b: String): Column =
+    expr(s"cast(aggregate(zip_with(`${qa.replace(".", "`.`")}`, `${qb.replace(".", "`.`")}`, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)") /
+      (sqrt(col(n2a)) * sqrt(col(n2b)))
+
+  private[operators] def cosineSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a.q, $b.q), p -> p[1] * p[2])) AS DOUBLE) / (sqrt($a.n2) * sqrt($b.n2))"
+
+  /** Deterministic ±1 sign-projection matrix: sign(i,j) from the parity of
+    * md5("i_j")'s first byte. Computed once on the driver, embedded as
+    * literals on both engines. */
+  private[operators] val NumProjections = 6
+  private[operators] val Dims = 64
+  private[operators] lazy val projections: Array[Array[Long]] = {
+    Array.tabulate(NumProjections, Dims) { (i, j) =>
+      val d = MessageDigest.getInstance("MD5").digest(s"${i}_$j".getBytes("UTF-8"))
+      if ((d(0) & 0xff) % 2 == 1) 1L else -1L
+    }
+  }
+
+  /** 6-bit LSH bucket expression over the quantized vector column `q`. */
+  private def bucketCol: Column = {
+    val bits = projections.map { row =>
+      val arr = row.mkString("array(", "L, ", "L)")
+      when(expr(s"aggregate(zip_with(q, $arr, (x, y) -> x * y), 0L, (acc, x) -> acc + x)") > 0,
+        lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** Oracle-side bucket: unnest dims, join the embedded ±1 VALUES matrix,
+    * sign of the exact integer sum per projection, bits concatenated in
+    * projection order. */
+  private def bucketCte: String = {
+    val vals = (for {
+      i <- 0 until NumProjections
+      j <- 0 until Dims
+    } yield s"($i,${j + 1},${projections(i)(j)})").mkString(",")
+    s"""proj(i, j, s) AS (SELECT * FROM (VALUES $vals)),
+       |dims AS (
+       |  SELECT vec_id, unnest(q) AS e, generate_subscripts(q, 1) AS j FROM n),
+       |sig AS (
+       |  SELECT d.vec_id, p.i,
+       |         CASE WHEN sum(d.e * p.s) > 0 THEN '1' ELSE '0' END AS bit
+       |  FROM dims d JOIN proj p ON p.j = d.j
+       |  GROUP BY d.vec_id, p.i),
+       |bucket AS (
+       |  SELECT vec_id, string_agg(bit, '' ORDER BY i) AS bkt FROM sig GROUP BY vec_id)""".stripMargin
+  }
+
+  /** Query set: every 100th vector — small enough to broadcast, large
+    * enough to exercise ranking across the corpus. */
+  private def isQuery(c: Column): Column = pmod(c, lit(100)) === 0
+
+  /** Brute-force cosine top-5 per query vector (excluding self), ranked by
+    * (cosine desc, vec_id) — the exact baseline every ANN variant is
+    * measured against. Broadcast the query side; the corpus streams. */
+  def similarityTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = quantized(spark, dir)
+    val queries = n.filter(isQuery($"vec_id"))
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2"))
+    val scored = broadcast(queries).join(n, $"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 5)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val similarityTopkSql: String =
+    s"""WITH $quantizedCte,
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${cosineSql("a", "b")} AS cos_sim
+       |  FROM n a JOIN n b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 5
+       |ORDER BY query_id, rk""".stripMargin
+
+  /** ANN via sign-random-projection LSH: candidates = corpus vectors in
+    * the query's 6-bit bucket; exact cosine re-rank, top-3. */
+  def similarityAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withBucket = quantized(spark, dir).withColumn("bkt", bucketCol)
+    val queries = withBucket.filter(isQuery($"vec_id"))
+      .select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2"), $"bkt")
+    val scored = broadcast(queries)
+      .join(withBucket, Seq("bkt"))
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id"),
+        cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .orderBy($"query_id", $"rk")
+  }
+
+  val similarityAnnLshSql: String =
+    s"""WITH $quantizedCte,
+       |$bucketCte,
+       |nb AS (SELECT n.*, bucket.bkt FROM n JOIN bucket USING (vec_id)),
+       |scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |         ${cosineSql("a", "b")} AS cos_sim
+       |  FROM nb a JOIN nb b ON a.bkt = b.bkt
+       |    AND a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)
+       |SELECT query_id, neighbor_id, cos_sim, rk FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
+}

@@ -1,0 +1,127 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.{FailureRegistry, UnstableData}
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryException}
+
+/** Structured Streaming ports of the reference's streaming semantics
+  * (SURVEY.md §2.3-2.4, §2.7):
+  *
+  *  - [[concatPrefixes]] — the `StatefulConcatenate` operator
+  *    (`/root/reference/src/main/ru/hse/flinkanomaly/Main.java:60-83`):
+  *    per key, append each element's name to checkpointed state and emit
+  *    every prefix (one output per input). `ValueState[String]` maps to
+  *    `GroupState[String]` under `flatMapGroupsWithState`.
+  *  - [[tumblingWindowMax]] — event-time tumbling window + max-by
+  *    (`TestFlinkStreams.java:62-83`): `withWatermark` (bounded
+  *    out-of-orderness 20 s) + 5 s `window()` + `max_by`.
+  *  - [[unstableFilter]] — the side-effecting filter driving the anomaly
+  *    study (`Main.java:48-49,101-111`).
+  *  - [[CollectingSink]] — the non-idempotent `ConcatenateSink`
+  *    (`TestFlinkStreamsRecover.java:99-107`): duplicates become visible
+  *    here after recovery.
+  *  - [[runWithRestarts]] — the fixed-delay restart strategy
+  *    (`Main.java:29-30`): restart the query from the same checkpoint up
+  *    to n times.
+  *
+  * Semantics mapping (SURVEY.md §2.7/F1): Flink AT_LEAST_ONCE checkpoints
+  * admit duplicated *state updates*; Spark micro-batch replay gives
+  * exactly-once *state* but at-least-once *side-effecting sinks* — the
+  * duplicate-visible-at-sink behavior the reference hunts appears at
+  * [[CollectingSink]], while `GroupState` stays exactly-once. The test
+  * suite asserts exactly that split.
+  */
+object StreamingOps {
+
+  /** Per-key stateful concatenation emitting every prefix in arrival
+    * order. Works identically over a batch Dataset (fresh state) and a
+    * streaming one (state restored from the checkpoint across restarts). */
+  def concatPrefixes(ds: Dataset[UnstableData]): Dataset[(String, String)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[UnstableData], state: GroupState[String]) =>
+          var acc = state.getOption.getOrElse("")
+          val out = it.map { u =>
+            acc += u.name
+            state.update(acc)
+            (key, acc)
+          }.toList
+          out.iterator
+      }
+  }
+
+  /** Event-time 5 s tumbling window, 20 s bounded out-of-orderness, max
+    * element per window (`maxBy(0, true)` ⇒ ties keep the earliest ts). */
+  def tumblingWindowMax(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "20 seconds")
+      .groupBy(window($"ts", "5 seconds"))
+      .agg(max_by(struct($"value", $"ts"), struct($"value", expr("-unix_micros(ts)"))).as("top"))
+      .select($"window.start".as("w_start"), $"top.value".as("value"), $"top.ts".as("ts"))
+  }
+
+  /** Typed filter through the JVM-static failure registry — throws the
+    * first `failureTimes` times per name, surfacing as a task failure
+    * (batch retry via `spark.task.maxFailures`; streaming retry via
+    * [[runWithRestarts]]). */
+  def unstableFilter(ds: Dataset[UnstableData]): Dataset[UnstableData] =
+    ds.filter((u: UnstableData) => FailureRegistry.waitValidateOrFail(u))
+
+  /** Non-idempotent accumulating sink: per-row writer appending names to a
+    * JVM-static buffer. Deliberately NOT transactional — this is the
+    * observation point for at-least-once delivery (duplicates appear here
+    * after a mid-batch failure + replay). */
+  object CollectingSink {
+    val buffer = new AtomicReference[Vector[String]](Vector.empty)
+    def reset(): Unit = buffer.set(Vector.empty)
+    def append(name: String): Unit =
+      buffer.updateAndGet(v => v :+ name)
+  }
+
+  final class CollectingForeachWriter extends ForeachWriter[UnstableData] {
+    override def open(partitionId: Long, epochId: Long): Boolean = true
+    override def process(u: UnstableData): Unit = CollectingSink.append(u.name)
+    override def close(errorOrNull: Throwable): Unit = ()
+  }
+
+  /** Batch-id-keyed collector for `foreachBatch` sinks — the
+    * checkpoint-recoverable observation point. Replayed batches overwrite
+    * their slot (idempotent by batchId), which is exactly how an
+    * exactly-once downstream consumer de-duplicates micro-batch replays. */
+  object BatchCollector {
+    val batches = new AtomicReference[Map[Long, Seq[(String, String)]]](Map.empty)
+    def reset(): Unit = batches.set(Map.empty)
+    def put(batchId: Long, rows: Seq[(String, String)]): Unit =
+      batches.updateAndGet(m => m + (batchId -> rows))
+    def allRows: Seq[(String, String)] =
+      batches.get().toSeq.sortBy(_._1).flatMap(_._2)
+  }
+
+  /** Fixed-delay restart loop: (re)start the query from the same
+    * checkpoint until it drains cleanly or the restart budget is spent —
+    * the analog of `RestartStrategies.fixedDelayRestart(n, delay)`. */
+  def runWithRestarts(maxRestarts: Int, delayMillis: Long = 0L)(
+      start: () => StreamingQuery): Int = {
+    var restarts = 0
+    var done = false
+    while (!done) {
+      val q = start()
+      try {
+        q.processAllAvailable()
+        q.stop()
+        done = true
+      } catch {
+        case _: StreamingQueryException if restarts < maxRestarts =>
+          restarts += 1
+          try q.stop() catch { case _: Throwable => () }
+          if (delayMillis > 0) Thread.sleep(delayMillis)
+      }
+    }
+    restarts
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Golden tests for the batch operator surface at sf0.001 — cheap local
+  * guardrails; the authoritative oracle hash-compare runs in the driver
+  * (tools/check.py mirrors it). */
+class OperatorSpec extends SparkTestBase {
+
+  test("every registered query returns rows and re-runs deterministically") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val a = fn(spark, sfDir).collect()
+      val b = fn(spark, sfDir).collect()
+      assert(a.nonEmpty, s"$name returned 0 rows")
+      assert(a.sameElements(b), s"$name is not deterministic across runs")
+    }
+  }
+
+  test("every oracle key has a registered query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+
+  test("entry smoke: flagship query yields rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("filter_adults keeps exactly the adults") {
+    val rows = SparkEntry.queries("filter_adults")(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("Fred", "Wilma"))
+    assert(rows.forall(_.getInt(1) >= 18))
+  }
+
+  test("stateful_concat_final concatenates each group's names once, sorted") {
+    val rows = SparkEntry.queries("stateful_concat_final")(spark, sfDir).collect()
+    assert(rows.toSeq.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("group A", "abcd"), ("group B", "efgh")))
+  }
+
+  test("union_all preserves duplicates (bag semantics)") {
+    val df = SparkEntry.queries("union_all")(spark, sfDir)
+    val total = df.count()
+    val evens = df.filter("c_custkey % 2 = 0").count()
+    val customers = Tables.customer(spark, sfDir).count()
+    assert(total == customers + evens / 2)
+  }
+
+  test("sink_text_roundtrip writes then reads identical content") {
+    val rows = SparkEntry.queries("sink_text_roundtrip")(spark, sfDir)
+      .collect().map(_.getString(0)).toSeq
+    assert(rows == Seq("flink", "hardly", "love"))
+  }
+
+  test("tumbling_window_max picks one row per window with the max value") {
+    val out = SparkEntry.queries("tumbling_window_max")(spark, sfDir)
+    val perWindow = out.groupBy("w_start").count().filter("count > 1").count()
+    assert(perWindow == 0)
+  }
+
+  test("dedup_events yields one row per (user_id, event_type)") {
+    val out = SparkEntry.queries("dedup_events")(spark, sfDir)
+    assert(out.groupBy("user_id", "event_type").count().filter("count > 1").count() == 0)
+  }
+
+  test("dedup pipelines agree: minhash candidates are real near-dups") {
+    val lsh = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH at est>=0.5 should recover the exact jaccard>=0.5 pairs; allow
+    // slight estimator noise by asserting high overlap instead of equality
+    val overlap = (lsh intersect exact).size.toDouble
+    assert(overlap / math.max(exact.size, 1) >= 0.8,
+      s"LSH recall too low: $overlap of ${exact.size}")
+  }
+
+  test("similarity_topk: ANN results are a subset-quality baseline") {
+    val brute = SparkEntry.queries("similarity_topk")(spark, sfDir)
+    assert(brute.filter("rk = 1").count() > 0)
+    // cosine is bounded
+    val bad = brute.filter("cos_sim > 1.0001 OR cos_sim < -1.0001").count()
+    assert(bad == 0)
+  }
+
+  test("anomaly_kmeans: every vector assigned, anomalies are a minority") {
+    val out = SparkEntry.queries("anomaly_kmeans")(spark, sfDir).collect()
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(out.length == n)
+    val anom = out.count(_.getInt(3) == 1)
+    assert(anom.toDouble / n < 0.2, s"too many anomalies: $anom/$n")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.StreamingOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ports of the reference's MiniCluster tests
+  * (`TestFlinkStreams.java`): event-time window + maxBy through a
+  * MemoryStream, stateful concat prefixes, file roundtrip. */
+class StreamingSpec extends SparkTestBase {
+
+  test("event-time tumbling window maxBy over a MemoryStream (W1)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // reference fixture (TestFlinkStreams.java:63-67): (15, t+2min),
+    // (17, t+25min+1s), (16, t+25min) — 5s windows → two windows,
+    // maxes 15 and 17
+    val base = 1700000000L
+    val in = MemoryStream[(Int, Long)]
+    in.addData((15, base + 120), (17, base + 1501), (16, base + 1500))
+    val events = in.toDF()
+      .select(timestamp_seconds($"_2").as("ts"), $"_1".as("value"))
+    val q = StreamingOps.tumblingWindowMax(events)
+      .writeStream.format("memory").queryName("w1").outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("w1").orderBy("w_start").collect()
+      assert(rows.map(_.getInt(1)).toSeq == Seq(15, 17))
+    } finally q.stop()
+  }
+
+  test("stateful concat emits every prefix in arrival order (K2)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[UnstableData]
+    val q = StreamingOps.concatPrefixes(in.toDS())
+      .toDF("group_id", "prefix")
+      .writeStream.format("memory").queryName("k2").outputMode("append")
+      .start()
+    try {
+      in.addData(UnstableData("a", 0, 0, "g1"), UnstableData("b", 0, 0, "g1"))
+      q.processAllAvailable()
+      // state persists across micro-batches: next batch continues "ab"
+      in.addData(UnstableData("c", 0, 0, "g1"), UnstableData("x", 0, 0, "g2"))
+      q.processAllAvailable()
+      val rows = spark.table("k2").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows.contains(("g1", "abc")), s"expected cumulative abc in $rows")
+      assert(rows.contains(("g2", "x")))
+      val g1 = rows.filter(_._1 == "g1").map(_._2)
+      assert(g1 == Set("a", "ab", "abc"), s"prefix emission broken: $g1")
+    } finally q.stop()
+  }
+
+  test("streaming text file roundtrip (S3+O2)") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_in").toString
+    val outDir = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    Seq("love", "flink", "hardly").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(inDir)
+    val q = spark.readStream.text(inDir)
+      .writeStream.format("text")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val lines = spark.read.text(outDir).collect().map(_.getString(0)).sorted
+    assert(lines.toSeq == Seq("flink", "hardly", "love"))
+  }
+}

@@ -79,45 +79,75 @@ object DedupOps {
       |GROUP BY md5(lower(text))
       |ORDER BY keep_id""".stripMargin
 
-  /** MinHash signatures (16 md5-seeded permutations; the min of the
-    * lexicographic hex string is a valid uniform min-hash) banded 4×4 for
-    * LSH; candidates share a band, then are scored by signature agreement
-    * (est. Jaccard = matching minhashes / 16) with a 0.5 cutoff. */
+  /** Universal-hash parameters for the 16 MinHash permutations, derived
+    * seedlessly from md5 on the driver and embedded as literals on both
+    * engines. `a` is 28-bit odd, `b` 30-bit odd, so `a*h32 + b < 2^61`
+    * never overflows a BIGINT before the modulus. */
+  private[operators] val MinhashPrime = 4294967311L // smallest prime > 2^32
+  private[operators] lazy val (minhashA, minhashB): (Array[Long], Array[Long]) = {
+    def derive(tag: String, bits: Int): Array[Long] = Array.tabulate(16) { i =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$tag$i".getBytes("UTF-8"))
+      (BigInt(1, d.take(8).toArray).toLong & ((1L << bits) - 1)) | 1L
+    }
+    (derive("minhash_a_", 28), derive("minhash_b_", 30))
+  }
+
+  /** MinHash signatures: one md5 per shingle → 32-bit base hash → 16
+    * universal-hash permutations `(a_i*h + b_i) mod p` (cheap codegen'd
+    * arithmetic instead of 16 md5 calls per shingle), banded 4×4 for LSH;
+    * candidates share a band, then are scored by signature agreement
+    * (est. Jaccard = matching minhashes / 16) with a 0.5 cutoff.
+    *
+    * Shape note: all 16 minima come out of ONE hash aggregation over the
+    * shingle stream (16 agg columns) — no 16× row explosion, one shuffle
+    * keyed by doc_id. Band keys and the signature-agreement count are
+    * plain column expressions over those 16 columns (fully codegen). */
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sigs = shingleSets(spark, dir)
-      .select($"doc_id", explode(sequence(lit(0), lit(15))).as("i"), $"sh")
-      .select($"doc_id", $"i",
-        md5(concat($"i".cast("string"), lit("|"), $"sh")).as("h"))
-      .groupBy($"doc_id", $"i").agg(min($"h").as("mh"))
-    // i-ordered signature array (array_sort on struct orders by field i)
-    val sigArr = sigs.groupBy($"doc_id")
-      .agg(expr("transform(array_sort(collect_list(struct(i, mh))), x -> x.mh)").as("sig"))
-    val bands = sigs.groupBy($"doc_id", ($"i" / 4).cast("int").as("band"))
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(i, mh))), x -> x.mh), '')")
-        .as("band_key"))
+    val hv = shingleSets(spark, dir)
+      .select($"doc_id", conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h32"))
+    val minCols = (0 until 16).map { i =>
+      min(expr(s"(${minhashA(i)}L * h32 + ${minhashB(i)}L) % ${MinhashPrime}L")).as(s"mh$i")
+    }
+    val sig = hv.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("band_key"))
+    }
+    val bands = sig
+      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
     val cand = bands.as("a").join(bands.as("b"),
         $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    cand
-      .join(sigArr.select($"doc_id".as("doc_a"), $"sig".as("sig_a")), "doc_a")
-      .join(sigArr.select($"doc_id".as("doc_b"), $"sig".as("sig_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), b -> b))") / lit(16.0))
-          .as("est_jaccard"))
+    val sigA = sig.toDF("doc_a" +: (0 until 16).map(i => s"a_mh$i"): _*)
+    val sigB = sig.toDF("doc_b" +: (0 until 16).map(i => s"b_mh$i"): _*)
+    val agreement = (0 until 16)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand.join(sigA, "doc_a").join(sigB, "doc_b")
+      .select($"doc_a", $"doc_b", (agreement / lit(16.0)).as("est_jaccard"))
       .filter($"est_jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
 
-  val dedupMinhashLshSql: String =
+  lazy val dedupMinhashLshSql: String = {
+    val params = (0 until 16)
+      .map(i => s"(${i},${minhashA(i)},${minhashB(i)})").mkString(",")
     s"""WITH $shinglesCte,
+       |params(i, a, b) AS (SELECT * FROM (VALUES $params)),
+       |hv AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32
+       |  FROM shingles),
        |sigs AS (
-       |  SELECT doc_id, r.i, min(md5(CAST(r.i AS VARCHAR) || '|' || sh)) AS mh
-       |  FROM shingles CROSS JOIN range(16) r(i)
-       |  GROUP BY doc_id, r.i),
+       |  SELECT doc_id, p.i, min((p.a * h32 + p.b) % $MinhashPrime) AS mh
+       |  FROM hv CROSS JOIN params p
+       |  GROUP BY doc_id, p.i),
        |bands AS (
-       |  SELECT doc_id, i // 4 AS band, string_agg(mh, '' ORDER BY i) AS band_key
+       |  SELECT doc_id, i // 4 AS band,
+       |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS band_key
        |  FROM sigs GROUP BY doc_id, i // 4),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -132,6 +162,7 @@ object DedupOps {
        |SELECT doc_a, doc_b, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
 
   /** 16-bit SimHash per document: per bit j, sum ±1 over the j-th bit of
     * each token's hash; sketch bit = sign of the sum. Documents sharing a
@@ -179,18 +210,23 @@ object DedupOps {
     * cutoff 0.5. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = shingleSets(spark, dir)
-    val df = sh.groupBy($"sh").agg(count(lit(1)).as("nd"))
-    val sized = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-    val indexed = sh.join(df.filter($"nd" <= 50), "sh")
+    // one materialization of the shingle set feeds four plan branches
+    // (df-cap, per-doc sizes, both sides of the intersection join) —
+    // without the persist Spark recomputes the explode+distinct 4×
+    val sh = shingleSets(spark, dir).persist()
+    val wSh = Window.partitionBy($"sh")
+    val wDoc = Window.partitionBy($"doc_id")
+    val indexed = sh
+      .withColumn("nd", count(lit(1)).over(wSh))
+      .withColumn("nsh", count(lit(1)).over(wDoc))
+      .filter($"nd" <= 50)
     val inter = indexed.as("a").join(indexed.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(count(lit(1)).as("n_inter"),
+        first($"a.nsh").as("nsh_a"), first($"b.nsh").as("nsh_b"))
     val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
     inter
-      .join(broadcast(sized.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a"))), "doc_a")
-      .join(broadcast(sized.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b"))), "doc_b")
       .select($"doc_a", $"doc_b", jac.as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")

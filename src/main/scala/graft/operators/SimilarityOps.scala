@@ -26,15 +26,16 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
-  /** Fixed-point quantized vectors with exact squared norms. */
+  /** Fixed-point quantized vectors with exact squared norms (norm via the
+    * codegen'd [[graft.functions.FixedPointDotProduct]]). */
   private[operators] def quantized(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.FixedPointDotProduct.register(spark)
     Tables.embeddings(spark, dir)
       .select($"vec_id",
         expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as bigint))")
           .as("q"))
-      .withColumn("n2",
-        expr("cast(aggregate(transform(q, x -> x * x), 0L, (acc, x) -> acc + x) as double)"))
+      .withColumn("n2", expr("cast(graft_dot(q, q) as double)"))
   }
 
   private[operators] val quantizedCte: String =
@@ -46,9 +47,11 @@ object SimilarityOps {
       |           x -> x * x)) AS DOUBLE) AS n2
       |  FROM embeddings)""".stripMargin
 
-  /** Exact-integer dot product / norms → bit-stable cosine. */
+  /** Exact-integer dot product / norms → bit-stable cosine. The codegen'd
+    * `graft_dot` accumulates left-to-right exactly like the HOF fold the
+    * oracle mirrors. */
   private[operators] def cosine(qa: String, qb: String, n2a: String, n2b: String): Column =
-    expr(s"cast(aggregate(zip_with(`${qa.replace(".", "`.`")}`, `${qb.replace(".", "`.`")}`, (x, y) -> x * y), 0L, (acc, x) -> acc + x) as double)") /
+    expr(s"cast(graft_dot($qa, $qb) as double)") /
       (sqrt(col(n2a)) * sqrt(col(n2b)))
 
   private[operators] def cosineSql(a: String, b: String): String =

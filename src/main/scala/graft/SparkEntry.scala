@@ -34,8 +34,21 @@ object SparkEntry {
     "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
     "topn_revenue"             -> (Relational.topnRevenue(_, _)),
     "window_rank_orders"       -> (Relational.windowRankOrders(_, _)),
+    // extended relational surface (reference §2.8 gaps, Spark-first)
+    "join_asof"                -> (Extended.joinAsof(_, _)),
+    "join_semi_customers"      -> (Extended.joinSemiCustomers(_, _)),
+    "join_anti_customers"      -> (Extended.joinAntiCustomers(_, _)),
+    "join_range_shipping"      -> (Extended.joinRangeShipping(_, _)),
+    "agg_rollup_revenue"       -> (Extended.aggRollupRevenue(_, _)),
+    "agg_count_distinct"       -> (Extended.aggCountDistinct(_, _)),
+    "set_intersect"            -> (Extended.setIntersect(_, _)),
+    "set_except"               -> (Extended.setExcept(_, _)),
+    "scalar_functions"         -> (Extended.scalarFunctions(_, _)),
+    "window_running_sum"       -> (Extended.windowRunningSum(_, _)),
     // §2.9 event analytics
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
+    "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
+    "events_session_windows"   -> (EventOps.eventsSessionWindows(_, _)),
     "events_session_anomaly"   -> (EventOps.eventsSessionAnomaly(_, _)),
     "dedup_events"             -> (EventOps.dedupEvents(_, _)),
     "json_props_extract"       -> (EventOps.jsonPropsExtract(_, _)),
@@ -78,7 +91,19 @@ object SparkEntry {
     "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
     "topn_revenue"             -> Relational.topnRevenueSql,
     "window_rank_orders"       -> Relational.windowRankOrdersSql,
+    "join_asof"                -> Extended.joinAsofSql,
+    "join_semi_customers"      -> Extended.joinSemiCustomersSql,
+    "join_anti_customers"      -> Extended.joinAntiCustomersSql,
+    "join_range_shipping"      -> Extended.joinRangeShippingSql,
+    "agg_rollup_revenue"       -> Extended.aggRollupRevenueSql,
+    "agg_count_distinct"       -> Extended.aggCountDistinctSql,
+    "set_intersect"            -> Extended.setIntersectSql,
+    "set_except"               -> Extended.setExceptSql,
+    "scalar_functions"         -> Extended.scalarFunctionsSql,
+    "window_running_sum"       -> Extended.windowRunningSumSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
+    "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,
+    "events_session_windows"   -> EventOps.eventsSessionWindowsSql,
     "events_session_anomaly"   -> EventOps.eventsSessionAnomalySql,
     "dedup_events"             -> EventOps.dedupEventsSql,
     "json_props_extract"       -> EventOps.jsonPropsExtractSql,

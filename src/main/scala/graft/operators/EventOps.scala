@@ -111,6 +111,67 @@ object EventOps {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Sliding (hopping) windows: 10-minute windows every 5 minutes — each
+    * event lands in two windows. Spark's `window(ts, "10 minutes",
+    * "5 minutes")` generates the window set at the scan (narrow), then one
+    * hash aggregation; the oracle enumerates the same windows with a
+    * 2-row range cross join. */
+  def eventsSlidingStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy(window($"ts", "10 minutes", "5 minutes").getField("start").as("w_ts"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(Dec)).cast("double").as("sum_value"))
+      .select(unix_timestamp($"w_ts").as("w_start"), $"n_events", $"sum_value")
+      .orderBy($"w_start")
+  }
+
+  val eventsSlidingStatsSql: String =
+    """SELECT CAST(w_start AS BIGINT) AS w_start, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM (
+      |  SELECT epoch(time_bucket(INTERVAL '5 minutes', ts)) - k.k * 300 AS w_start,
+      |         ts, value
+      |  FROM events CROSS JOIN range(2) k(k)) t
+      |WHERE epoch(ts) >= w_start AND epoch(ts) < w_start + 600
+      |GROUP BY w_start
+      |ORDER BY w_start""".stripMargin
+
+  /** Session windows: per-user sessions closed by a 30-minute inactivity
+    * gap — Spark's `session_window` merges events server-side in one
+    * aggregation; the oracle derives identical sessions with the classic
+    * gaps-and-islands window SQL. */
+  def eventsSessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"value".cast(Dec)).cast("double").as("sum_value"),
+        expr("unix_micros(min(ts))").as("s_start_us"))
+      .select($"user_id", $"s_start_us", $"n_events", $"sum_value")
+      .orderBy($"user_id", $"s_start_us")
+  }
+
+  val eventsSessionWindowsSql: String =
+    """WITH marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+      |              >= 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM marked)
+      |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS s_start_us,
+      |       count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM sess
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, s_start_us""".stripMargin
+
   /** JSON scalar extraction over `events.props` + aggregation: histogram of
     * the extracted `k` with a decimal-exact value sum per bucket. */
   def jsonPropsExtract(spark: SparkSession, dir: String): DataFrame = {

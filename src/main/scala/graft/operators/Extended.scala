@@ -1,0 +1,253 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Extended relational surface beyond the reference (§2.8's "absent"
+  * list, implemented Spark-first): as-of join, semi/anti joins, range
+  * join, rollup, distinct aggregation, set operations, scalar function
+  * library, window frames.
+  *
+  * Scale notes: the as-of join deliberately avoids the O(rows×candidates)
+  * range-scan formulation — it is the union-tag + ordered-window pattern
+  * (one sort-shuffle per side on the join key, then a linear pass), which
+  * is how as-of joins stay tractable on 100 TB of ticks/events. Semi/anti
+  * joins broadcast the small side; rollup/count-distinct are single
+  * hash-aggregate pipelines (Spark expands distinct aggregates into a
+  * two-phase plan automatically).
+  */
+object Extended {
+  private val Dec = DecimalType(12, 2)
+
+  /** As-of join: for every event, the most recent order of the mapped
+    * customer at-or-before the event time (ties on order date broken by
+    * max orderkey, made explicit on both engines).
+    *
+    * Spark has no ASOF JOIN operator — this is the scalable composition:
+    * tag both streams, union, and carry the latest order payload forward
+    * with `last_value(..., ignoreNulls)` over an ordered per-key window.
+    * DuckDB oracles it with its native `ASOF LEFT JOIN`. */
+  def joinAsof(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // one order per (custkey, orderdate): keep max orderkey — removes
+    // tie ambiguity both here and in the oracle's ASOF semantics
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val oTagged = orders.select(
+      $"o_custkey".as("k"), $"o_orderdate".cast("timestamp").as("t"),
+      lit(1).as("is_order"), $"o_orderkey",
+      lit(null).cast("bigint").as("event_id"))
+    val events = Tables.events(spark, dir)
+    val eTagged = events.select(
+      (pmod($"user_id", lit(100)) + 1).as("k"), $"ts".as("t"),
+      lit(0).as("is_order"), lit(null).cast("bigint").as("o_orderkey"),
+      $"event_id")
+    // at equal t the order row sorts first (is_order desc) so an event at
+    // exactly the order date sees it (>= semantics)
+    val w = Window.partitionBy($"k")
+      .orderBy($"t".asc, $"is_order".desc, $"event_id".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTagged.unionByName(eTagged)
+      .withColumn("matched_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .filter($"is_order" === 0)
+      .select($"event_id", $"k".as("custkey"),
+        expr("unix_micros(t)").as("ts_us"), $"matched_orderkey")
+      .orderBy($"event_id")
+  }
+
+  val joinAsofSql: String =
+    """WITH o AS (
+      |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |  FROM orders GROUP BY o_custkey, o_orderdate),
+      |e AS (
+      |  SELECT event_id, user_id % 100 + 1 AS custkey, ts FROM events)
+      |SELECT e.event_id, e.custkey, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+      |       o.o_orderkey AS matched_orderkey
+      |FROM e ASOF LEFT JOIN o
+      |  ON e.custkey = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
+  /** Left-semi join: customers having at least one order (EXISTS). */
+  def joinSemiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select($"o_custkey".as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val joinSemiCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  def joinAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir).select($"o_custkey".as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val joinAntiCustomersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Equi + range join: lineitems shipped within 90 days of their order's
+    * date — the range predicate rides on the equi-join key, so the plan
+    * stays a hash/sort-merge join with a post-filter (no interval blowup). */
+  def joinRangeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, $"l_orderkey" === $"o_orderkey" &&
+        $"l_shipdate" >= $"o_orderdate" &&
+        $"l_shipdate" <= $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_shipped_90d"),
+        sum($"l_quantity".cast(Dec)).cast("double").as("qty_90d"))
+      .orderBy($"o_orderkey")
+  }
+
+  val joinRangeShippingSql: String =
+    """SELECT o_orderkey, count(*) AS n_shipped_90d,
+      |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty_90d
+      |FROM orders JOIN lineitem
+      |  ON l_orderkey = o_orderkey
+      | AND l_shipdate >= o_orderdate
+      | AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** ROLLUP aggregation: revenue at (flag, status), (flag), and grand
+    * total levels — subtotal rows carry NULL group keys on both engines. */
+  def aggRollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    li.rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast(Dec)).cast("double").as("gross_revenue"))
+      .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+  }
+
+  val aggRollupRevenueSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS gross_revenue
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** Distinct aggregation: per market segment, distinct nations and
+    * customers alongside plain counts (two-phase distinct-agg plan). */
+  def aggCountDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_mktsegment")
+      .agg(countDistinct($"c_nationkey").as("n_nations"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val aggCountDistinctSql: String =
+    """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+      |       count(*) AS n_customers
+      |FROM customer
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** INTERSECT: customer keys that appear as order keys' customers. */
+  def setIntersect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_custkey".as("custkey"))
+      .intersect(Tables.orders(spark, dir).select($"o_custkey".as("custkey")))
+      .orderBy($"custkey")
+  }
+
+  val setIntersectSql: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |INTERSECT
+      |SELECT o_custkey FROM orders
+      |ORDER BY custkey""".stripMargin
+
+  /** EXCEPT: customer keys never seen on an order. */
+  def setExcept(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir).select($"c_custkey".as("custkey"))
+      .except(Tables.orders(spark, dir).select($"o_custkey".as("custkey")))
+      .orderBy($"custkey")
+  }
+
+  val setExceptSql: String =
+    """SELECT c_custkey AS custkey FROM customer
+      |EXCEPT
+      |SELECT o_custkey FROM orders
+      |ORDER BY custkey""".stripMargin
+
+  /** Scalar function library sweep: string / date / math / conditional
+    * functions with identical cross-engine semantics, in one codegen'd
+    * projection. */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        upper($"o_orderpriority").as("prio_upper"),
+        substring($"o_orderstatus", 1, 1).as("status_c"),
+        length($"o_orderpriority").cast("bigint").as("prio_len"),
+        concat_ws("#", $"o_orderstatus", $"o_orderpriority").as("tag"),
+        year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"),
+        dayofmonth($"o_orderdate").as("o_day"),
+        floor($"o_totalprice").cast("bigint").as("price_floor"),
+        ceil($"o_totalprice").cast("bigint").as("price_ceil"),
+        pmod($"o_orderkey", lit(7)).as("key_mod7"),
+        when($"o_totalprice" > 100000, "big").otherwise("small").as("size_class"),
+        coalesce(nullif($"o_orderstatus", lit("O")), lit("open")).as("status_or_open"))
+      .orderBy($"o_orderkey")
+  }
+
+  val scalarFunctionsSql: String =
+    """SELECT o_orderkey,
+      |  upper(o_orderpriority) AS prio_upper,
+      |  substr(o_orderstatus, 1, 1) AS status_c,
+      |  CAST(length(o_orderpriority) AS BIGINT) AS prio_len,
+      |  concat_ws('#', o_orderstatus, o_orderpriority) AS tag,
+      |  CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(month(o_orderdate) AS INT) AS o_month,
+      |  CAST(day(o_orderdate) AS INT) AS o_day,
+      |  CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+      |  CAST(ceil(o_totalprice) AS BIGINT) AS price_ceil,
+      |  o_orderkey % 7 AS key_mod7,
+      |  CASE WHEN o_totalprice > 100000 THEN 'big' ELSE 'small' END AS size_class,
+      |  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Window frame: per-customer running revenue ordered by order date
+    * (exact decimal cumulative sum, cast to double per row). */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        sum($"o_totalprice".cast(Dec)).over(w).cast("double").as("running_revenue"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val windowRunningSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+}

@@ -34,6 +34,7 @@ object SparkEntry {
     "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
     "topn_revenue"             -> (Relational.topnRevenue(_, _)),
     "window_rank_orders"       -> (Relational.windowRankOrders(_, _)),
+    "agg_percentiles"          -> (Relational.aggPercentiles(_, _)),
     // extended relational surface (reference §2.8 gaps, Spark-first)
     "join_asof"                -> (Extended.joinAsof(_, _)),
     "join_semi_customers"      -> (Extended.joinSemiCustomers(_, _)),
@@ -91,6 +92,7 @@ object SparkEntry {
     "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
     "topn_revenue"             -> Relational.topnRevenueSql,
     "window_rank_orders"       -> Relational.windowRankOrdersSql,
+    "agg_percentiles"          -> Relational.aggPercentilesSql,
     "join_asof"                -> Extended.joinAsofSql,
     "join_semi_customers"      -> Extended.joinSemiCustomersSql,
     "join_anti_customers"      -> Extended.joinAntiCustomersSql,

@@ -71,11 +71,14 @@ object Extended {
       |  ON e.custkey = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY event_id""".stripMargin
 
-  /** Left-semi join: customers having at least one order (EXISTS). */
+  /** Left-semi join (EXISTS): customers with at least one large (>450k)
+    * order. The large-order predicate keeps both semi and anti results
+    * non-trivial at every scale factor (every customer has SOME order). */
   def joinSemiCustomers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select($"o_custkey".as("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 450000).select($"o_custkey".as("c_custkey"))
     c.join(o, Seq("c_custkey"), "left_semi")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
       .orderBy($"c_custkey")
@@ -83,14 +86,16 @@ object Extended {
 
   val joinSemiCustomersSql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin
 
-  /** Left-anti join: customers with no orders (NOT EXISTS). */
+  /** Left-anti join (NOT EXISTS): customers with no large (>450k) order. */
   def joinAntiCustomers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val c = Tables.customer(spark, dir)
-    val o = Tables.orders(spark, dir).select($"o_custkey".as("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter($"o_totalprice" > 450000).select($"o_custkey".as("c_custkey"))
     c.join(o, Seq("c_custkey"), "left_anti")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
       .orderBy($"c_custkey")
@@ -98,7 +103,8 @@ object Extended {
 
   val joinAntiCustomersSql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
       |ORDER BY c_custkey""".stripMargin
 
   /** Equi + range join: lineitems shipped within 90 days of their order's
@@ -163,32 +169,36 @@ object Extended {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
-  /** INTERSECT: customer keys that appear as order keys' customers. */
+  /** INTERSECT: customers who placed at least one large (>450k) order.
+    * (The large-order subset keeps both set results non-trivial at every
+    * scale factor — plain customer∖orders is empty at sf0.001.) */
   def setIntersect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.customer(spark, dir).select($"c_custkey".as("custkey"))
-      .intersect(Tables.orders(spark, dir).select($"o_custkey".as("custkey")))
+      .intersect(Tables.orders(spark, dir)
+        .filter($"o_totalprice" > 450000).select($"o_custkey".as("custkey")))
       .orderBy($"custkey")
   }
 
   val setIntersectSql: String =
     """SELECT c_custkey AS custkey FROM customer
       |INTERSECT
-      |SELECT o_custkey FROM orders
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
       |ORDER BY custkey""".stripMargin
 
-  /** EXCEPT: customer keys never seen on an order. */
+  /** EXCEPT: customers who never placed a large (>450k) order. */
   def setExcept(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.customer(spark, dir).select($"c_custkey".as("custkey"))
-      .except(Tables.orders(spark, dir).select($"o_custkey".as("custkey")))
+      .except(Tables.orders(spark, dir)
+        .filter($"o_totalprice" > 450000).select($"o_custkey".as("custkey")))
       .orderBy($"custkey")
   }
 
   val setExceptSql: String =
     """SELECT c_custkey AS custkey FROM customer
       |EXCEPT
-      |SELECT o_custkey FROM orders
+      |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
       |ORDER BY custkey""".stripMargin
 
   /** Scalar function library sweep: string / date / math / conditional

@@ -106,6 +106,33 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** Exact percentiles (linear interpolation over the sorted set — both
+    * engines implement the same `(n-1)*p` rule, so values are bit-equal
+    * on identical input doubles). The approximate-sketch variant
+    * (`approx_percentile`/`approx_count_distinct`) is deliberately NOT
+    * oracled — sketch internals differ across engines. */
+  def aggPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.9)").as("qty_p90"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
+        expr("percentile(l_extendedprice, 0.99)").as("price_p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggPercentilesSql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+      |  quantile_cont(l_quantity, 0.9) AS qty_p90,
+      |  quantile_cont(l_extendedprice, 0.5) AS price_p50,
+      |  quantile_cont(l_extendedprice, 0.99) AS price_p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Ranking window function: top-3 orders per customer by total price. */
   def windowRankOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -82,6 +82,44 @@ class OperatorSpec extends SparkTestBase {
     assert(bad == 0)
   }
 
+  test("join_asof: matched order is at-or-before the event time") {
+    import org.apache.spark.sql.functions._
+    val asof = SparkEntry.queries("join_asof")(spark, sfDir)
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey").as("matched_orderkey"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("o_us"))
+    val violations = asof.filter(col("matched_orderkey").isNotNull)
+      .join(orders, "matched_orderkey")
+      .filter(col("o_us") > col("ts_us"))
+      .count()
+    assert(violations == 0, s"$violations as-of matches are after the event")
+    // every event appears exactly once
+    assert(asof.count() == Tables.events(spark, sfDir).count())
+  }
+
+  test("events_session_windows: sessions partition the event stream") {
+    val sess = SparkEntry.queries("events_session_windows")(spark, sfDir)
+    val totalInSessions = sess.agg(org.apache.spark.sql.functions.sum("n_events"))
+      .collect()(0).getLong(0)
+    assert(totalInSessions == Tables.events(spark, sfDir).count())
+  }
+
+  test("agg_rollup_revenue: grand total row equals table count") {
+    val roll = SparkEntry.queries("agg_rollup_revenue")(spark, sfDir)
+    val grand = roll.filter("l_returnflag IS NULL AND l_linestatus IS NULL")
+      .collect()(0).getLong(2)
+    assert(grand == Tables.lineitem(spark, sfDir).count())
+  }
+
+  test("set ops: intersect + except partition the customer keys") {
+    val inter = SparkEntry.queries("set_intersect")(spark, sfDir).count()
+    val exc = SparkEntry.queries("set_except")(spark, sfDir).count()
+    val total = Tables.customer(spark, sfDir)
+      .select("c_custkey").distinct().count()
+    assert(inter + exc == total)
+    assert(inter > 0 && exc > 0, s"degenerate set split: $inter/$exc")
+  }
+
   test("anomaly_kmeans: every vector assigned, anomalies are a minority") {
     val out = SparkEntry.queries("anomaly_kmeans")(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()

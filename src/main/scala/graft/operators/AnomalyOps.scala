@@ -23,10 +23,13 @@ object AnomalyOps {
 
   def anomalyKmeans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // cache: KMeans iterates over the features many times; without the
+    // persist each iteration re-reads parquet and re-runs the conversion
     val features = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, arr) => (id, Vectors.dense(arr.map(_.toDouble))) }
       .toDF("vec_id", "features")
+      .persist()
     val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
       .setFeaturesCol("features").fit(features)
     val centers = model.clusterCenters

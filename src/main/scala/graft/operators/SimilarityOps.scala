@@ -59,8 +59,13 @@ object SimilarityOps {
 
   /** Deterministic ±1 sign-projection matrix: sign(i,j) from the parity of
     * md5("i_j")'s first byte. Computed once on the driver, embedded as
-    * literals on both engines. */
-  private[operators] val NumProjections = 6
+    * literals on both engines. Multi-table LSH: [[NumTables]] independent
+    * hash tables of [[BitsPerTable]] sign bits each — candidates collide
+    * in ANY table, which is what lifts recall on soft clusters while each
+    * table's bucket join stays a cheap hash shuffle. */
+  private[operators] val NumTables = 8
+  private[operators] val BitsPerTable = 3
+  private[operators] val NumProjections = NumTables * BitsPerTable
   private[operators] val Dims = 64
   private[operators] lazy val projections: Array[Array[Long]] = {
     Array.tabulate(NumProjections, Dims) { (i, j) =>
@@ -69,19 +74,23 @@ object SimilarityOps {
     }
   }
 
-  /** 6-bit LSH bucket expression over the quantized vector column `q`. */
-  private def bucketCol: Column = {
-    val bits = projections.map { row =>
-      val arr = row.mkString("array(", "L, ", "L)")
-      when(expr(s"aggregate(zip_with(q, $arr, (x, y) -> x * y), 0L, (acc, x) -> acc + x)") > 0,
-        lit("1")).otherwise(lit("0"))
+  /** Per-table bucket keys over the quantized vector column `q`: one
+    * `(table, key)` struct per hash table, exploded to rows. */
+  private def bucketsCol: Column = {
+    def bit(i: Int): Column = {
+      val arr = projections(i).mkString("array(", "L, ", "L)")
+      when(expr(s"graft_dot(q, $arr)") > 0, lit("1")).otherwise(lit("0"))
     }
-    concat(bits: _*)
+    val tables = (0 until NumTables).map { t =>
+      struct(lit(t).as("tbl"),
+        concat((0 until BitsPerTable).map(b => bit(t * BitsPerTable + b)): _*).as("bkt"))
+    }
+    explode(array(tables: _*))
   }
 
-  /** Oracle-side bucket: unnest dims, join the embedded ±1 VALUES matrix,
-    * sign of the exact integer sum per projection, bits concatenated in
-    * projection order. */
+  /** Oracle-side buckets: unnest dims, join the embedded ±1 VALUES matrix,
+    * sign of the exact integer sum per projection, bits grouped into
+    * per-table keys. */
   private def bucketCte: String = {
     val vals = (for {
       i <- 0 until NumProjections
@@ -96,7 +105,9 @@ object SimilarityOps {
        |  FROM dims d JOIN proj p ON p.j = d.j
        |  GROUP BY d.vec_id, p.i),
        |bucket AS (
-       |  SELECT vec_id, string_agg(bit, '' ORDER BY i) AS bkt FROM sig GROUP BY vec_id)""".stripMargin
+       |  SELECT vec_id, i // $BitsPerTable AS tbl,
+       |         string_agg(bit, '' ORDER BY i) AS bkt
+       |  FROM sig GROUP BY vec_id, i // $BitsPerTable)""".stripMargin
   }
 
   /** Query set: every 100th vector — small enough to broadcast, large
@@ -132,32 +143,39 @@ object SimilarityOps {
        |WHERE rk <= 5
        |ORDER BY query_id, rk""".stripMargin
 
-  /** ANN via sign-random-projection LSH: candidates = corpus vectors in
-    * the query's 6-bit bucket; exact cosine re-rank, top-3. */
+  /** ANN via multi-table sign-random-projection LSH: candidates = corpus
+    * vectors colliding with the query in any of the 8 tables' 3-bit
+    * buckets; exact cosine re-rank, top-3. */
   def similarityAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val withBucket = quantized(spark, dir).withColumn("bkt", bucketCol)
-    val queries = withBucket.filter(isQuery($"vec_id"))
-      .select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2"), $"bkt")
-    val scored = broadcast(queries)
-      .join(withBucket, Seq("bkt"))
+    val n = quantized(spark, dir)
+    val buckets = n.select($"vec_id", bucketsCol.as("b"))
+      .select($"vec_id", $"b.tbl".as("tbl"), $"b.bkt".as("bkt"))
+    val qBuckets = buckets.filter(isQuery($"vec_id"))
+      .select($"vec_id".as("query_id"), $"tbl", $"bkt")
+    val cand = broadcast(qBuckets).join(buckets, Seq("tbl", "bkt"))
       .filter($"query_id" =!= $"vec_id")
-      .select($"query_id", $"vec_id".as("neighbor_id"),
-        cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+    val scored = cand
+      .join(n.select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2")), "query_id")
+      .join(n.select($"vec_id".as("neighbor_id"), $"q", $"n2"), "neighbor_id")
+      .select($"query_id", $"neighbor_id", cosine("qq", "q", "qn2", "n2").as("cos_sim"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
       .orderBy($"query_id", $"rk")
   }
 
-  val similarityAnnLshSql: String =
+  lazy val similarityAnnLshSql: String =
     s"""WITH $quantizedCte,
        |$bucketCte,
-       |nb AS (SELECT n.*, bucket.bkt FROM n JOIN bucket USING (vec_id)),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+       |  FROM bucket a JOIN bucket b ON a.tbl = b.tbl AND a.bkt = b.bkt
+       |  WHERE a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
        |scored AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |         ${cosineSql("a", "b")} AS cos_sim
-       |  FROM nb a JOIN nb b ON a.bkt = b.bkt
-       |    AND a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id)
+       |  SELECT c.query_id, c.neighbor_id, ${cosineSql("a", "b")} AS cos_sim
+       |  FROM cand c JOIN n a ON a.vec_id = c.query_id
+       |              JOIN n b ON b.vec_id = c.neighbor_id)
        |SELECT query_id, neighbor_id, cos_sim, rk FROM (
        |  SELECT *, row_number() OVER (
        |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk

@@ -55,6 +55,66 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("parquet file source streams the events table (windowed agg parity)") {
+    import spark.implicits._
+    // stream the real events parquet through a watermarked tumbling
+    // window and check totals equal the batch aggregation
+    val batch = Tables.events(spark, sfDir)
+    // FileStreamSource needs a directory; stage the single parquet file
+    val dir = Files.createTempDirectory("graft_events_stream")
+    Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"))
+    // raw file carries TIMESTAMP(NANOS): stream it as a nanos long and
+    // convert exactly like Tables.events does for batch
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = org.apache.spark.sql.types.StructType(batch.schema.map {
+      case f if f.name == "ts" =>
+        f.copy(dataType = org.apache.spark.sql.types.LongType)
+      case f => f
+    })
+    val streamed = spark.readStream
+      .schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = streamed.writeStream.format("memory").queryName("ev_stream")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamTotal = spark.table("ev_stream")
+        .agg(sum($"n")).collect()(0).getLong(0)
+      assert(streamTotal == batch.count())
+    } finally q.stop()
+  }
+
+  test("sql entry point: plain SQL over registered views") {
+    Sql.register(spark, sfDir)
+    val out = spark.sql(
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("A", "N", "R"))
+    // events view is readable despite TIMESTAMP(NANOS) parquet
+    assert(spark.sql("SELECT count(*) FROM events").collect()(0).getLong(0) ==
+      Tables.events(spark, sfDir).count())
+    // graft_dot is SQL-callable after registration
+    val dot = spark.sql("SELECT graft_dot(array(1L, 2L), array(3L, 4L)) AS d")
+      .collect()(0).getLong(0)
+    assert(dot == 11L)
+  }
+
+  test("similarity_ann_lsh recall vs brute force (logged)") {
+    val brute = SparkEntry.queries("similarity_topk")(spark, sfDir)
+      .filter("rk <= 3").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = SparkEntry.queries("similarity_ann_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect brute).size.toDouble / brute.size
+    info(f"ANN recall@3 = $recall%.2f (${ann.size} ANN pairs, ${brute.size} exact)")
+    assert(ann.nonEmpty)
+  }
+
   test("streaming text file roundtrip (S3+O2)") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_stream_in").toString

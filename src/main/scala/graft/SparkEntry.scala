@@ -41,6 +41,7 @@ object SparkEntry {
     "join_anti_customers"      -> (Extended.joinAntiCustomers(_, _)),
     "join_range_shipping"      -> (Extended.joinRangeShipping(_, _)),
     "agg_rollup_revenue"       -> (Extended.aggRollupRevenue(_, _)),
+    "agg_cube_orders"          -> (Extended.aggCubeOrders(_, _)),
     "agg_count_distinct"       -> (Extended.aggCountDistinct(_, _)),
     "set_intersect"            -> (Extended.setIntersect(_, _)),
     "set_except"               -> (Extended.setExcept(_, _)),
@@ -53,6 +54,7 @@ object SparkEntry {
     "events_session_anomaly"   -> (EventOps.eventsSessionAnomaly(_, _)),
     "dedup_events"             -> (EventOps.dedupEvents(_, _)),
     "json_props_extract"       -> (EventOps.jsonPropsExtract(_, _)),
+    "json_props_schema"        -> (EventOps.jsonPropsSchema(_, _)),
     // text analysis
     "text_token_counts"        -> (TextOps.textTokenCounts(_, _)),
     "text_language_id"         -> (TextOps.textLanguageId(_, _)),
@@ -98,6 +100,7 @@ object SparkEntry {
     "join_anti_customers"      -> Extended.joinAntiCustomersSql,
     "join_range_shipping"      -> Extended.joinRangeShippingSql,
     "agg_rollup_revenue"       -> Extended.aggRollupRevenueSql,
+    "agg_cube_orders"          -> Extended.aggCubeOrdersSql,
     "agg_count_distinct"       -> Extended.aggCountDistinctSql,
     "set_intersect"            -> Extended.setIntersectSql,
     "set_except"               -> Extended.setExceptSql,
@@ -109,6 +112,7 @@ object SparkEntry {
     "events_session_anomaly"   -> EventOps.eventsSessionAnomalySql,
     "dedup_events"             -> EventOps.dedupEventsSql,
     "json_props_extract"       -> EventOps.jsonPropsExtractSql,
+    "json_props_schema"        -> EventOps.jsonPropsSchemaSql,
     "text_token_counts"        -> TextOps.textTokenCountsSql,
     "text_language_id"         -> TextOps.textLanguageIdSql,
     "text_quality_score"       -> TextOps.textQualityScoreSql,

@@ -30,7 +30,7 @@ object AnomalyOps {
       .map { case (id, arr) => (id, Vectors.dense(arr.map(_.toDouble))) }
       .toDF("vec_id", "features")
       .persist()
-    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
       .setFeaturesCol("features").fit(features)
     val centers = model.clusterCenters
     val assigned = model.transform(features)

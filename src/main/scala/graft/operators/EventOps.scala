@@ -192,4 +192,24 @@ object EventOps {
       |FROM events
       |GROUP BY 1
       |ORDER BY k""".stripMargin
+
+  /** Schema-typed JSON parsing (`from_json` with an explicit struct
+    * schema, vs the path-probing `get_json_object` above): one parse per
+    * row into a typed column, then typed field access — the shape a real
+    * pipeline uses when props carry many fields. */
+  def jsonPropsSchema(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("p", from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .select($"event_id", $"p.k".as("k"))
+      .filter($"k" >= 90)
+      .orderBy($"event_id")
+  }
+
+  val jsonPropsSchemaSql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
+      |ORDER BY event_id""".stripMargin
 }

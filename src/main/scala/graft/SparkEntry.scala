@@ -22,6 +22,7 @@ object SparkEntry {
     "source_from_elements"     -> (ReferenceParity.sourceFromElements(_, _)),
     "source_read_text"         -> (ReferenceParity.sourceReadText(_, _)),
     "sink_text_roundtrip"      -> (ReferenceParity.sinkTextRoundtrip(_, _)),
+    "sink_partitioned_parquet" -> (ReferenceParity.sinkPartitionedParquet(_, _)),
     "map_uppercase"            -> (ReferenceParity.mapUppercase(_, _)),
     "filter_adults"            -> (ReferenceParity.filterAdults(_, _)),
     "filter_unstable"          -> (ReferenceParity.filterUnstable(_, _)),
@@ -35,6 +36,7 @@ object SparkEntry {
     "topn_revenue"             -> (Relational.topnRevenue(_, _)),
     "window_rank_orders"       -> (Relational.windowRankOrders(_, _)),
     "agg_percentiles"          -> (Relational.aggPercentiles(_, _)),
+    "agg_corr_quantity_price"  -> (Relational.aggCorrQuantityPrice(_, _)),
     // extended relational surface (reference §2.8 gaps, Spark-first)
     "join_asof"                -> (Extended.joinAsof(_, _)),
     "join_semi_customers"      -> (Extended.joinSemiCustomers(_, _)),
@@ -55,6 +57,8 @@ object SparkEntry {
     "dedup_events"             -> (EventOps.dedupEvents(_, _)),
     "json_props_extract"       -> (EventOps.jsonPropsExtract(_, _)),
     "json_props_schema"        -> (EventOps.jsonPropsSchema(_, _)),
+    "events_user_funnel"       -> (EventOps.eventsUserFunnel(_, _)),
+    "agg_salted_skew"          -> (EventOps.aggSaltedSkew(_, _)),
     // text analysis
     "text_token_counts"        -> (TextOps.textTokenCounts(_, _)),
     "text_language_id"         -> (TextOps.textLanguageId(_, _)),
@@ -67,6 +71,7 @@ object SparkEntry {
     "dedup_simhash"            -> (DedupOps.dedupSimhash(_, _)),
     "dedup_ngram_jaccard"      -> (DedupOps.dedupNgramJaccard(_, _)),
     "dedup_embedding_cosine"   -> (DedupOps.dedupEmbeddingCosine(_, _)),
+    "dedup_edit_distance"      -> (DedupOps.dedupEditDistance(_, _)),
     // similarity search
     "similarity_topk"          -> (SimilarityOps.similarityTopk(_, _)),
     "similarity_ann_lsh"       -> (SimilarityOps.similarityAnnLsh(_, _)),
@@ -83,6 +88,7 @@ object SparkEntry {
     "source_from_elements"     -> ReferenceParity.sourceFromElementsSql,
     "source_read_text"         -> ReferenceParity.sourceReadTextSql,
     "sink_text_roundtrip"      -> ReferenceParity.sinkTextRoundtripSql,
+    "sink_partitioned_parquet" -> ReferenceParity.sinkPartitionedParquetSql,
     "map_uppercase"            -> ReferenceParity.mapUppercaseSql,
     "filter_adults"            -> ReferenceParity.filterAdultsSql,
     "filter_unstable"          -> ReferenceParity.filterUnstableSql,
@@ -95,6 +101,7 @@ object SparkEntry {
     "topn_revenue"             -> Relational.topnRevenueSql,
     "window_rank_orders"       -> Relational.windowRankOrdersSql,
     "agg_percentiles"          -> Relational.aggPercentilesSql,
+    "agg_corr_quantity_price"  -> Relational.aggCorrQuantityPriceSql,
     "join_asof"                -> Extended.joinAsofSql,
     "join_semi_customers"      -> Extended.joinSemiCustomersSql,
     "join_anti_customers"      -> Extended.joinAntiCustomersSql,
@@ -113,6 +120,8 @@ object SparkEntry {
     "dedup_events"             -> EventOps.dedupEventsSql,
     "json_props_extract"       -> EventOps.jsonPropsExtractSql,
     "json_props_schema"        -> EventOps.jsonPropsSchemaSql,
+    "events_user_funnel"       -> EventOps.eventsUserFunnelSql,
+    "agg_salted_skew"          -> EventOps.aggSaltedSkewSql,
     "text_token_counts"        -> TextOps.textTokenCountsSql,
     "text_language_id"         -> TextOps.textLanguageIdSql,
     "text_quality_score"       -> TextOps.textQualityScoreSql,
@@ -123,6 +132,7 @@ object SparkEntry {
     "dedup_simhash"            -> DedupOps.dedupSimhashSql,
     "dedup_ngram_jaccard"      -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding_cosine"   -> DedupOps.dedupEmbeddingCosineSql,
+    "dedup_edit_distance"      -> DedupOps.dedupEditDistanceSql,
     "similarity_topk"          -> SimilarityOps.similarityTopkSql,
     "similarity_ann_lsh"       -> SimilarityOps.similarityAnnLshSql,
     "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,

@@ -133,7 +133,10 @@ object DedupOps {
       .orderBy($"doc_a", $"doc_b")
   }
 
-  lazy val dedupMinhashLshSql: String = {
+  /** Shared CTE chain ending in `est(doc_a, doc_b, est_jaccard)` — used
+    * by the LSH query itself and by downstream verifiers
+    * (dedup_edit_distance). */
+  private[operators] lazy val minhashCtes: String = {
     val params = (0 until 16)
       .map(i => s"(${i},${minhashA(i)},${minhashB(i)})").mkString(",")
     s"""WITH $shinglesCte,
@@ -158,11 +161,45 @@ object DedupOps {
        |         sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / 16.0 AS est_jaccard
        |  FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a
        |              JOIN sigs sb ON sb.doc_id = c.doc_b AND sa.i = sb.i
-       |  GROUP BY c.doc_a, c.doc_b)
+       |  GROUP BY c.doc_a, c.doc_b)""".stripMargin
+  }
+
+  lazy val dedupMinhashLshSql: String =
+    s"""$minhashCtes
        |SELECT doc_a, doc_b, est_jaccard FROM est
        |WHERE est_jaccard >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Edit-distance verification of the MinHash candidates: exact
+    * Levenshtein distance over the candidate pairs only (the
+    * sketch-then-verify shape every production near-dup pipeline uses —
+    * the O(len²) distance runs on dozens of pairs, never the corpus). */
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = dedupMinhashLsh(spark, dir).select($"doc_a", $"doc_b")
+    val docs = Tables.documents(spark, dir).select($"doc_id", lower($"text").as("t"))
+    pairs
+      .join(docs.select($"doc_id".as("doc_a"), $"t".as("t_a")), "doc_a")
+      .join(docs.select($"doc_id".as("doc_b"), $"t".as("t_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        levenshtein($"t_a", $"t_b").cast("bigint").as("edit_dist"),
+        greatest(length($"t_a"), length($"t_b")).cast("bigint").as("max_len"))
+      .withColumn("edit_sim",
+        lit(1.0) - $"edit_dist".cast("double") / $"max_len")
+      .orderBy($"doc_a", $"doc_b")
   }
+
+  lazy val dedupEditDistanceSql: String =
+    s"""$minhashCtes,
+       |pairs AS (SELECT doc_a, doc_b FROM est WHERE est_jaccard >= 0.5)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(lower(a.text), lower(b.text)) AS BIGINT) AS edit_dist,
+       |  CAST(greatest(length(lower(a.text)), length(lower(b.text))) AS BIGINT) AS max_len,
+       |  1.0 - CAST(levenshtein(lower(a.text), lower(b.text)) AS DOUBLE)
+       |        / greatest(length(lower(a.text)), length(lower(b.text))) AS edit_sim
+       |FROM pairs p JOIN documents a ON a.doc_id = p.doc_a
+       |             JOIN documents b ON b.doc_id = p.doc_b
+       |ORDER BY p.doc_a, p.doc_b""".stripMargin
 
   /** 16-bit SimHash per document: per bit j, sum ±1 over the j-th bit of
     * each token's hash; sketch bit = sign of the sum. Documents sharing a

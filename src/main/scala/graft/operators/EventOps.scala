@@ -193,6 +193,76 @@ object EventOps {
       |GROUP BY 1
       |ORDER BY k""".stripMargin
 
+  /** CEP-style funnel: per user, the first view → first later click →
+    * first later purchase (strict temporal order). The reference has no
+    * CEP; this is the declarative composition Spark answers it with —
+    * three conditional min-aggregations chained by broadcast joins, no
+    * per-row state machine. */
+  def eventsUserFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = Tables.events(spark, dir)
+    val v = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t_view"))
+    val c = e.filter($"event_type" === "click").join(broadcast(v), "user_id")
+      .filter($"ts" > $"t_view")
+      .groupBy($"user_id").agg(min($"ts").as("t_click"))
+    val p = e.filter($"event_type" === "purchase").join(broadcast(c), "user_id")
+      .filter($"ts" > $"t_click")
+      .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        expr("unix_micros(t_view)").as("view_us"),
+        expr("unix_micros(t_click)").as("click_us"),
+        expr("unix_micros(t_purchase)").as("purchase_us"),
+        $"t_purchase".isNotNull.cast("int").as("funnel_complete"))
+      .orderBy($"user_id")
+  }
+
+  val eventsUserFunnelSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t_view FROM events
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t_click
+      |  FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t_view
+      |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(e.ts) AS t_purchase
+      |  FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t_click
+      |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      |SELECT v.user_id,
+      |  CAST(epoch_us(v.t_view) AS BIGINT) AS view_us,
+      |  CAST(epoch_us(c.t_click) AS BIGINT) AS click_us,
+      |  CAST(epoch_us(p.t_purchase) AS BIGINT) AS purchase_us,
+      |  CAST(p.t_purchase IS NOT NULL AS INT) AS funnel_complete
+      |FROM v LEFT JOIN c ON c.user_id = v.user_id
+      |       LEFT JOIN p ON p.user_id = v.user_id
+      |ORDER BY v.user_id""".stripMargin
+
+  /** Two-stage salted aggregation: stage 1 groups on (key, salt) so a
+    * hot key spreads over 16 reducers; stage 2 merges the partials.
+    * Decimal partials keep the merge exact, so the result is identical
+    * to the direct GROUP BY the oracle runs — the point is the shuffle
+    * shape, which survives skewed keys at 100 TB. */
+  def aggSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod($"event_id", lit(16)))
+      .groupBy($"event_type", $"salt")
+      .agg(count(lit(1)).as("pn"), sum($"value".cast(Dec)).as("ps"))
+      .groupBy($"event_type")
+      .agg(sum($"pn").as("n_events"),
+        sum($"ps").cast("double").as("sum_value"))
+      .orderBy($"event_type")
+  }
+
+  val aggSaltedSkewSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** Schema-typed JSON parsing (`from_json` with an explicit struct
     * schema, vs the path-probing `get_json_object` above): one parse per
     * row into a typed column, then typed field access — the shape a real

@@ -69,6 +69,29 @@ object ReferenceParity {
 
   val sinkTextRoundtripSql: String = sourceReadTextSql
 
+  /** O2 at scale: partitioned parquet sink roundtrip — write `documents`
+    * hive-partitioned by `lang`, read it back through partition
+    * discovery, aggregate per partition. Partition pruning on `lang`
+    * is what a 100 TB corpus relies on; the driver-checked output is
+    * the per-partition aggregate, asserted identical to aggregating the
+    * source directly. */
+  def sinkPartitionedParquet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_part_sink").resolve("docs").toString
+    Tables.documents(spark, dir)
+      .write.mode("overwrite").partitionBy("lang").parquet(out)
+    spark.read.parquet(out)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      .orderBy($"lang")
+  }
+
+  val sinkPartitionedParquetSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   /** P1: 1→1 map, uppercase (`TestFlinkStreams.java:56`) — expressed as the
     * codegen'd Catalyst `Upper` expression rather than a typed lambda. */
   def mapUppercase(spark: SparkSession, dir: String): DataFrame = {

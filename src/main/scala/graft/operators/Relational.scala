@@ -133,6 +133,41 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Pearson correlation from exact decimal moments: corr built from
+    * (n, Σx, Σy, Σx², Σy², Σxy) — all exact decimal sums — with the same
+    * double expression tree on both engines. The built-in `corr` is
+    * summation-order-dependent and could never hash-match. */
+  def aggCorrQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = $"l_quantity".cast(Dec)
+    val y = $"l_extendedprice".cast(Dec)
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
+        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
+        sum(x * y).cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")))
+          .as("corr_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggCorrQuantityPriceSql: String =
+    """SELECT l_returnflag, n,
+      |  (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+      |    AS corr_qty_price
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag) t
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Ranking window function: top-3 orders per customer by total price. */
   def windowRankOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -30,6 +30,9 @@ object SparkEntry {
     "stateful_concat_final"    -> (ReferenceParity.statefulConcatFinal(_, _)),
     "stateful_concat_prefixes" -> (ReferenceParity.statefulConcatPrefixes(_, _)),
     "tumbling_window_max"      -> (ReferenceParity.tumblingWindowMax(_, _)),
+    // real Structured Streaming executions (MemoryStream-driven)
+    "streaming_window_max"     -> (graft.streaming.StreamingOps.streamingWindowMax(_, _)),
+    "streaming_concat_prefixes" -> (graft.streaming.StreamingOps.streamingConcatPrefixes(_, _)),
     // §2.9 relational extensions
     "agg_pricing_summary"      -> (Relational.aggPricingSummary(_, _)),
     "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
@@ -96,6 +99,8 @@ object SparkEntry {
     "stateful_concat_final"    -> ReferenceParity.statefulConcatFinalSql,
     "stateful_concat_prefixes" -> ReferenceParity.statefulConcatPrefixesSql,
     "tumbling_window_max"      -> ReferenceParity.tumblingWindowMaxSql,
+    "streaming_window_max"     -> graft.streaming.StreamingOps.streamingWindowMaxSql,
+    "streaming_concat_prefixes" -> graft.streaming.StreamingOps.streamingConcatPrefixesSql,
     "agg_pricing_summary"      -> Relational.aggPricingSummarySql,
     "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
     "topn_revenue"             -> Relational.topnRevenueSql,

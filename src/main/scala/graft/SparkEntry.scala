@@ -61,6 +61,8 @@ object SparkEntry {
     "json_props_extract"       -> (EventOps.jsonPropsExtract(_, _)),
     "json_props_schema"        -> (EventOps.jsonPropsSchema(_, _)),
     "events_user_funnel"       -> (EventOps.eventsUserFunnel(_, _)),
+    "events_cohort_retention"  -> (EventOps.eventsCohortRetention(_, _)),
+    "events_interarrival"      -> (EventOps.eventsInterarrival(_, _)),
     "agg_salted_skew"          -> (EventOps.aggSaltedSkew(_, _)),
     // text analysis
     "text_token_counts"        -> (TextOps.textTokenCounts(_, _)),
@@ -126,6 +128,8 @@ object SparkEntry {
     "json_props_extract"       -> EventOps.jsonPropsExtractSql,
     "json_props_schema"        -> EventOps.jsonPropsSchemaSql,
     "events_user_funnel"       -> EventOps.eventsUserFunnelSql,
+    "events_cohort_retention"  -> EventOps.eventsCohortRetentionSql,
+    "events_interarrival"      -> EventOps.eventsInterarrivalSql,
     "agg_salted_skew"          -> EventOps.aggSaltedSkewSql,
     "text_token_counts"        -> TextOps.textTokenCountsSql,
     "text_language_id"         -> TextOps.textLanguageIdSql,

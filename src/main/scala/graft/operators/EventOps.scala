@@ -239,6 +239,63 @@ object EventOps {
       |       LEFT JOIN p ON p.user_id = v.user_id
       |ORDER BY v.user_id""".stripMargin
 
+  /** Cohort retention: users grouped by first-seen day; distinct active
+    * users per (cohort_day, day_offset). All day math is exact integer
+    * floor division on microsecond epochs (double division would round
+    * differently across engines). */
+  def eventsCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("day"))
+    val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    days.join(broadcast(cohorts), "user_id")
+      .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active_users"))
+      .orderBy($"cohort_day", $"day_offset")
+  }
+
+  val eventsCohortRetentionSql: String =
+    """WITH days AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+      |SELECT c.cohort_day, d.day - c.cohort_day AS day_offset,
+      |       count(DISTINCT d.user_id) AS n_active_users
+      |FROM days d JOIN cohorts c ON c.user_id = d.user_id
+      |GROUP BY c.cohort_day, d.day - c.cohort_day
+      |ORDER BY cohort_day, day_offset""".stripMargin
+
+  /** Per-user inter-arrival gap statistics via `lag` — the classic
+    * sessionization precursor. Gaps are exact microsecond integers; the
+    * mean is the same double division on both engines. */
+  def eventsInterarrival(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"us".asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts)").as("us"), $"event_id")
+      .withColumn("gap", $"us" - lag($"us", 1).over(w))
+      .filter($"gap".isNotNull)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        min($"gap").as("min_gap_us"),
+        max($"gap").as("max_gap_us"),
+        (sum($"gap").cast("double") / count(lit(1))).as("avg_gap_us"))
+      .orderBy($"user_id")
+  }
+
+  val eventsInterarrivalSql: String =
+    """SELECT user_id, count(*) AS n_gaps,
+      |       min(gap) AS min_gap_us, max(gap) AS max_gap_us,
+      |       CAST(sum(gap) AS DOUBLE) / count(*) AS avg_gap_us
+      |FROM (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      |  FROM events) t
+      |WHERE gap IS NOT NULL
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   /** Two-stage salted aggregation: stage 1 groups on (key, salt) so a
     * hot key spreads over 16 reducers; stage 2 merges the partials.
     * Decimal partials keep the merge exact, so the result is identical

@@ -45,6 +45,10 @@ object SparkEntry {
     "join_semi_customers"      -> (Extended.joinSemiCustomers(_, _)),
     "join_anti_customers"      -> (Extended.joinAntiCustomers(_, _)),
     "join_range_shipping"      -> (Extended.joinRangeShipping(_, _)),
+    "join_full_outer"          -> (Extended.joinFullOuter(_, _)),
+    "cross_join_regions"       -> (Extended.crossJoinRegions(_, _)),
+    "window_ntile_quartiles"   -> (Extended.windowNtileQuartiles(_, _)),
+    "group_concat_names"       -> (Extended.groupConcatNames(_, _)),
     "agg_rollup_revenue"       -> (Extended.aggRollupRevenue(_, _)),
     "agg_cube_orders"          -> (Extended.aggCubeOrders(_, _)),
     "agg_count_distinct"       -> (Extended.aggCountDistinct(_, _)),
@@ -113,6 +117,10 @@ object SparkEntry {
     "join_semi_customers"      -> Extended.joinSemiCustomersSql,
     "join_anti_customers"      -> Extended.joinAntiCustomersSql,
     "join_range_shipping"      -> Extended.joinRangeShippingSql,
+    "join_full_outer"          -> Extended.joinFullOuterSql,
+    "cross_join_regions"       -> Extended.crossJoinRegionsSql,
+    "window_ntile_quartiles"   -> Extended.windowNtileQuartilesSql,
+    "group_concat_names"       -> Extended.groupConcatNamesSql,
     "agg_rollup_revenue"       -> Extended.aggRollupRevenueSql,
     "agg_cube_orders"          -> Extended.aggCubeOrdersSql,
     "agg_count_distinct"       -> Extended.aggCountDistinctSql,

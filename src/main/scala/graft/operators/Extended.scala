@@ -219,6 +219,97 @@ object Extended {
       |SELECT o_custkey FROM orders WHERE o_totalprice > 450000
       |ORDER BY custkey""".stripMargin
 
+  /** FULL OUTER join: per-customer large-order counts vs small-order
+    * counts — keys exist on either side only, so both null patterns
+    * appear. */
+  def joinFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val o = Tables.orders(spark, dir)
+    val big = o.filter($"o_totalprice" > 450000)
+      .groupBy($"o_custkey".as("custkey")).agg(count(lit(1)).as("n_big"))
+    val small = o.filter($"o_totalprice" < 100000)
+      .groupBy($"o_custkey".as("custkey")).agg(count(lit(1)).as("n_small"))
+    big.join(small, Seq("custkey"), "full_outer")
+      .select($"custkey",
+        coalesce($"n_big", lit(0L)).as("n_big"),
+        coalesce($"n_small", lit(0L)).as("n_small"))
+      .orderBy($"custkey")
+  }
+
+  val joinFullOuterSql: String =
+    """WITH big AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_big FROM orders
+      |  WHERE o_totalprice > 450000 GROUP BY o_custkey),
+      |small AS (
+      |  SELECT o_custkey AS custkey, count(*) AS n_small FROM orders
+      |  WHERE o_totalprice < 100000 GROUP BY o_custkey)
+      |SELECT coalesce(big.custkey, small.custkey) AS custkey,
+      |       coalesce(n_big, 0) AS n_big,
+      |       coalesce(n_small, 0) AS n_small
+      |FROM big FULL OUTER JOIN small ON big.custkey = small.custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Explicit cross join over the two constant-size dimensions — the one
+    * place a cartesian product is legitimate (5 × 25 rows). */
+  def crossJoinRegions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.region(spark, dir).select($"r_name")
+      .crossJoin(Tables.nation(spark, dir).select($"n_name"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val crossJoinRegionsSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** NTILE window function: revenue quartiles of orders per order
+    * priority (even-split buckets, earlier buckets larger on remainder —
+    * identical SQL-standard semantics on both engines). */
+  def windowNtileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).as("quartile"))
+      .groupBy($"o_orderpriority", $"quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_orderkey").as("first_orderkey"))
+      .orderBy($"o_orderpriority", $"quartile")
+  }
+
+  val windowNtileQuartilesSql: String =
+    """SELECT o_orderpriority, quartile, count(*) AS n_orders,
+      |       min(o_orderkey) AS first_orderkey
+      |FROM (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ntile(4) OVER (PARTITION BY o_orderpriority
+      |                   ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+      |  FROM orders) t
+      |GROUP BY o_orderpriority, quartile
+      |ORDER BY o_orderpriority, quartile""".stripMargin
+
+  /** Ordered group string concatenation over a real table (the K2 batch
+    * analog at data scale): nation-level roster of customer names in key
+    * order. */
+  def groupConcatNames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, dir)
+      .groupBy($"c_nationkey")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(c_custkey, c_name))), x -> x.c_name), ',')")
+        .as("roster"),
+        count(lit(1)).as("n_customers"))
+      .orderBy($"c_nationkey")
+  }
+
+  val groupConcatNamesSql: String =
+    """SELECT c_nationkey,
+      |       string_agg(c_name, ',' ORDER BY c_custkey) AS roster,
+      |       count(*) AS n_customers
+      |FROM customer
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
   /** Scalar function library sweep: string / date / math / conditional
     * functions with identical cross-engine semantics, in one codegen'd
     * projection. */

@@ -31,7 +31,17 @@ object Tables {
     * convert to a microsecond `TimestampType` with integer division —
     * `DIV 1000`, never a double divide: ns epochs (~1.7e18) exceed the
     * 53-bit double mantissa. This matches DuckDB's silent ns→µs
-    * truncation, keeping oracle parity. */
+    * truncation, keeping oracle parity.
+    *
+    * SESSION-WIDE EFFECT (deliberate): the flag stays set for the life of
+    * the session, so any later parquet read of a TIMESTAMP(NANOS) column
+    * also yields LongType. It cannot be safely set/restored around this
+    * call — the conf is consulted lazily at physical-plan/execution time,
+    * long after this method returns, so a restore would race the read it
+    * scopes. No other catalog table carries nanos, and every `events`
+    * consumer goes through this method, which immediately normalizes the
+    * long to a microsecond TimestampType — the flag is therefore
+    * observable only as a no-op to the rest of the catalog. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(s, d, "events")

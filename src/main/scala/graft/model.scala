@@ -39,14 +39,27 @@ object FailureRegistry {
 
   /** Sleeps `waitMillis`, then throws the first `failureTimes` times per
     * name; passes (returns true) afterwards. Reference analog:
-    * `waitValidateOrFail` at `Main.java:101-111`. */
+    * `waitValidateOrFail` at `Main.java:101-111`.
+    *
+    * The claim-a-failure step is a CAS loop (not read-then-update): two
+    * concurrent tasks retrying the same name must never both observe the
+    * same count and record only one failure — the recovery specs assert
+    * exact failure counts. A value of 0 is never stored, so key-absent and
+    * count-0 coincide. */
   def waitValidateOrFail(u: UnstableData): Boolean = {
     if (u.waitMillis > 0) Thread.sleep(u.waitMillis)
-    val failed = alreadyFailed.getOrElse(u.name, 0)
-    if (failed < u.failureTimes) {
-      alreadyFailed.update(u.name, failed + 1)
-      throw UnstableDataFailedException(u.name)
+    @annotation.tailrec
+    def claimFailure(): Boolean = {
+      val cur = alreadyFailed.getOrElse(u.name, 0)
+      if (cur >= u.failureTimes) false
+      else {
+        val claimed =
+          if (cur == 0) alreadyFailed.putIfAbsent(u.name, 1).isEmpty
+          else alreadyFailed.replace(u.name, cur, cur + 1)
+        if (claimed) true else claimFailure()
+      }
     }
+    if (claimFailure()) throw UnstableDataFailedException(u.name)
     true
   }
 }

@@ -103,32 +103,47 @@ object DedupOps {
     * shingle stream (16 agg columns) — no 16× row explosion, one shuffle
     * keyed by doc_id. Band keys and the signature-agreement count are
     * plain column expressions over those 16 columns (fully codegen). */
+  /** Memoized, persisted candidate-estimate stage `(doc_a, doc_b,
+    * est_jaccard)` shared by [[dedupMinhashLsh]] and [[dedupEditDistance]]
+    * — the sketch DAG (shingle → signature → bands → bucket join → score)
+    * is computed once per (session, dir) and its tiny output cached, so
+    * the verification query never recomputes the full sketch. */
+  private val estCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[operators] def minhashEstimates(spark: SparkSession, dir: String): DataFrame =
+    estCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      val hv = shingleSets(spark, dir)
+        .select($"doc_id", conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h32"))
+      val minCols = (0 until 16).map { i =>
+        min(expr(s"(${minhashA(i)}L * h32 + ${minhashB(i)}L) % ${MinhashPrime}L")).as(s"mh$i")
+      }
+      val sig = hv.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
+      val bandStructs = (0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("band_key"))
+      }
+      val bands = sig
+        .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
+        .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
+            $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+      val sigA = sig.toDF("doc_a" +: (0 until 16).map(i => s"a_mh$i"): _*)
+      val sigB = sig.toDF("doc_b" +: (0 until 16).map(i => s"b_mh$i"): _*)
+      val agreement = (0 until 16)
+        .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+        .reduce(_ + _)
+      cand.join(sigA, "doc_a").join(sigB, "doc_b")
+        .select($"doc_a", $"doc_b", (agreement / lit(16.0)).as("est_jaccard"))
+        .persist()
+    })
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val hv = shingleSets(spark, dir)
-      .select($"doc_id", conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h32"))
-    val minCols = (0 until 16).map { i =>
-      min(expr(s"(${minhashA(i)}L * h32 + ${minhashB(i)}L) % ${MinhashPrime}L")).as(s"mh$i")
-    }
-    val sig = hv.groupBy($"doc_id").agg(minCols.head, minCols.tail: _*)
-    val bandStructs = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until 4).map(r => col(s"mh${b * 4 + r}")): _*).as("band_key"))
-    }
-    val bands = sig
-      .select($"doc_id", explode(array(bandStructs: _*)).as("bk"))
-      .select($"doc_id", $"bk.band".as("band"), $"bk.band_key".as("band_key"))
-    val cand = bands.as("a").join(bands.as("b"),
-        $"a.band" === $"b.band" && $"a.band_key" === $"b.band_key" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    val sigA = sig.toDF("doc_a" +: (0 until 16).map(i => s"a_mh$i"): _*)
-    val sigB = sig.toDF("doc_b" +: (0 until 16).map(i => s"b_mh$i"): _*)
-    val agreement = (0 until 16)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
-    cand.join(sigA, "doc_a").join(sigB, "doc_b")
-      .select($"doc_a", $"doc_b", (agreement / lit(16.0)).as("est_jaccard"))
+    minhashEstimates(spark, dir)
       .filter($"est_jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
   }
@@ -176,7 +191,8 @@ object DedupOps {
     * the O(len²) distance runs on dozens of pairs, never the corpus). */
   def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = dedupMinhashLsh(spark, dir).select($"doc_a", $"doc_b")
+    val pairs = minhashEstimates(spark, dir)
+      .filter($"est_jaccard" >= 0.5).select($"doc_a", $"doc_b")
     val docs = Tables.documents(spark, dir).select($"doc_id", lower($"text").as("t"))
     pairs
       .join(docs.select($"doc_id".as("doc_a"), $"t".as("t_a")), "doc_a")
@@ -211,12 +227,16 @@ object DedupOps {
       .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
       .filter($"w" =!= "")
       .select($"doc_id", conv(substring(md5($"w"), 1, 4), 16, 10).cast("int").as("h"))
-    val bits = hv
-      .select($"doc_id", explode(sequence(lit(0), lit(15))).as("j"), $"h")
-      .groupBy($"doc_id", $"j")
-      .agg(sum(when(expr("(shiftright(h, j) & 1) = 1"), 1).otherwise(-1)).as("s"))
-    val sketch = bits.groupBy($"doc_id")
-      .agg(sum(when($"s" > 0, expr("shiftleft(1, j)")).otherwise(0)).as("simhash"))
+    // single-pass sketch: all 16 bit-sums as agg columns of ONE
+    // groupBy(doc_id) over the token stream — no ×16 row explosion, one
+    // shuffle keyed by doc_id (same shape as the MinHash signature agg)
+    val bitSums = (0 until 16).map { j =>
+      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"s$j")
+    }
+    val sketch = hv.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select($"doc_id",
+        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
     sketch
       .select($"doc_id", $"simhash",
         count(lit(1)).over(Window.partitionBy($"simhash")).as("n_bucket"))
@@ -251,19 +271,23 @@ object DedupOps {
     // (df-cap, per-doc sizes, both sides of the intersection join) —
     // without the persist Spark recomputes the explode+distinct 4×
     val sh = shingleSets(spark, dir).persist()
-    val wSh = Window.partitionBy($"sh")
-    val wDoc = Window.partitionBy($"doc_id")
-    val indexed = sh
-      .withColumn("nd", count(lit(1)).over(wSh))
-      .withColumn("nsh", count(lit(1)).over(wDoc))
-      .filter($"nd" <= 50)
-    val inter = indexed.as("a").join(indexed.as("b"),
+    // df cap and per-doc sizes are plain partial+final aggregates — NOT
+    // window functions, which would force two extra full shuffle+sorts of
+    // the widest intermediate in the pipeline just to attach whole-group
+    // counts. The capped-shingle semi join shares the `sh` hash key with
+    // the intersection self-join, so the exchange is reused.
+    val capped = sh.join(
+      sh.groupBy($"sh").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"sh"),
+      Seq("sh"), "left_semi")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = capped.as("a").join(capped.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        first($"a.nsh").as("nsh_a"), first($"b.nsh").as("nsh_b"))
+      .agg(count(lit(1)).as("n_inter"))
     val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
     inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
       .select($"doc_a", $"doc_b", jac.as("jaccard"))
       .filter($"jaccard" >= 0.5)
       .orderBy($"doc_a", $"doc_b")
@@ -285,16 +309,39 @@ object DedupOps {
        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
-  /** Embedding cosine near-duplicate pairs (all-pairs baseline with the
-    * fixed-point quantization from [[SimilarityOps]]; cutoff 0.4). The
-    * all-pairs form is the correctness oracle — at corpus scale the same
-    * scoring runs inside [[SimilarityOps.similarityAnnLsh]] buckets. */
+  /** Embedding cosine near-duplicate pairs (exact, cutoff 0.4) with the
+    * fixed-point quantization from [[SimilarityOps]].
+    *
+    * Execution shape: a BLOCK-PARTITIONED all-pairs join, not a
+    * broadcast nested loop. Each side is exploded over [[CosineBlocks]]
+    * block keys so every unordered vector pair lands in exactly one
+    * `(blk_a, blk_b)` bucket; the join is a plain hash-partitioned
+    * equi-join on that composite key, spreading the O(n²) scoring over
+    * blocks² reducer groups (AQE can split stragglers). Exact pairwise
+    * cosine is inherently O(n²) work — this makes the shape distributable;
+    * the sub-quadratic route at corpus scale is the approximate family
+    * ([[SimilarityOps.similarityAnnLsh]], [[dedupMinhashLsh]]). LSH
+    * cannot replace exactness here: the testdata (and any real corpus)
+    * has a dense cosine continuum through the 0.4 cutoff, so no
+    * sign-projection scheme reaches recall 1.0. */
+  private val CosineBlocks = 16
+
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = SimilarityOps.quantized(spark, dir)
-    n.as("a").join(n.as("b"), $"a.vec_id" < $"b.vec_id")
-      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
-        SimilarityOps.cosine("a.q", "b.q", "a.n2", "b.n2").as("cos_sim"))
+      .withColumn("blk", pmod($"vec_id", lit(CosineBlocks)).cast("int"))
+    val blocks = explode(expr(s"sequence(0, ${CosineBlocks - 1})"))
+    // a-side key (own block, partner block j); b-side key (partner block
+    // i, own block): pair (a,b) matches in exactly one bucket — no
+    // distinct needed, every bucket holds (n/B)² candidates
+    val aSide = n.select($"vec_id".as("vec_a"), $"q".as("qa"), $"n2".as("n2a"),
+      $"blk".as("ka"), blocks.as("kb"))
+    val bSide = n.select($"vec_id".as("vec_b"), $"q".as("qb"), $"n2".as("n2b"),
+      blocks.as("ka"), $"blk".as("kb"))
+    aSide.join(bSide, Seq("ka", "kb"))
+      .filter($"vec_a" < $"vec_b")
+      .select($"vec_a", $"vec_b",
+        SimilarityOps.cosine("qa", "qb", "n2a", "n2b").as("cos_sim"))
       .filter($"cos_sim" >= 0.4)
       .orderBy($"vec_a", $"vec_b")
   }

@@ -154,7 +154,7 @@ object EventOps {
 
   val eventsSessionWindowsSql: String =
     """WITH marked AS (
-      |  SELECT user_id, ts, value,
+      |  SELECT user_id, ts, value, event_id,
       |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
       |           OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
       |              >= 1800000000
@@ -162,7 +162,7 @@ object EventOps {
       |  FROM events),
       |sess AS (
       |  SELECT user_id, ts, value,
-      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       |  FROM marked)
       |SELECT user_id, CAST(epoch_us(min(ts)) AS BIGINT) AS s_start_us,
@@ -196,17 +196,19 @@ object EventOps {
   /** CEP-style funnel: per user, the first view → first later click →
     * first later purchase (strict temporal order). The reference has no
     * CEP; this is the declarative composition Spark answers it with —
-    * three conditional min-aggregations chained by broadcast joins, no
-    * per-row state machine. */
+    * three conditional min-aggregations chained by joins on user_id, no
+    * per-row state machine. The per-user aggregates carry NO broadcast
+    * hint: user cardinality is unbounded, so AQE must stay free to pick a
+    * shuffle join at scale (it still broadcasts at small SF on its own). */
   def eventsUserFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val e = Tables.events(spark, dir)
     val v = e.filter($"event_type" === "view")
       .groupBy($"user_id").agg(min($"ts").as("t_view"))
-    val c = e.filter($"event_type" === "click").join(broadcast(v), "user_id")
+    val c = e.filter($"event_type" === "click").join(v, "user_id")
       .filter($"ts" > $"t_view")
       .groupBy($"user_id").agg(min($"ts").as("t_click"))
-    val p = e.filter($"event_type" === "purchase").join(broadcast(c), "user_id")
+    val p = e.filter($"event_type" === "purchase").join(c, "user_id")
       .filter($"ts" > $"t_click")
       .groupBy($"user_id").agg(min($"ts").as("t_purchase"))
     v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
@@ -247,8 +249,10 @@ object EventOps {
     import spark.implicits._
     val days = Tables.events(spark, dir)
       .select($"user_id", expr("unix_micros(ts) DIV 86400000000").as("day"))
+    // cohorts is one row per user (unbounded cardinality) — no broadcast
+    // hint; AQE picks the join strategy per actual size
     val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
-    days.join(broadcast(cohorts), "user_id")
+    days.join(cohorts, "user_id")
       .groupBy($"cohort_day", ($"day" - $"cohort_day").as("day_offset"))
       .agg(countDistinct($"user_id").as("n_active_users"))
       .orderBy($"cohort_day", $"day_offset")

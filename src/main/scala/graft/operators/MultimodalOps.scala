@@ -93,13 +93,20 @@ object MultimodalOps {
       .orderBy($"doc_id")
   }
 
+  /** Oracle strides the UTF-8 BYTES of the payload (hex-decode of
+    * encode(text), 2 hex chars per byte, stride 128 = 64 bytes), exactly
+    * like the Spark side's `bytes(i) & 0xff` — a char-striding oracle
+    * would silently diverge on any multi-byte text. */
   val multimodalFrameSampleSql: String =
     """SELECT doc_id,
       |  CAST(len(samples) AS BIGINT) AS n_frames,
-      |  CAST(list_sum(samples) AS BIGINT) AS frame_checksum
+      |  CAST(coalesce(list_sum(samples), 0) AS BIGINT) AS frame_checksum
       |FROM (
       |  SELECT doc_id,
-      |    [ord(substr(text, i, 1)) for i in range(1, length(text) + 1, 64)] AS samples
-      |  FROM documents) t
+      |    [CAST(concat('0x', substr(h, i, 2)) AS INT)
+      |     for i in range(1, 2 * nb, 128)] AS samples
+      |  FROM (SELECT doc_id, hex(encode(text)) AS h,
+      |               octet_length(encode(text)) AS nb
+      |        FROM documents) t0) t
       |ORDER BY doc_id""".stripMargin
 }

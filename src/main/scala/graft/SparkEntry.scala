@@ -33,6 +33,7 @@ object SparkEntry {
     // real Structured Streaming executions (MemoryStream-driven)
     "streaming_window_max"     -> (graft.streaming.StreamingOps.streamingWindowMax(_, _)),
     "streaming_concat_prefixes" -> (graft.streaming.StreamingOps.streamingConcatPrefixes(_, _)),
+    "streaming_dedup"          -> (graft.streaming.StreamingOps.streamingDedup(_, _)),
     // §2.9 relational extensions
     "agg_pricing_summary"      -> (Relational.aggPricingSummary(_, _)),
     "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
@@ -81,9 +82,16 @@ object SparkEntry {
     "dedup_ngram_jaccard"      -> (DedupOps.dedupNgramJaccard(_, _)),
     "dedup_embedding_cosine"   -> (DedupOps.dedupEmbeddingCosine(_, _)),
     "dedup_edit_distance"      -> (DedupOps.dedupEditDistance(_, _)),
+    "dedup_connected_components" -> (PipelineOps.dedupConnectedComponents(_, _)),
     // similarity search
     "similarity_topk"          -> (SimilarityOps.similarityTopk(_, _)),
     "similarity_ann_lsh"       -> (SimilarityOps.similarityAnnLsh(_, _)),
+    "similarity_ivf"           -> (SimilarityOps.similarityIvf(_, _)),
+    // pipeline utilities: scoring, sampling, normalization
+    "text_tfidf_topterms"      -> (PipelineOps.textTfidfTopTerms(_, _)),
+    "text_normalize"           -> (PipelineOps.textNormalize(_, _)),
+    "sample_hash_docs"         -> (PipelineOps.sampleHashDocs(_, _)),
+    "sample_stratified_events" -> (PipelineOps.sampleStratifiedEvents(_, _)),
     // multimodal plumbing
     "multimodal_meta"          -> (MultimodalOps.multimodalMeta(_, _)),
     "multimodal_frame_sample"  -> (MultimodalOps.multimodalFrameSample(_, _)),
@@ -107,6 +115,7 @@ object SparkEntry {
     "tumbling_window_max"      -> ReferenceParity.tumblingWindowMaxSql,
     "streaming_window_max"     -> graft.streaming.StreamingOps.streamingWindowMaxSql,
     "streaming_concat_prefixes" -> graft.streaming.StreamingOps.streamingConcatPrefixesSql,
+    "streaming_dedup"          -> graft.streaming.StreamingOps.streamingDedupSql,
     "agg_pricing_summary"      -> Relational.aggPricingSummarySql,
     "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
     "topn_revenue"             -> Relational.topnRevenueSql,
@@ -150,8 +159,14 @@ object SparkEntry {
     "dedup_ngram_jaccard"      -> DedupOps.dedupNgramJaccardSql,
     "dedup_embedding_cosine"   -> DedupOps.dedupEmbeddingCosineSql,
     "dedup_edit_distance"      -> DedupOps.dedupEditDistanceSql,
+    "dedup_connected_components" -> PipelineOps.dedupConnectedComponentsSql,
     "similarity_topk"          -> SimilarityOps.similarityTopkSql,
     "similarity_ann_lsh"       -> SimilarityOps.similarityAnnLshSql,
+    "similarity_ivf"           -> SimilarityOps.similarityIvfSql,
+    "text_tfidf_topterms"      -> PipelineOps.textTfidfTopTermsSql,
+    "text_normalize"           -> PipelineOps.textNormalizeSql,
+    "sample_hash_docs"         -> PipelineOps.sampleHashDocsSql,
+    "sample_stratified_events" -> PipelineOps.sampleStratifiedEventsSql,
     "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,
     "multimodal_frame_sample"  -> MultimodalOps.multimodalFrameSampleSql,
   )

@@ -1,0 +1,195 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators beyond the core dedup/similarity
+  * families: TF-IDF term scoring, reproducible hash sampling (plain and
+  * stratified), text normalization, and near-dup cluster canonicalization
+  * via connected components.
+  *
+  * Determinism: every score is derived from exact integer counts with
+  * identical expression trees on both engines (IEEE ops on identical
+  * inputs are bit-equal); sampling keys are md5-derived integers, never
+  * `rand()` — the same rows are kept on any cluster size, partitioning,
+  * or engine, which is what makes a 100 TB sample reproducible.
+  */
+object PipelineOps {
+
+  /** TF-IDF top-3 terms per document, with a BM25-style RATIONAL idf
+    * `(N - df + 0.5) / (df + 0.5)` instead of `ln(N/df)`: transcendentals
+    * are not correctly-rounded IEEE ops, so `ln` differs between the JVM
+    * and DuckDB by 1 ulp and flaps the hash compare — the rational form
+    * uses only +,-,*,/ on integer-derived doubles, bit-equal by
+    * construction (measured: the ln form mismatched 48 values at 1-2 ulp).
+    *
+    * Plan shape: one partial+final aggregation per (doc, token) for TF,
+    * one per token for DF (computed FROM the tf aggregate — never a
+    * second pass over the token stream), a broadcast of the 1-row corpus
+    * count, and a per-doc top-k window. The tf→df chain shares the token
+    * hash partitioning, so the join back is co-partitioned. */
+  def textTfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    val tf = tokens.groupBy($"doc_id", $"token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nDocs))
+      .select($"doc_id", $"token", $"tf",
+        ($"tf".cast("double") *
+          (($"n_docs" - $"df" + lit(0.5)) / ($"df" + lit(0.5)))).as("tfidf"))
+    val w = Window.partitionBy($"doc_id").orderBy($"tfidf".desc, $"token".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .orderBy($"doc_id", $"rk")
+  }
+
+  val textTfidfTopTermsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, count(*) AS tf FROM toks
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.token, tf.tf,
+      |         CAST(tf.tf AS DOUBLE) * ((nd.n_docs - df.df + 0.5) / (df.df + 0.5)) AS tfidf
+      |  FROM tf JOIN df USING (token) CROSS JOIN nd)
+      |SELECT doc_id, token, tf, tfidf, rk FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rk
+      |  FROM scored) t
+      |WHERE rk <= 3
+      |ORDER BY doc_id, rk""".stripMargin
+
+  /** Reproducible 10% document sample keyed on md5(doc_id) — never
+    * `rand()`: the kept set is identical on any engine, partitioning, or
+    * rerun, which is the contract a training-data sample needs. Pure
+    * narrow filter — no shuffle before the output sort. */
+  def sampleHashDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .filter(
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10 === 0)
+      .select($"doc_id", length($"text").cast("bigint").as("len_chars"))
+      .orderBy($"doc_id")
+  }
+
+  val sampleHashDocsSql: String =
+    """SELECT doc_id, CAST(length(text) AS BIGINT) AS len_chars
+      |FROM documents
+      |WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stratified sampling accounting: per event_type, the total count and
+    * the deterministically-kept 10% (md5(event_id) bucket < 10). One
+    * partial+final aggregation — the kept/total ratio per stratum is the
+    * audit row a pipeline logs next to every sampled extract. */
+  def sampleStratifiedEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_type",
+        (conv(substring(md5($"event_id".cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100).as("h"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_total"),
+        count(when($"h" < 10, 1)).as("n_kept"))
+      .withColumn("kept_ratio", $"n_kept".cast("double") / $"n_total")
+      .orderBy($"event_type")
+  }
+
+  val sampleStratifiedEventsSql: String =
+    """SELECT event_type, count(*) AS n_total,
+      |       count(*) FILTER (WHERE h < 10) AS n_kept,
+      |       CAST(count(*) FILTER (WHERE h < 10) AS DOUBLE) / count(*) AS kept_ratio
+      |FROM (
+      |  SELECT event_type,
+      |    CAST(concat('0x', substr(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+      |  FROM events) t
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** Text normalization (the cleaning pass before dedup/tokenization):
+    * lowercase → strip non-alphanumerics → collapse whitespace → trim,
+    * fingerprinted with md5. Narrow projection, fully codegen'd — the
+    * 100 TB shape is a map-only pass. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        trim(regexp_replace(
+          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .select($"doc_id", md5($"norm").as("norm_hash"),
+        length($"norm").cast("bigint").as("norm_len"))
+      .orderBy($"doc_id")
+  }
+
+  val textNormalizeSql: String =
+    """SELECT doc_id, md5(norm) AS norm_hash,
+      |       CAST(length(norm) AS BIGINT) AS norm_len
+      |FROM (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |         ' +', ' ', 'g')) AS norm
+      |  FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
+  /** Near-dup cluster canonicalization: connected components over the
+    * MinHash candidate-pair graph (est_jaccard >= 0.5), labeling every
+    * clustered document with the smallest doc_id reachable from it — the
+    * step that turns pairwise near-dup hits into keep/drop decisions.
+    *
+    * Execution: Pregel-style smallest-label propagation — each iteration
+    * is one distributed join + min-aggregation over the (tiny) edge set;
+    * the driver only orchestrates (one convergence CHECK per iteration,
+    * never a row collect). Iterations are bounded by component diameter,
+    * logarithmic-ish on real dup clusters, capped defensively. The
+    * oracle computes the same fixpoint with a recursive CTE. */
+  def dedupConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = DedupOps.minhashEstimates(spark, dir)
+      .filter($"est_jaccard" >= 0.5).select($"doc_a", $"doc_b")
+    val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
+      .persist()
+    var labels = edges.select($"src".as("node")).distinct()
+      .select($"node", $"node".as("comp")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+        .select(edges("src").as("node"), labels("comp").as("comp"))
+      val next = labels.union(neighborMin)
+        .groupBy($"node").agg(min($"comp").as("comp")).persist()
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.comp") < col("o.comp")).isEmpty
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    labels.select($"node".as("doc_id"), $"comp".as("comp_id")).orderBy($"doc_id")
+  }
+
+  lazy val dedupConnectedComponentsSql: String =
+    s"""${DedupOps.minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |edges AS (
+       |  SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.5
+       |  UNION ALL
+       |  SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.5),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b AS node, reach.r AS r
+       |  FROM reach JOIN edges e ON e.a = reach.node)
+       |SELECT node AS doc_id, min(r) AS comp_id
+       |FROM reach GROUP BY node
+       |ORDER BY doc_id""".stripMargin
+}

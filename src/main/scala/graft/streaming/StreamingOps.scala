@@ -148,6 +148,35 @@ object StreamingOps {
       |  AS t(group_id, prefix)
       |ORDER BY group_id, prefix""".stripMargin
 
+  /** Driver-contract wrapper for streaming deduplication: a REAL
+    * streaming execution of `dropDuplicates` over two micro-batches with
+    * duplicates both within a batch and across batches — the second
+    * occurrence of id 2 arrives one batch later and is dropped by the
+    * checkpointed dedup state, which is the semantics a replayed/
+    * at-least-once upstream needs. Duplicate rows are exact duplicates,
+    * so the kept-row choice is immaterial to the result. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)](numPartitions = 1)
+    val name = "graft_dedup_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("id", "v").dropDuplicates("id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      in.addData((1L, "a"), (2L, "b"), (1L, "a"))
+      q.processAllAvailable()
+      in.addData((2L, "b"), (3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy($"id")
+  }
+
+  val streamingDedupSql: String =
+    """SELECT CAST(id AS BIGINT) AS id, v
+      |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, v)
+      |ORDER BY id""".stripMargin
+
   /** Batch-id-keyed collector for `foreachBatch` sinks — the
     * checkpoint-recoverable observation point. Replayed batches overwrite
     * their slot (idempotent by batchId), which is exactly how an

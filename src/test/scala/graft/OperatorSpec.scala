@@ -141,4 +141,54 @@ class OperatorSpec extends SparkTestBase {
     val anom = out.count(_.getInt(3) == 1)
     assert(anom.toDouble / n < 0.2, s"too many anomalies: $anom/$n")
   }
+
+  test("dedup_connected_components: valid component labeling of the pair graph") {
+    val comp = SparkEntry.queries("dedup_connected_components")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // every endpoint labeled; both endpoints of an edge share a component;
+    // each component's label is its smallest member
+    assert(pairs.forall { case (a, b) => comp(a) == comp(b) },
+      "edge endpoints in different components")
+    comp.groupBy(_._2).foreach { case (label, members) =>
+      assert(members.keys.min == label,
+        s"component $label is not labeled by its min member")
+    }
+  }
+
+  test("similarity_ivf: probed-list recall vs brute force (logged)") {
+    val brute = SparkEntry.queries("similarity_topk")(spark, sfDir).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("similarity_ivf")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(f"IVF recall@3 = $recall%.2f (${ivf.size} IVF pairs, ${brute.size} exact)")
+    assert(recall >= 0.6, s"IVF recall collapsed: $recall")
+  }
+
+  test("text_tfidf_topterms: exactly ranks 1..3 per document") {
+    val rows = SparkEntry.queries("text_tfidf_topterms")(spark, sfDir).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length),
+        s"doc $doc has ranks ${rs.map(_.getInt(4)).toSeq}")
+    }
+  }
+
+  test("hash sampling is a reproducible ~10% subset") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val kept = SparkEntry.queries("sample_hash_docs")(spark, sfDir).count()
+    assert(kept > 0 && kept < docs)
+    assert(math.abs(kept.toDouble / docs - 0.1) < 0.05,
+      s"sample rate off: $kept of $docs")
+    val strata = SparkEntry.queries("sample_stratified_events")(spark, sfDir).collect()
+    strata.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "kept exceeds total in a stratum")
+    }
+  }
+
+  test("streaming_dedup: state dedups across micro-batches") {
+    val rows = SparkEntry.queries("streaming_dedup")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
 }

@@ -34,6 +34,7 @@ object SparkEntry {
     "streaming_window_max"     -> (graft.streaming.StreamingOps.streamingWindowMax(_, _)),
     "streaming_concat_prefixes" -> (graft.streaming.StreamingOps.streamingConcatPrefixes(_, _)),
     "streaming_dedup"          -> (graft.streaming.StreamingOps.streamingDedup(_, _)),
+    "streaming_stream_join"    -> (graft.streaming.StreamingOps.streamingStreamJoin(_, _)),
     // §2.9 relational extensions
     "agg_pricing_summary"      -> (Relational.aggPricingSummary(_, _)),
     "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
@@ -57,6 +58,11 @@ object SparkEntry {
     "set_except"               -> (Extended.setExcept(_, _)),
     "scalar_functions"         -> (Extended.scalarFunctions(_, _)),
     "window_running_sum"       -> (Extended.windowRunningSum(_, _)),
+    "sink_bucketed_join"       -> (Extended.sinkBucketedJoin(_, _)),
+    "pivot_orders_status"      -> (Extended.pivotOrdersStatus(_, _)),
+    "unpivot_lineitem_measures" -> (Extended.unpivotLineitemMeasures(_, _)),
+    "window_percent_rank"      -> (Extended.windowPercentRank(_, _)),
+    "array_stats_embeddings"   -> (Extended.arrayStatsEmbeddings(_, _)),
     // §2.9 event analytics
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
     "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
@@ -116,6 +122,7 @@ object SparkEntry {
     "streaming_window_max"     -> graft.streaming.StreamingOps.streamingWindowMaxSql,
     "streaming_concat_prefixes" -> graft.streaming.StreamingOps.streamingConcatPrefixesSql,
     "streaming_dedup"          -> graft.streaming.StreamingOps.streamingDedupSql,
+    "streaming_stream_join"    -> graft.streaming.StreamingOps.streamingStreamJoinSql,
     "agg_pricing_summary"      -> Relational.aggPricingSummarySql,
     "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
     "topn_revenue"             -> Relational.topnRevenueSql,
@@ -137,6 +144,11 @@ object SparkEntry {
     "set_except"               -> Extended.setExceptSql,
     "scalar_functions"         -> Extended.scalarFunctionsSql,
     "window_running_sum"       -> Extended.windowRunningSumSql,
+    "sink_bucketed_join"       -> Extended.sinkBucketedJoinSql,
+    "pivot_orders_status"      -> Extended.pivotOrdersStatusSql,
+    "unpivot_lineitem_measures" -> Extended.unpivotLineitemMeasuresSql,
+    "window_percent_rank"      -> Extended.windowPercentRankSql,
+    "array_stats_embeddings"   -> Extended.arrayStatsEmbeddingsSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,
     "events_session_windows"   -> EventOps.eventsSessionWindowsSql,

@@ -369,4 +369,167 @@ object Extended {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_revenue
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Pivot (long→wide): order counts per priority pivoted by status.
+    * The value set is EXPLICIT (`pivot(col, values)`) — with an inferred
+    * value set Spark must run an extra distinct job, and an unbounded
+    * status domain would make the output schema data-dependent; a fixed
+    * value list keeps the pivot a single pass. The oracle is the
+    * classical conditional-aggregation rewrite. */
+  def pivotOrdersStatus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"o_orderpriority")
+  }
+
+  val pivotOrdersStatusSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+      |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Unpivot (wide→long, the melt operation): per-returnflag decimal
+    * revenue/quantity totals unpivoted to (flag, measure, value) rows —
+    * `Dataset.unpivot` is the Spark-native inverse of pivot (narrow, no
+    * extra shuffle after the aggregate). */
+  def unpivotLineitemMeasures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        sum($"l_quantity".cast(Dec)).cast("double").as("sum_qty"),
+        sum($"l_extendedprice".cast(Dec)).cast("double").as("sum_price"))
+      .unpivot(Array($"l_returnflag"), Array($"sum_qty", $"sum_price"),
+        "measure", "value")
+      .orderBy($"l_returnflag", $"measure")
+  }
+
+  val unpivotLineitemMeasuresSql: String =
+    """WITH agg AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM agg
+      |UNION ALL
+      |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  /** Relative-rank window functions: percent_rank and cume_dist of each
+    * customer's balance within its nation. Both are rank-derived rational
+    * doubles — (rank-1)/(n-1) and rows≤current/n — so the values are
+    * bit-equal across engines given the same total window order. */
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy($"c_nationkey", $"c_custkey")
+  }
+
+  val windowPercentRankSql: String =
+    """SELECT c_nationkey, c_custkey, c_acctbal,
+      |  percent_rank() OVER (
+      |    PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS pr,
+      |  cume_dist() OVER (
+      |    PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS cd
+      |FROM customer
+      |ORDER BY c_nationkey, c_custkey""".stripMargin
+
+  /** Bucketed sink + co-located join: both fact tables are written as
+    * managed parquet tables bucketed AND sorted by the join key (8
+    * buckets), then joined bucket-to-bucket — the scan-side plan has NO
+    * shuffle exchange on either side, which is THE technique for joining
+    * two 100 TB fact tables repeatedly without paying the shuffle every
+    * query (pre-shuffle once at write time, join many times for free).
+    * The plan shape (no Exchange above the bucketed scans) is asserted in
+    * OperatorSpec; the oracle checks the join result itself against the
+    * raw tables. */
+  /** Drops a managed table AND its warehouse location: the default
+    * session catalog is in-memory, so a table written by a previous JVM
+    * leaves an orphaned directory that a fresh CREATE refuses to reuse
+    * (LOCATION_ALREADY_EXISTS). */
+  private def dropBucketTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh).resolve(table)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  def sinkBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    dropBucketTable(spark, "graft_b_orders")
+    dropBucketTable(spark, "graft_b_lineitem")
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable("graft_b_orders")
+    Tables.lineitem(spark, dir)
+      .select($"l_orderkey", $"l_extendedprice")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").format("parquet").saveAsTable("graft_b_lineitem")
+    bucketedJoinPlan(spark)
+  }
+
+  /** The read side of [[sinkBucketedJoin]], split out so tests can assert
+    * the exchange-free plan without re-writing the tables. */
+  private[graft] def bucketedJoinPlan(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.table("graft_b_lineitem")
+      .join(spark.table("graft_b_orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum($"l_extendedprice".cast(Dec)).cast("double").as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val sinkBucketedJoinSql: String =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Array (vector-column) statistics per embedding: native array
+    * expressions over the fixed-point ints — size/min/max are codegen'd
+    * array ops, the exact sum rides the codegen'd `graft_dot` against a
+    * ones vector, and the mean is the same double division both sides.
+    * Narrow projection: the 100 TB shape is a map-only pass over the
+    * vector column. */
+  def arrayStatsEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    SimilarityOps.quantized(spark, dir)
+      .select($"vec_id",
+        size($"q").as("n_dims"),
+        array_min($"q").as("min_q"),
+        array_max($"q").as("max_q"),
+        expr(s"graft_dot(q, array_repeat(1L, 64))").as("sum_q"))
+      .withColumn("mean_q", $"sum_q".cast("double") / $"n_dims")
+      .orderBy($"vec_id")
+  }
+
+  lazy val arrayStatsEmbeddingsSql: String =
+    s"""WITH ${SimilarityOps.quantizedCte}
+       |SELECT vec_id,
+       |  CAST(len(q) AS INT) AS n_dims,
+       |  list_min(q) AS min_q,
+       |  list_max(q) AS max_q,
+       |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+       |  CAST(list_sum(q) AS DOUBLE) / len(q) AS mean_q
+       |FROM n
+       |ORDER BY vec_id""".stripMargin
 }

@@ -177,6 +177,56 @@ object StreamingOps {
       |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, v)
       |ORDER BY id""".stripMargin
 
+  /** Driver-contract wrapper for a REAL stream-stream interval join:
+    * impressions and clicks as two MemoryStreams, both watermarked, inner
+    * join on ad id with the click inside [imp_ts, imp_ts + 60 s]. The
+    * event-time bound plus the two watermarks is what lets Spark expire
+    * buffered state on both sides — the production-required shape (an
+    * unbounded stream-stream join would accumulate state forever). The
+    * second batch proves the join is incremental: a click arriving one
+    * micro-batch after its impression still matches against the buffered
+    * impression state. */
+  def streamingStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1700000000L
+    val imps = MemoryStream[(Int, Long)]
+    val clicks = MemoryStream[(Int, Long)]
+    val impDf = imps.toDF().toDF("ad_id", "s")
+      .select($"ad_id", timestamp_seconds($"s").as("imp_ts"))
+      .withWatermark("imp_ts", "1 minute")
+    val clkDf = clicks.toDF().toDF("c_ad_id", "cs")
+      .select($"c_ad_id", timestamp_seconds($"cs").as("click_ts"))
+      .withWatermark("click_ts", "1 minute")
+    val joined = impDf.join(clkDf,
+      expr("ad_id = c_ad_id AND click_ts >= imp_ts AND " +
+        "click_ts <= imp_ts + interval 60 seconds"))
+    val name = "graft_ssj_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined
+      .select($"ad_id", unix_timestamp($"imp_ts").as("imp_s"),
+        unix_timestamp($"click_ts").as("click_s"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: ads 1-3 impressed; ad 1 clicked in-window, ad 2 clicked
+      // 180 s later (outside the 60 s window — must NOT match)
+      imps.addData((1, base + 10), (2, base + 20), (3, base + 500))
+      clicks.addData((1, base + 40), (2, base + 200))
+      q.processAllAvailable()
+      // batch 2: ad 3's click arrives a micro-batch later, still in-window
+      clicks.addData((3, base + 530))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy($"ad_id", $"imp_s", $"click_s")
+  }
+
+  val streamingStreamJoinSql: String =
+    """SELECT CAST(ad_id AS INT) AS ad_id, CAST(imp_s AS BIGINT) AS imp_s,
+      |       CAST(click_s AS BIGINT) AS click_s
+      |FROM (VALUES (1, 1700000010, 1700000040), (3, 1700000500, 1700000530))
+      |  AS t(ad_id, imp_s, click_s)
+      |ORDER BY ad_id, imp_s, click_s""".stripMargin
+
   /** Batch-id-keyed collector for `foreachBatch` sinks — the
     * checkpoint-recoverable observation point. Replayed batches overwrite
     * their slot (idempotent by batchId), which is exactly how an

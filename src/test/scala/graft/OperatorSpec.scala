@@ -191,4 +191,28 @@ class OperatorSpec extends SparkTestBase {
     val rows = SparkEntry.queries("streaming_dedup")(spark, sfDir).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
   }
+
+  test("sink_bucketed_join: bucket-to-bucket join plan is shuffle-free") {
+    import spark.implicits._
+    // materialize the bucketed tables (and check the query itself runs)
+    assert(SparkEntry.queries("sink_bucketed_join")(spark, sfDir).collect().nonEmpty)
+    // with broadcast off (the 100 TB case: both sides too big to ship),
+    // the join must be a sort-merge over co-located buckets — NO Exchange
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joinOnly = spark.table("graft_b_lineitem")
+        .join(spark.table("graft_b_orders"), $"l_orderkey" === $"o_orderkey")
+      val planStr = joinOnly.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+      assert(!planStr.contains("Exchange"),
+        s"bucketed join still shuffles:\n$planStr")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("streaming_stream_join: only in-window clicks match, across batches") {
+    val rows = SparkEntry.queries("streaming_stream_join")(spark, sfDir).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1, 1700000010L, 1700000040L), (3, 1700000500L, 1700000530L)))
+  }
 }

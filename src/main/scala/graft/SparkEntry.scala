@@ -98,6 +98,11 @@ object SparkEntry {
     "text_normalize"           -> (PipelineOps.textNormalize(_, _)),
     "sample_hash_docs"         -> (PipelineOps.sampleHashDocs(_, _)),
     "sample_stratified_events" -> (PipelineOps.sampleStratifiedEvents(_, _)),
+    "sample_topk_per_group"    -> (PipelineOps.sampleTopkPerGroup(_, _)),
+    "merge_upsert_customers"   -> (PipelineOps.mergeUpsertCustomers(_, _)),
+    "sort_zorder_events"       -> (PipelineOps.sortZorderEvents(_, _)),
+    // sketch-based cardinality (no oracle — HLL layouts are engine-specific)
+    "agg_approx_distinct"      -> (PipelineOps.aggApproxDistinct(_, _)),
     // multimodal plumbing
     "multimodal_meta"          -> (MultimodalOps.multimodalMeta(_, _)),
     "multimodal_frame_sample"  -> (MultimodalOps.multimodalFrameSample(_, _)),
@@ -179,6 +184,9 @@ object SparkEntry {
     "text_normalize"           -> PipelineOps.textNormalizeSql,
     "sample_hash_docs"         -> PipelineOps.sampleHashDocsSql,
     "sample_stratified_events" -> PipelineOps.sampleStratifiedEventsSql,
+    "sample_topk_per_group"    -> PipelineOps.sampleTopkPerGroupSql,
+    "merge_upsert_customers"   -> PipelineOps.mergeUpsertCustomersSql,
+    "sort_zorder_events"       -> PipelineOps.sortZorderEventsSql,
     "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,
     "multimodal_frame_sample"  -> MultimodalOps.multimodalFrameSampleSql,
   )

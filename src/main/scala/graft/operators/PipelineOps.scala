@@ -159,23 +159,153 @@ object PipelineOps {
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .persist()
+    // localCheckpoint (eager) truncates lineage each iteration — without
+    // it the logical plan re-nests per iteration (O(diameter) analyzer
+    // cost and a plan tree thousands of nodes deep by iteration 20),
+    // the standard trap of iterative DataFrame algorithms. On a cluster
+    // with dynamic executors this would be a reliable checkpoint() to a
+    // fault-tolerant dir instead.
     var labels = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("comp")).persist()
+      .select($"node", $"node".as("comp")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
       val neighborMin = edges.join(labels, edges("dst") === labels("node"))
         .select(edges("src").as("node"), labels("comp").as("comp"))
       val next = labels.union(neighborMin)
-        .groupBy($"node").agg(min($"comp").as("comp")).persist()
+        .groupBy($"node").agg(min($"comp").as("comp")).localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), col("n.node") === col("o.node"))
         .filter(col("n.comp") < col("o.comp")).isEmpty
-      labels.unpersist()
       labels = next
       iter += 1
     }
     labels.select($"node".as("doc_id"), $"comp".as("comp_id")).orderBy($"doc_id")
+  }
+
+  /** SCD-style MERGE/upsert emulated Spark-natively: a full-outer join of
+    * the dimension against a derived update set, with per-row
+    * insert/update/keep resolution — what `MERGE INTO` compiles to on
+    * engines without a transactional table format. The update set routes
+    * every 97th key to a fresh surrogate key to exercise the insert
+    * branch. At scale this is one SMJ on the dimension key — the
+    * standard nightly-dimension-refresh shape. */
+  def mergeUpsertCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val base = Tables.customer(spark, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+    val upd = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(Dec)).cast("double").as("order_total"))
+      .select(
+        when($"o_custkey" % 97 === 0, $"o_custkey" + 1000000)
+          .otherwise($"o_custkey").as("u_custkey"),
+        $"order_total")
+    base.join(upd, $"c_custkey" === $"u_custkey", "full_outer")
+      .select(
+        coalesce($"c_custkey", $"u_custkey").as("custkey"),
+        coalesce($"c_name", lit("NEW CUSTOMER")).as("name"),
+        when($"u_custkey".isNotNull, $"order_total")
+          .otherwise($"c_acctbal").as("acctbal"),
+        when($"c_custkey".isNull, "insert")
+          .when($"u_custkey".isNull, "keep")
+          .otherwise("update").as("op"))
+      .orderBy($"custkey")
+  }
+
+  val mergeUpsertCustomersSql: String =
+    """WITH upd AS (
+      |  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 1000000
+      |              ELSE o_custkey END AS u_custkey,
+      |         order_total
+      |  FROM (SELECT o_custkey,
+      |          CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS order_total
+      |        FROM orders GROUP BY o_custkey) t)
+      |SELECT coalesce(c_custkey, u_custkey) AS custkey,
+      |       coalesce(c_name, 'NEW CUSTOMER') AS name,
+      |       CASE WHEN u_custkey IS NOT NULL THEN order_total
+      |            ELSE c_acctbal END AS acctbal,
+      |       CASE WHEN c_custkey IS NULL THEN 'insert'
+      |            WHEN u_custkey IS NULL THEN 'keep'
+      |            ELSE 'update' END AS op
+      |FROM customer FULL OUTER JOIN upd ON c_custkey = u_custkey
+      |ORDER BY custkey""".stripMargin
+
+  /** Deterministic per-group sample: top-3 events per type ranked by
+    * md5(event_id) — a reproducible stand-in for per-stratum reservoir
+    * sampling (same rows on any engine/cluster/rerun, unlike rand()). */
+  def sampleTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy(md5($"event_id".cast("string")).asc, $"event_id".asc)
+    Tables.events(spark, dir)
+      .select($"event_type", $"event_id")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .orderBy($"event_type", $"rk")
+  }
+
+  val sampleTopkPerGroupSql: String =
+    """SELECT event_type, event_id, rk FROM (
+      |  SELECT event_type, event_id, row_number() OVER (
+      |    PARTITION BY event_type
+      |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      |  FROM events) t
+      |WHERE rk <= 3
+      |ORDER BY event_type, rk""".stripMargin
+
+  /** HyperLogLog approximate distinct counts next to their exact
+    * counterparts — THE cardinality operator at 100 TB (exact distinct
+    * shuffles every key; the sketch is constant-size per partition and
+    * merges associatively). Deliberately NO DuckDB oracle: HLL register
+    * layouts are engine-specific, so cross-engine bit-parity is
+    * impossible BY DESIGN — the test asserts the documented error bound
+    * (rsd = 0.02) against the exact counts instead. */
+  def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .agg(
+        countDistinct($"user_id").as("exact_users"),
+        approx_count_distinct($"user_id", 0.02).as("approx_users"),
+        countDistinct($"event_type").as("exact_types"),
+        approx_count_distinct($"event_type", 0.02).as("approx_types"))
+  }
+
+  /** Z-order (Morton) clustering key over two dimensions — the
+    * multi-dimensional data-layout technique behind Delta/Iceberg
+    * Z-ORDER: interleaving the bits of the user-hash bucket and the
+    * time bucket makes a single range scan on the sort key prune BOTH
+    * dimensions. The z-value is pure integer bit math (16 shift/or
+    * terms, codegen'd, identical in the oracle); output is the
+    * clustered layout order. */
+  def sortZorderEvents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val zExpr = (0 until 8).map { i =>
+      s"(shiftleft(shiftright(ub, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright(tb, $i) & 1, ${2 * i + 1}))"
+    }.mkString(" + ")
+    Tables.events(spark, dir)
+      .select($"event_id",
+        (conv(substring(md5($"user_id".cast("string")), 1, 4), 16, 10)
+          .cast("int") % 256).as("ub"),
+        expr("cast((unix_micros(ts) div 60000000) % 256 as int)").as("tb"))
+      .withColumn("z", expr(zExpr).cast("bigint"))
+      .select($"event_id", $"ub", $"tb", $"z")
+      .orderBy($"z", $"event_id")
+  }
+
+  val sortZorderEventsSql: String = {
+    val zExpr = (0 until 8).map { i =>
+      s"((((ub >> $i) & 1) << ${2 * i}) + (((tb >> $i) & 1) << ${2 * i + 1}))"
+    }.mkString(" + ")
+    s"""SELECT event_id, ub, tb, CAST($zExpr AS BIGINT) AS z
+       |FROM (
+       |  SELECT event_id,
+       |    CAST(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 4)) AS INT) % 256 AS INT) AS ub,
+       |    CAST((epoch_us(ts) // 60000000) % 256 AS INT) AS tb
+       |  FROM events) t
+       |ORDER BY z, event_id""".stripMargin
   }
 
   lazy val dedupConnectedComponentsSql: String =

@@ -269,19 +269,27 @@ object DedupOps {
     import spark.implicits._
     // one materialization of the shingle set feeds four plan branches
     // (df-cap, per-doc sizes, both sides of the intersection join) —
-    // without the persist Spark recomputes the explode+distinct 4×
-    val sh = shingleSets(spark, dir).persist()
+    // without the persist Spark recomputes the explode+distinct 4×.
+    // Shingles are hashed to md5-derived 32-bit ints BEFORE the inverted
+    // index: 8-byte join/shuffle keys instead of ~30-byte strings. The
+    // oracle derives the identical ints, so a (≈n²/2³² vanishing) hash
+    // collision would affect both engines identically — parity holds by
+    // construction, not by luck.
+    val sh = shingleSets(spark, dir)
+      .select($"doc_id",
+        conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h"))
+      .persist()
     // df cap and per-doc sizes are plain partial+final aggregates — NOT
     // window functions, which would force two extra full shuffle+sorts of
     // the widest intermediate in the pipeline just to attach whole-group
-    // counts. The capped-shingle semi join shares the `sh` hash key with
+    // counts. The capped-shingle semi join shares the `h` hash key with
     // the intersection self-join, so the exchange is reused.
     val capped = sh.join(
-      sh.groupBy($"sh").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"sh"),
-      Seq("sh"), "left_semi")
+      sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
+      Seq("h"), "left_semi")
     val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
     val inter = capped.as("a").join(capped.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
@@ -295,12 +303,15 @@ object DedupOps {
 
   val dedupNgramJaccardSql: String =
     s"""WITH $shinglesCte,
-       |df AS (SELECT sh, count(*) AS nd FROM shingles GROUP BY sh),
-       |sized AS (SELECT doc_id, count(*) AS nsh FROM shingles GROUP BY doc_id),
+       |shv AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h
+       |  FROM shingles),
+       |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
+       |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  JOIN df ON df.sh = a.sh AND df.nd <= 50
+       |  FROM shv a JOIN shv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  JOIN df ON df.h = a.h AND df.nd <= 50
        |  GROUP BY a.doc_id, b.doc_id)
        |SELECT i.doc_a, i.doc_b,
        |       CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) AS jaccard

@@ -115,6 +115,55 @@ class StreamingSpec extends SparkTestBase {
     assert(ann.nonEmpty)
   }
 
+  test("print sink (O1): console sink drains a micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the reference's O1 `print()` sink (Main.java:54) — Spark's analog is
+    // the console sink; the assertion is that the query drains cleanly
+    // (console output itself is not capturable by design)
+    val in = MemoryStream[Person]
+    in.addData(Person("Fred", 35), Person("Wilma", 30))
+    val q = in.toDS().writeStream.format("console").start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.sources.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("RocksDB state store: stateful concat state survives micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // swap the state backend for the production-grade RocksDB provider —
+    // at 100 TB keyed state must spill off-heap/disk, which the default
+    // HDFS-backed in-memory provider cannot
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[UnstableData](numPartitions = 1)
+      val name = "rocksdb_concat"
+      val q = StreamingOps.concatPrefixes(in.toDS())
+        .toDF("group_id", "prefix")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .start()
+      try {
+        in.addData(UnstableData("a", 0, 0, "g"), UnstableData("b", 0, 0, "g"))
+        q.processAllAvailable()
+        in.addData(UnstableData("c", 0, 0, "g"))
+        q.processAllAvailable()
+      } finally q.stop()
+      val prefixes = spark.table(name).collect().map(_.getString(1)).sorted
+      // state carried across batches through RocksDB: "ab" + "c" → "abc"
+      assert(prefixes.toSeq == Seq("a", "ab", "abc"))
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming text file roundtrip (S3+O2)") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_stream_in").toString

@@ -63,6 +63,9 @@ object SparkEntry {
     "unpivot_lineitem_measures" -> (Extended.unpivotLineitemMeasures(_, _)),
     "window_percent_rank"      -> (Extended.windowPercentRank(_, _)),
     "array_stats_embeddings"   -> (Extended.arrayStatsEmbeddings(_, _)),
+    "nested_order_lines"       -> (Extended.nestedOrderLines(_, _)),
+    "quality_referential_check" -> (PipelineOps.qualityReferentialCheck(_, _)),
+    "agg_histogram_price"      -> (PipelineOps.aggHistogramPrice(_, _)),
     // §2.9 event analytics
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
     "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
@@ -154,6 +157,9 @@ object SparkEntry {
     "unpivot_lineitem_measures" -> Extended.unpivotLineitemMeasuresSql,
     "window_percent_rank"      -> Extended.windowPercentRankSql,
     "array_stats_embeddings"   -> Extended.arrayStatsEmbeddingsSql,
+    "nested_order_lines"       -> Extended.nestedOrderLinesSql,
+    "quality_referential_check" -> PipelineOps.qualityReferentialCheckSql,
+    "agg_histogram_price"      -> PipelineOps.aggHistogramPriceSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,
     "events_session_windows"   -> EventOps.eventsSessionWindowsSql,

@@ -504,6 +504,36 @@ object Extended {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Nested-type aggregation: lineitems rolled up into a per-order
+    * sorted array of structs (`collect_list(struct)` + `sort_array` —
+    * struct arrays sort lexicographically by field order, so sorting on
+    * the leading l_linenumber is total), then scalar derivations off the
+    * nested column. The oracle reads the same first/last facts from a
+    * list ordered by the SAME (linenumber, quantity) key — linenumbers
+    * are not unique per order in the testdata, so a bare arg_min would
+    * tie-break differently; nested values themselves can't hash-compare
+    * across engines, scalar projections of them can. */
+  def nestedOrderLines(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list(struct($"l_linenumber", $"l_quantity"))).as("lines"))
+      .select($"l_orderkey",
+        size($"lines").as("n_lines"),
+        $"lines"(0).getField("l_quantity").as("first_qty"),
+        element_at($"lines", -1).getField("l_quantity").as("last_qty"))
+      .orderBy($"l_orderkey")
+  }
+
+  val nestedOrderLinesSql: String =
+    """SELECT l_orderkey,
+      |  CAST(count(*) AS INT) AS n_lines,
+      |  (list(l_quantity ORDER BY l_linenumber, l_quantity))[1] AS first_qty,
+      |  (list(l_quantity ORDER BY l_linenumber, l_quantity))[-1] AS last_qty
+      |FROM lineitem
+      |GROUP BY l_orderkey
+      |ORDER BY l_orderkey""".stripMargin
+
   /** Array (vector-column) statistics per embedding: native array
     * expressions over the fixed-point ints — size/min/max are codegen'd
     * array ops, the exact sum rides the codegen'd `graft_dot` against a

@@ -183,6 +183,68 @@ object PipelineOps {
     labels.select($"node".as("doc_id"), $"comp".as("comp_id")).orderBy($"doc_id")
   }
 
+  /** Data-quality gate: referential-integrity orphan counts (anti-joins
+    * on the foreign keys) and value-domain violations, emitted as one
+    * (metric, value) audit row each — the validation pass a pipeline
+    * runs before cutting a training extract. Each metric is one
+    * anti-join or filter aggregate; at scale the anti-joins are plain
+    * hash joins on the key. */
+  def qualityReferentialCheck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def metric(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("value"))
+        .select(lit(name).as("metric"), $"value")
+    val orders = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    metric("lineitems_without_order",
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"), "left_anti"))
+      .union(metric("negative_acctbal_customers", cust.filter($"c_acctbal" < 0)))
+      .union(metric("orders_without_customer",
+        orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti")))
+      .union(metric("zero_qty_lineitems", li.filter($"l_quantity" <= 0)))
+      .orderBy($"metric")
+  }
+
+  val qualityReferentialCheckSql: String =
+    """SELECT 'lineitems_without_order' AS metric, count(*) AS value
+      |FROM lineitem l WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      |UNION ALL
+      |SELECT 'negative_acctbal_customers', count(*)
+      |FROM customer WHERE c_acctbal < 0
+      |UNION ALL
+      |SELECT 'orders_without_customer', count(*)
+      |FROM orders o WHERE NOT EXISTS (
+      |  SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      |UNION ALL
+      |SELECT 'zero_qty_lineitems', count(*)
+      |FROM lineitem WHERE l_quantity <= 0
+      |ORDER BY metric""".stripMargin
+
+  /** Fixed-width numeric histogram (10k-wide price bins): the binning
+    * primitive behind every distribution dashboard. `floor(x / w)` on
+    * identical doubles is bit-equal cross-engine; one partial+final
+    * aggregation, bin cardinality bounded by the value domain. */
+  def aggHistogramPrice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy(floor($"l_extendedprice" / 10000).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"))
+      .orderBy($"bin")
+  }
+
+  val aggHistogramPriceSql: String =
+    """SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+      |       count(*) AS n,
+      |       min(l_extendedprice) AS min_price,
+      |       max(l_extendedprice) AS max_price
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY bin""".stripMargin
+
   /** SCD-style MERGE/upsert emulated Spark-natively: a full-outer join of
     * the dimension against a derived update set, with per-row
     * insert/update/keep resolution — what `MERGE INTO` compiles to on

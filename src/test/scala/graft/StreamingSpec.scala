@@ -115,6 +115,39 @@ class StreamingSpec extends SparkTestBase {
     assert(ann.nonEmpty)
   }
 
+  test("watermark drops late data (W2 semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000L
+    val in = MemoryStream[(Int, Long)]
+    // NOTE: must group on the window() column itself — grouping on its
+    // .start field severs the watermark linkage and append mode rejects
+    // the aggregation as unwatermarked
+    val agg = in.toDF().toDF("v", "s")
+      .select(timestamp_seconds($"s").as("ts"), $"v")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "5 seconds").as("w"))
+      .agg(sum($"v").as("total"))
+      .select($"w.start".as("w"), $"total")
+    val q = agg.writeStream.format("memory").queryName("w2_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: one event in the first window, plus an event far ahead
+      // that advances the watermark past the first window's end
+      in.addData((1, base), (1, base + 100))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-finalized first window —
+      // must be dropped, not re-aggregated
+      in.addData((100, base + 1))
+      q.processAllAvailable()
+      val firstWindow = spark.table("w2_late")
+        .select(unix_timestamp($"w").as("ws"), $"total")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(firstWindow.get(base) == Some(1L),
+        s"late event leaked into the closed window: $firstWindow")
+    } finally q.stop()
+  }
+
   test("print sink (O1): console sink drains a micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

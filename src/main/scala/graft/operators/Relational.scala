@@ -133,20 +133,32 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
-  /** Pearson correlation from exact decimal moments: corr built from
-    * (n, Σx, Σy, Σx², Σy², Σxy) — all exact decimal sums — with the same
-    * double expression tree on both engines. The built-in `corr` is
-    * summation-order-dependent and could never hash-match. */
+  /** Pearson correlation from exact INTEGER-CENT moments: corr built from
+    * (n, Σx, Σy, Σx², Σy², Σxy) with the same double expression tree on
+    * both engines. The built-in `corr` is summation-order-dependent and
+    * could never hash-match.
+    *
+    * Why cents and scale-0 decimals: a DECIMAL(_,4) moment like Σy²
+    * exceeds 2^53 in internal integer units, and DuckDB converts such a
+    * decimal to double as (int→double)/10^scale — TWO roundings — while
+    * the JVM's conversion is single-rounded, a measured 1-ulp divergence
+    * at sf0.001. Scale-0 DECIMAL(38,0) sums convert with a single
+    * rounding on both engines, and Pearson r is scale-invariant so the
+    * cent units cancel exactly. */
   def aggCorrQuantityPrice(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val x = $"l_quantity".cast(Dec)
-    val y = $"l_extendedprice".cast(Dec)
+    val D38 = DecimalType(38, 0)
+    val xc = expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
+    val yc = expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
     Tables.lineitem(spark, dir)
+      .select($"l_returnflag", xc.as("xc"), yc.as("yc"))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
-        sum(x).cast("double").as("sx"), sum(y).cast("double").as("sy"),
-        sum(x * x).cast("double").as("sxx"), sum(y * y).cast("double").as("syy"),
-        sum(x * y).cast("double").as("sxy"))
+        sum($"xc".cast(D38)).cast("double").as("sx"),
+        sum($"yc".cast(D38)).cast("double").as("sy"),
+        sum(($"xc" * $"xc").cast(D38)).cast("double").as("sxx"),
+        sum(($"yc" * $"yc").cast(D38)).cast("double").as("syy"),
+        sum(($"xc" * $"yc").cast(D38)).cast("double").as("sxy"))
       .select($"l_returnflag", $"n",
         (($"n" * $"sxy" - $"sx" * $"sy") /
           (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")))
@@ -160,12 +172,17 @@ object Relational {
       |    AS corr_qty_price
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
-      |  FROM lineitem GROUP BY l_returnflag) t
+      |    CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+      |    CAST(sum(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xc,
+      |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+      |    FROM lineitem) t0
+      |  GROUP BY l_returnflag) t
       |ORDER BY l_returnflag""".stripMargin
 
   /** Ranking window function: top-3 orders per customer by total price. */

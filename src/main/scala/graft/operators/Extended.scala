@@ -504,6 +504,32 @@ object Extended {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form that rollup and cube
+    * desugar to) with `grouping_id()` disambiguating the aggregation
+    * level — sets: (status, priority), (status), (). One expand +
+    * aggregate pass, same shuffle shape as rollup. */
+  def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(grouping_id().cast("bigint").as("gid"),
+        count(lit(1)).as("n"),
+        sum($"o_totalprice".cast(Dec)).cast("double").as("revenue"))
+      .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
+        $"o_orderpriority".asc_nulls_first)
+  }
+
+  val aggGroupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+      |  count(*) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Nested-type aggregation: lineitems rolled up into a per-order
     * sorted array of structs (`collect_list(struct)` + `sort_array` —
     * struct arrays sort lexicographically by field order, so sorting on

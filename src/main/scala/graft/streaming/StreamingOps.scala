@@ -227,6 +227,41 @@ object StreamingOps {
       |  AS t(ad_id, imp_s, click_s)
       |ORDER BY ad_id, imp_s, click_s""".stripMargin
 
+  /** Driver-contract wrapper for a stream-static (dimension-enrichment)
+    * join: a MemoryStream of keyed measures joined per micro-batch
+    * against the static `nation` dimension, aggregated in complete mode.
+    * The static side is planned as an ordinary batch scan under each
+    * micro-batch — at scale it broadcasts (bounded dimension), so the
+    * stream never shuffles for the enrichment. */
+  def streamingStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val nation = graft.Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name")
+    val name = "graft_ssj2_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("nk", "v")
+      .join(nation, $"nk" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(sum($"v").as("total"))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .start()
+    try {
+      in.addData((0L, 10L), (1L, 20L), (0L, 5L))
+      q.processAllAvailable()
+      in.addData((1L, 7L), (2L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).orderBy($"n_name")
+  }
+
+  val streamingStaticJoinSql: String =
+    """SELECT n.n_name, CAST(sum(s.v) AS BIGINT) AS total
+      |FROM (VALUES (0, 10), (1, 20), (0, 5), (1, 7), (2, 1)) s(nk, v)
+      |JOIN nation n ON n.n_nationkey = s.nk
+      |GROUP BY n.n_name
+      |ORDER BY n.n_name""".stripMargin
+
   /** Batch-id-keyed collector for `foreachBatch` sinks — the
     * checkpoint-recoverable observation point. Replayed batches overwrite
     * their slot (idempotent by batchId), which is exactly how an

@@ -54,6 +54,22 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("hash sampling is partition-invariant: same kept set at any DOP") {
+    import spark.implicits._
+    // the md5 sampling key depends only on row content, never on
+    // physical layout — the kept set must be identical however the
+    // input is partitioned (the property that makes a 100 TB sample
+    // reproducible across cluster sizes)
+    val base = Tables.documents(spark, sfDir)
+    def kept(parts: Int): Set[Long] = base.repartition(parts)
+      .filter(conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+        .cast("long") % 10 === 0)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    for (p <- samples(Gen.choose(1, 16), 4)) {
+      assert(kept(p) == kept(1), s"sample changed under repartition($p)")
+    }
+  }
+
   test("minhash agreement is a Jaccard estimator: identical docs agree on all 16") {
     import spark.implicits._
     // a document is always a near-duplicate of itself: est_jaccard of

@@ -504,6 +504,33 @@ object Extended {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Small-file compaction: the maintenance job every large lake needs —
+    * a fragmented dataset (repartition(64) simulating many-small-files
+    * ingest) is rewritten at a target file count (coalesce(4): a NARROW
+    * repartitioning, no shuffle — each output file concatenates 16
+    * inputs). Returns the post-compaction accounting row (file count +
+    * row/key conservation); OperatorSpec asserts the on-disk counts. */
+  def sinkCompactedParquet(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"value")
+      .repartition(64).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag)
+      .coalesce(4).write.mode("overwrite").parquet(out)
+    val nFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    spark.read.parquet(out)
+      .agg(count(lit(1)).as("n_rows"), countDistinct($"event_id").as("n_ids"))
+      .select(lit(nFiles).as("n_files"), $"n_rows", $"n_ids")
+  }
+
+  val sinkCompactedParquetSql: String =
+    """SELECT 4 AS n_files, count(*) AS n_rows,
+      |       count(DISTINCT event_id) AS n_ids
+      |FROM events""".stripMargin
+
   /** Explicit GROUPING SETS (the general form that rollup and cube
     * desugar to) with `grouping_id()` disambiguating the aggregation
     * level — sets: (status, priority), (status), (). One expand +

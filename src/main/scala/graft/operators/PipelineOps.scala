@@ -167,6 +167,15 @@ object PipelineOps {
     // fault-tolerant dir instead.
     var labels = edges.select($"src".as("node")).distinct()
       .select($"node", $"node".as("comp")).localCheckpoint()
+    // convergence witness: labels only ever DECREASE, so the label sum is
+    // strictly monotone until the fixpoint — an unchanged sum ⇔ no label
+    // changed. One cheap scalar aggregate per iteration instead of a
+    // next-vs-previous join; decimal sum so id magnitude can never
+    // overflow the witness.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum($"comp".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .collect()(0).getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -174,9 +183,9 @@ object PipelineOps {
         .select(edges("src").as("node"), labels("comp").as("comp"))
       val next = labels.union(neighborMin)
         .groupBy($"node").agg(min($"comp").as("comp")).localCheckpoint()
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.comp") < col("o.comp")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }

@@ -250,6 +250,13 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("sink_compacted_parquet: compaction hits the target file count, loses nothing") {
+    val r = SparkEntry.queries("sink_compacted_parquet")(spark, sfDir).collect()(0)
+    assert(r.getInt(0) == 4, s"expected 4 compacted files, got ${r.getInt(0)}")
+    assert(r.getLong(1) == Tables.events(spark, sfDir).count(),
+      "row count changed across compaction")
+  }
+
   test("streaming_stream_join: only in-window clicks match, across batches") {
     val rows = SparkEntry.queries("streaming_stream_join")(spark, sfDir).collect()
     assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==

@@ -519,6 +519,10 @@ object Extended {
       .repartition(64).write.mode("overwrite").parquet(frag)
     spark.read.parquet(frag)
       .coalesce(4).write.mode("overwrite").parquet(out)
+    // the compacted rewrite is eager — the fragmented staging copy can go
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(frag)).iterator().asScala
+      .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
     val nFiles = new java.io.File(out).listFiles()
       .count(f => f.getName.startsWith("part-"))
     spark.read.parquet(out)

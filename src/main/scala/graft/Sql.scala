@@ -31,4 +31,27 @@ object Sql {
     register(spark, dir)
     spark.sql(query)
   }
+
+  /** TPC-H Q3-style shipping-priority query, registered to prove the SQL
+    * entry point end-to-end: ONE shared ANSI text runs verbatim on both
+    * Spark (via [[sql]]) and the DuckDB oracle — the revenue sum rides
+    * the exact-decimal pattern, the date literal and LIMIT are portable,
+    * and the total order (revenue DESC, l_orderkey) is tie-broken. */
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+      |  o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, shippingPrioritySql)
 }

@@ -23,22 +23,22 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     // noop-format write executes the FULL plan (final sorts/projections
-    // included) — a count() would let Catalyst prune them. Failures are
-    // reported as negative timings plus a "failed" array, never silently
-    // folded into the total.
+    // included) — a count() would let Catalyst prune them. The "queries"
+    // map holds ONLY successes (so a naive sum over it is correct); failed
+    // queries go in a separate name->seconds map, never mixed in.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -sec)
+      (name, sec, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.filter(_._2 > 0).map(_._2).sum
+    def jsonMap(entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = jsonMap(results.collect { case (k, v, true) => (k, v) })
+    val failed = jsonMap(results.collect { case (k, v, false) => (k, v) })
+    val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -110,8 +110,30 @@ object DedupOps {
     * the verification query never recomputes the full sketch. */
   private val estCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val estCacheHooked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  private[operators] def minhashEstimates(spark: SparkSession, dir: String): DataFrame =
+  /** Evict (and unpersist) every cached estimate of `spark` when its
+    * SparkContext ends, so the cache never retains executor memory or
+    * session references past the session's lifetime. Data under `dir` is
+    * assumed immutable for the session — rewriting the parquet mid-session
+    * would serve stale estimates (the same contract as Spark's own
+    * relation cache). */
+  private def hookEviction(spark: SparkSession): Unit =
+    if (estCacheHooked.add(spark)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          estCache.keys.filter(_._1 eq spark).foreach { k =>
+            estCache.remove(k).foreach(df => df.unpersist(blocking = false))
+          }
+          estCacheHooked.remove(spark)
+        }
+      })
+    }
+
+  private[operators] def minhashEstimates(spark: SparkSession, dir: String): DataFrame = {
+    hookEviction(spark)
     estCache.getOrElseUpdate((spark, dir), {
       import spark.implicits._
       val hv = shingleSets(spark, dir)
@@ -140,6 +162,7 @@ object DedupOps {
         .select($"doc_a", $"doc_b", (agreement / lit(16.0)).as("est_jaccard"))
         .persist()
     })
+  }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

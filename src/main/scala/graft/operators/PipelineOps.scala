@@ -189,6 +189,15 @@ object PipelineOps {
       labels = next
       iter += 1
     }
+    // The oracle computes the true recursive-CTE fixpoint; returning an
+    // unconverged labeling would diverge from it SILENTLY (same row count,
+    // wrong components). Fail loudly instead — a graph with diameter > 20
+    // is a genuine input anomaly worth surfacing, not rounding away.
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupConnectedComponents: label propagation did not converge " +
+          s"within $iter iterations (component diameter exceeds the cap); " +
+          "refusing to return a partial fixpoint")
     labels.select($"node".as("doc_id"), $"comp".as("comp_id")).orderBy($"doc_id")
   }
 
@@ -266,12 +275,18 @@ object PipelineOps {
     val Dec = org.apache.spark.sql.types.DecimalType(12, 2)
     val base = Tables.customer(spark, dir)
       .select($"c_custkey", $"c_name", $"c_acctbal")
+    // Surrogate keys for the insert branch start ABOVE max(c_custkey), so
+    // they can never collide with a real key at any scale factor (a fixed
+    // +1M offset would collide once the key space passes 1M, ~sf 7). The
+    // 1-row max is a broadcast scalar, not a driver collect.
+    val maxKey = base.agg(max($"c_custkey").as("max_ck"))
     val upd = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"),
         sum($"o_totalprice".cast(Dec)).cast("double").as("order_total"))
+      .crossJoin(broadcast(maxKey))
       .select(
-        when($"o_custkey" % 97 === 0, $"o_custkey" + 1000000)
+        when($"o_custkey" % 97 === 0, $"o_custkey" + $"max_ck")
           .otherwise($"o_custkey").as("u_custkey"),
         $"order_total")
     base.join(upd, $"c_custkey" === $"u_custkey", "full_outer")
@@ -288,7 +303,8 @@ object PipelineOps {
 
   val mergeUpsertCustomersSql: String =
     """WITH upd AS (
-      |  SELECT CASE WHEN o_custkey % 97 = 0 THEN o_custkey + 1000000
+      |  SELECT CASE WHEN o_custkey % 97 = 0
+      |              THEN o_custkey + (SELECT max(c_custkey) FROM customer)
       |              ELSE o_custkey END AS u_custkey,
       |         order_total
       |  FROM (SELECT o_custkey,

@@ -54,4 +54,22 @@ object Sql {
 
   def sqlShippingPriority(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, shippingPrioritySql)
+
+  /** TPC-H Q13-style customer order-count distribution: how many
+    * customers placed exactly k orders, INCLUDING the zero-order
+    * customers the left outer join preserves. ONE shared ANSI text on
+    * both engines. Plan shape: outer hash join on the customer key, then
+    * two cascaded aggregations whose second input is one row per customer
+    * — the histogram never sees the fact table again. */
+  val customerDistributionSql: String =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey AS ck, count(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+      |  GROUP BY c.c_custkey) t
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  def sqlCustomerDistribution(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, customerDistributionSql)
 }

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the quality/contamination/packing passes a
+  * training-data pipeline runs between dedup and the final extract:
+  *
+  *  - repetition scoring (top-token fraction + type/token ratio),
+  *  - benchmark-contamination detection (n-gram overlap against a held-out
+  *    benchmark set),
+  *  - sequence packing (greedy cumulative-token packing into fixed-size
+  *    training sequences, per source partition),
+  *  - per-domain quota sampling (deterministic cap per source),
+  *  - PII-style scrubbing (regex redaction with an audit count).
+  *
+  * Determinism: all scores are rationals over exact integer counts
+  * (IEEE-bit-equal across engines); sampling and packing order by
+  * md5/doc_id, never `rand()` — identical output on any cluster size,
+  * partitioning, or engine.
+  *
+  * Scale notes: every operator here is one narrow projection plus at most
+  * one hash aggregation or one bounded window. Nothing collects to the
+  * driver; the only broadcast is the benchmark shingle set, whose size is
+  * fixed by the benchmark suite (not by corpus size) — the one class of
+  * side a 100 TB pipeline may always broadcast.
+  */
+object CurationOps {
+
+  /** Repetition / diversity score per document: total tokens, distinct
+    * tokens, the most-frequent-token count, and the two derived rationals
+    * (top-token fraction, type/token ratio) used as repetition filters.
+    * Two chained hash aggregations over the token stream — the second one
+    * is co-partitioned with the first's doc_id grouping, so only the
+    * (doc, token) aggregation shuffles the wide stream. */
+  def qualityRepetitionScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_count"))
+      .select($"doc_id", $"n_tokens", $"n_distinct", $"top_count",
+        ($"top_count".cast("double") / $"n_tokens").as("top_frac"),
+        ($"n_distinct".cast("double") / $"n_tokens").as("type_token_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val qualityRepetitionScoreSql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, token, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct, max(c) AS top_count
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, n_distinct, top_count,
+      |       CAST(top_count AS DOUBLE) / n_tokens AS top_frac,
+      |       CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark-contamination check: fraction of each corpus document's
+    * word-3-gram shingles that also occur in a held-out "benchmark" set
+    * (every 97th document stands in for the eval suite). The benchmark
+    * shingle set is broadcast — its size is bounded by the benchmark
+    * suite, NOT the corpus, so the corpus-side pass stays a narrow
+    * probe + one aggregation at any corpus scale (contrast with the
+    * per-user broadcasts this repo removed in round 2: this side is
+    * genuinely constant). */
+  def contaminationNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = DedupOps.shingleSets(spark, dir)
+    val bench = sh.filter($"doc_id" % 97 === 0)
+      .select($"sh").distinct().withColumn("hit", lit(1))
+    sh.filter($"doc_id" % 97 =!= 0)
+      .join(broadcast(bench), Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_contaminated"))
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        ($"n_contaminated".cast("double") / $"n_shingles").as("contamination"))
+      .orderBy($"doc_id")
+  }
+
+  val contaminationNgramOverlapSql: String =
+    ("""WITH """ + DedupOps.shinglesCte + """,
+      |bench AS (
+      |  SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0)
+      |SELECT s.doc_id, count(*) AS n_shingles,
+      |       count(b.sh) AS n_contaminated,
+      |       CAST(count(b.sh) AS DOUBLE) / count(*) AS contamination
+      |FROM shingles s LEFT JOIN bench b ON s.sh = b.sh
+      |WHERE s.doc_id % 97 <> 0
+      |GROUP BY s.doc_id
+      |ORDER BY s.doc_id""").stripMargin
+
+  /** Sequence packing: greedily pack documents into fixed 2048-token
+    * training sequences by cumulative token count, independently per
+    * source. The window is partitioned by source (bounded per-partition
+    * state, no global sort) — exactly how a 1000-executor packing job
+    * runs: each shard packs its own documents, and sequence ids are local
+    * to the shard. One shuffle on source, one window pass, one
+    * aggregation. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id",
+        size(split($"text", " ")).cast("bigint").as("n_tok"))
+      .withColumn("cum", sum($"n_tok").over(w))
+      .withColumn("seq_id", floor(($"cum" - $"n_tok") / lit(2048.0)))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("seq_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"seq_id")
+  }
+
+  val packSequencesSql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |cum AS (
+      |  SELECT source, doc_id, n_tok,
+      |         sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |                          ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM toks)
+      |SELECT source, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id,
+      |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS seq_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum
+      |GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+
+  /** Per-domain quota sampling: keep at most 10 documents per source,
+    * chosen by md5(doc_id) rank — the domain-balancing pass that stops a
+    * single crawl domain from dominating the training mix. Deterministic
+    * (same kept set on any engine or partitioning); one window per
+    * source partition, bounded by the quota. */
+  def sampleDomainQuota(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    Tables.documents(spark, dir)
+      .select($"source", $"doc_id")
+      .withColumn("rk", row_number().over(w)).filter($"rk" <= 10)
+      .orderBy($"source", $"rk")
+  }
+
+  val sampleDomainQuotaSql: String =
+    """SELECT source, doc_id, rk FROM (
+      |  SELECT source, doc_id, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 10
+      |ORDER BY source, rk""".stripMargin
+
+  /** PII-style scrubbing with an audit trail: redact every digit in the
+    * event properties payload (stand-in for the digit-bearing PII classes
+    * — phone numbers, account ids) and report how many characters were
+    * redacted per event. Pure narrow map — codegen'd regexp over one
+    * column, no shuffle before the output sort; the 100 TB shape is a
+    * map-only pass with the audit aggregated downstream. */
+  def eventsPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .select($"event_id",
+        regexp_replace($"props", "[0-9]", "#").as("scrubbed"),
+        (length($"props") - length(regexp_replace($"props", "[0-9]", "")))
+          .cast("bigint").as("n_redacted"))
+      .orderBy($"event_id")
+  }
+
+  val eventsPiiScrubSql: String =
+    """SELECT event_id,
+      |       regexp_replace(props, '[0-9]', '#', 'g') AS scrubbed,
+      |       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+      |            AS BIGINT) AS n_redacted
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+}

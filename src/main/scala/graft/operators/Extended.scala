@@ -619,4 +619,37 @@ object Extended {
        |  CAST(list_sum(q) AS DOUBLE) / len(q) AS mean_q
        |FROM n
        |ORDER BY vec_id""".stripMargin
+
+  /** Shuffle join with a runtime-injected bloom filter: the selective
+    * predicate on orders builds a bloom filter that is pushed into the
+    * lineitem scan side, pruning fact rows BEFORE the shuffle — the
+    * mechanism that saves the exchange when the dim side is too large to
+    * broadcast (the 100 TB regime this query models by disabling the
+    * broadcast threshold in a cloned session; session confs never leak to
+    * other queries). Output is the plain join result — the bloom filter
+    * is a performance rewrite with identical semantics, which is exactly
+    * what the oracle checks. */
+  def joinBloomPruned(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    import s.implicits._
+    val hot = Tables.orders(s, dir).filter($"o_totalprice" > 450000)
+    Tables.lineitem(s, dir)
+      .join(hot, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"l_quantity".cast(Dec)).cast("double").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinBloomPrunedSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 450000
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

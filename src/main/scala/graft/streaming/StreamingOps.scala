@@ -38,6 +38,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamingOps {
 
+  /** Cloned session (shared SparkContext, own conf) with a small shuffle-
+    * partition count for the streaming fixture queries: every stateful
+    * streaming operator allocates one state store PER shuffle partition
+    * per micro-batch, so a 32-partition session pays ~100 store
+    * initializations and checkpoint dirs for a 5-row fixture stream.
+    * Sizing state partitions to the stream volume is a per-query decision
+    * on a real cluster too (state partition count is fixed at the first
+    * checkpoint, so production queries size it deliberately up front) —
+    * the clone keeps that choice from leaking into batch queries. */
+  private def streamSession(spark: SparkSession): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s
+  }
+
   /** Per-key stateful concatenation emitting every prefix in arrival
     * order. Works identically over a batch Dataset (fresh state) and a
     * streaming one (state restored from the checkpoint across restarts). */
@@ -98,8 +113,9 @@ object StreamingOps {
     * returns the drained result — so the correctness gate checks a real
     * streaming execution, not just the batch analog. */
   def streamingWindowMax(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val base = 1700000000L
     val in = MemoryStream[(Int, Long)]
     in.addData((15, base + 120), (17, base + 1501), (16, base + 1500))
@@ -109,7 +125,7 @@ object StreamingOps {
       .writeStream.format("memory").queryName(name).outputMode("complete")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    s.table(name)
       .select(unix_timestamp($"w_start").as("w_start"), $"value")
       .orderBy($"w_start")
   }
@@ -126,8 +142,9 @@ object StreamingOps {
     * batches), drained to a memory sink. Single-partition input keeps
     * arrival order deterministic (`Main.java:60-83` semantics). */
   def streamingConcatPrefixes(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val in = MemoryStream[UnstableData](numPartitions = 1)
     val name = "graft_k2_" + UUID.randomUUID().toString.replace("-", "")
     val q = concatPrefixes(in.toDS())
@@ -140,7 +157,7 @@ object StreamingOps {
       in.addData(UnstableData("c", 0, 0, "g1"), UnstableData("x", 0, 0, "g2"))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).orderBy($"group_id", $"prefix")
+    s.table(name).orderBy($"group_id", $"prefix")
   }
 
   val streamingConcatPrefixesSql: String =
@@ -156,8 +173,9 @@ object StreamingOps {
     * at-least-once upstream needs. Duplicate rows are exact duplicates,
     * so the kept-row choice is immaterial to the result. */
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val in = MemoryStream[(Long, String)](numPartitions = 1)
     val name = "graft_dedup_" + UUID.randomUUID().toString.replace("-", "")
     val q = in.toDF().toDF("id", "v").dropDuplicates("id")
@@ -169,7 +187,7 @@ object StreamingOps {
       in.addData((2L, "b"), (3L, "c"))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).orderBy($"id")
+    s.table(name).orderBy($"id")
   }
 
   val streamingDedupSql: String =
@@ -187,8 +205,9 @@ object StreamingOps {
     * micro-batch after its impression still matches against the buffered
     * impression state. */
   def streamingStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val base = 1700000000L
     val imps = MemoryStream[(Int, Long)]
     val clicks = MemoryStream[(Int, Long)]
@@ -217,7 +236,7 @@ object StreamingOps {
       clicks.addData((3, base + 530))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).orderBy($"ad_id", $"imp_s", $"click_s")
+    s.table(name).orderBy($"ad_id", $"imp_s", $"click_s")
   }
 
   val streamingStreamJoinSql: String =
@@ -234,10 +253,11 @@ object StreamingOps {
     * micro-batch — at scale it broadcasts (bounded dimension), so the
     * stream never shuffles for the enrichment. */
   def streamingStaticJoin(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val in = MemoryStream[(Long, Long)]
-    val nation = graft.Tables.nation(spark, dir)
+    val nation = graft.Tables.nation(s, dir)
       .select($"n_nationkey", $"n_name")
     val name = "graft_ssj2_" + UUID.randomUUID().toString.replace("-", "")
     val q = in.toDF().toDF("nk", "v")
@@ -252,7 +272,7 @@ object StreamingOps {
       in.addData((1L, 7L), (2L, 1L))
       q.processAllAvailable()
     } finally q.stop()
-    spark.table(name).orderBy($"n_name")
+    s.table(name).orderBy($"n_name")
   }
 
   val streamingStaticJoinSql: String =
@@ -261,6 +281,55 @@ object StreamingOps {
       |JOIN nation n ON n.n_nationkey = s.nk
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
+
+  /** Driver-contract wrapper for REAL streaming session windows:
+    * `session_window` (30 s gap) per user with a 10 s watermark in append
+    * mode — sessions merge across micro-batches (user 1's third event
+    * arrives a batch later and extends the open session), and a session
+    * is emitted only once the watermark passes its close. The far-future
+    * event advances the watermark past every fixture session; its own
+    * session stays open and unemitted, which is the correct append-mode
+    * semantics (only CLOSED sessions are final). */
+  def streamingSessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000L
+    val in = MemoryStream[(Int, Long)]
+    val name = "graft_sess_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("uid", "sec")
+      .select($"uid", timestamp_seconds($"sec").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy($"uid", session_window($"ts", "30 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"uid",
+        unix_timestamp($"session_window.start").as("sess_start"),
+        unix_timestamp($"session_window.end").as("sess_end"), $"n_events")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: user 1 opens a session (events 10 s apart < 30 s gap),
+      // user 2 opens a singleton session
+      in.addData((1, base + 10), (1, base + 25), (2, base + 40))
+      q.processAllAvailable()
+      // batch 2: user 1's session extends across the batch boundary
+      // (35 < 25 + 30); the far-future event then closes every session
+      in.addData((1, base + 35), (9, base + 10000))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy($"uid", $"sess_start")
+  }
+
+  val streamingSessionWindowSql: String =
+    // user 1: one merged session [10, 35+30); user 2: [40, 70); user 9's
+    // far-future session never closes (watermark 9990 < its end) → absent
+    """SELECT CAST(uid AS INT) AS uid, CAST(sess_start AS BIGINT) AS sess_start,
+      |       CAST(sess_end AS BIGINT) AS sess_end,
+      |       CAST(n_events AS BIGINT) AS n_events
+      |FROM (VALUES (1, 1700000010, 1700000065, 3),
+      |             (2, 1700000040, 1700000070, 1)) t(uid, sess_start, sess_end, n_events)
+      |ORDER BY uid, sess_start""".stripMargin
 
   /** Batch-id-keyed collector for `foreachBatch` sinks — the
     * checkpoint-recoverable observation point. Replayed batches overwrite

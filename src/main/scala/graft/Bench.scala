@@ -37,9 +37,13 @@ object Bench {
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val qs = jsonMap(results.collect { case (k, v, true) => (k, v) })
-    val failed = jsonMap(results.collect { case (k, v, false) => (k, v) })
+    // "failed" keeps the original name-array shape (r1/r2 parsers expect
+    // it); per-failure timings live in "failed_secs" alongside.
+    val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val failedSecs = jsonMap(results.collect { case (k, v, false) => (k, v) })
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedNames,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -69,19 +69,20 @@ object CurationOps {
 
   /** Benchmark-contamination check: fraction of each corpus document's
     * word-3-gram shingles that also occur in a held-out "benchmark" set
-    * (every 97th document stands in for the eval suite). The benchmark
-    * shingle set is broadcast — its size is bounded by the benchmark
-    * suite, NOT the corpus, so the corpus-side pass stays a narrow
-    * probe + one aggregation at any corpus scale (contrast with the
-    * per-user broadcasts this repo removed in round 2: this side is
-    * genuinely constant). */
+    * (every 97th document stands in for the eval suite). NOTE: because
+    * the stand-in benchmark is a fixed FRACTION of the corpus (1/97), its
+    * shingle set grows linearly with corpus size — so no broadcast hint:
+    * AQE broadcasts it at small scale and falls back to a shuffled hash
+    * join when it outgrows the threshold. (A real eval suite is a fixed
+    * external table whose size is independent of the corpus; with that
+    * contract a mandatory broadcast would be sound.) */
   def contaminationNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = DedupOps.shingleSets(spark, dir)
     val bench = sh.filter($"doc_id" % 97 === 0)
       .select($"sh").distinct().withColumn("hit", lit(1))
     sh.filter($"doc_id" % 97 =!= 0)
-      .join(broadcast(bench), Seq("sh"), "left")
+      .join(bench, Seq("sh"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_contaminated"))
       .select($"doc_id", $"n_shingles", $"n_contaminated",
@@ -110,7 +111,11 @@ object CurationOps {
     * aggregation. */
   def packSequences(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // ROWS frame pinned explicitly to match the oracle SQL: the default
+    // RANGE frame sums tied order keys together, which diverges from
+    // ROWS the moment doc_id is ever non-unique within a source.
     val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select($"source", $"doc_id",
         size(split($"text", " ")).cast("bigint").as("n_tok"))
@@ -166,24 +171,24 @@ object CurationOps {
   /** PII-style scrubbing with an audit trail: redact every digit in the
     * event properties payload (stand-in for the digit-bearing PII classes
     * — phone numbers, account ids) and report how many characters were
-    * redacted per event. Pure narrow map — codegen'd regexp over one
-    * column, no shuffle before the output sort; the 100 TB shape is a
-    * map-only pass with the audit aggregated downstream. */
+    * redacted per event. Pure narrow map — a single codegen'd
+    * RegExpReplace builds the scrubbed payload and a RegExpCount (match
+    * counting, no replacement-string allocation) derives the audit count;
+    * no shuffle before the output sort. The 100 TB shape is a map-only
+    * pass with the audit aggregated downstream. */
   def eventsPiiScrub(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)
       .select($"event_id",
         regexp_replace($"props", "[0-9]", "#").as("scrubbed"),
-        (length($"props") - length(regexp_replace($"props", "[0-9]", "")))
-          .cast("bigint").as("n_redacted"))
+        regexp_count($"props", lit("[0-9]")).cast("bigint").as("n_redacted"))
       .orderBy($"event_id")
   }
 
   val eventsPiiScrubSql: String =
     """SELECT event_id,
       |       regexp_replace(props, '[0-9]', '#', 'g') AS scrubbed,
-      |       CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
-      |            AS BIGINT) AS n_redacted
+      |       CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS n_redacted
       |FROM events
       |ORDER BY event_id""".stripMargin
 }

@@ -113,9 +113,12 @@ object DedupOps {
   private val estCacheHooked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
-  /** Evict (and unpersist) every cached estimate of `spark` when its
-    * SparkContext ends, so the cache never retains executor memory or
-    * session references past the session's lifetime. Data under `dir` is
+  /** Evict every cached estimate of `spark` when its SparkContext ends,
+    * bounding the cache to the APPLICATION's lifetime (a best-effort
+    * backstop: sessions closed mid-application stay cached until the app
+    * ends — acceptable here because the cache holds one tiny pair-score
+    * DataFrame per (session, dir), and unpersisting after the context
+    * stops frees nothing anyway). Data under `dir` is
     * assumed immutable for the session — rewriting the parquet mid-session
     * would serve stale estimates (the same contract as Spark's own
     * relation cache). */
@@ -246,24 +249,55 @@ object DedupOps {
     * shuffle-cheap case; wider hamming radii are a multi-probe extension). */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    simhashSketch(spark, dir)
+      .select($"doc_id", $"simhash",
+        count(lit(1)).over(Window.partitionBy($"simhash")).as("n_bucket"))
+      .orderBy($"doc_id")
+  }
+
+  /** The `(doc_id, simhash)` sketch shared by [[dedupSimhash]] and
+    * [[dedupSimhashProbe]]. Single-pass: all 16 bit-sums as agg columns
+    * of ONE groupBy(doc_id) over the token stream — no ×16 row explosion,
+    * one shuffle keyed by doc_id (same shape as the MinHash signature
+    * agg). */
+  private def simhashSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val hv = Tables.documents(spark, dir)
       .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
       .filter($"w" =!= "")
       .select($"doc_id", conv(substring(md5($"w"), 1, 4), 16, 10).cast("int").as("h"))
-    // single-pass sketch: all 16 bit-sums as agg columns of ONE
-    // groupBy(doc_id) over the token stream — no ×16 row explosion, one
-    // shuffle keyed by doc_id (same shape as the MinHash signature agg)
     val bitSums = (0 until 16).map { j =>
       sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"s$j")
     }
-    val sketch = hv.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+    hv.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select($"doc_id",
         (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
-    sketch
-      .select($"doc_id", $"simhash",
-        count(lit(1)).over(Window.partitionBy($"simhash")).as("n_bucket"))
-      .orderBy($"doc_id")
+  }
+
+  /** Multi-probe SimHash: near-dup candidate pairs at hamming distance
+    * ≤ 1, found WITHOUT an all-pairs scan. Each document emits 17 probe
+    * keys (its sketch plus all 16 single-bit flips); a pair is a
+    * candidate iff one side's probe equals the other side's original
+    * sketch — so hamming-0 and hamming-1 pairs each match EXACTLY once
+    * (probe values per doc are pairwise distinct), no dedup pass needed.
+    * Execution shape: a narrow 17× explode of the tiny sketch table,
+    * then one hash-partitioned equi-join on the 8-byte probe key — the
+    * same bucketed shape as hamming-0, never O(n²). The oracle states
+    * the SEMANTICS as the all-pairs bit_count(xor) predicate; this plan
+    * is the sub-quadratic way to compute it. */
+  def dedupSimhashProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sketch = simhashSketch(spark, dir)
+    val probes = sketch.select($"doc_id".as("doc_a"), $"simhash".as("sh_a"),
+      explode(array($"simhash" +:
+        (0 until 16).map(j => $"simhash".bitwiseXOR(lit(1L << j))): _*)).as("probe"))
+    probes.join(
+        sketch.select($"doc_id".as("doc_b"), $"simhash".as("sh_b")),
+        $"probe" === $"sh_b" && $"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+      .orderBy($"doc_a", $"doc_b")
   }
 
   val dedupSimhashSql: String =
@@ -282,6 +316,28 @@ object DedupOps {
       |  FROM bits GROUP BY doc_id)
       |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_bucket
       |FROM sh ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[dedupSimhashProbe]]: the all-pairs hamming predicate —
+    * O(n²) is fine for the oracle's job of stating semantics. */
+  val dedupSimhashProbeSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |hv AS (
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 4)) AS INT) AS h
+      |  FROM toks WHERE w <> ''),
+      |bits AS (
+      |  SELECT doc_id, r.j,
+      |         sum(CASE WHEN (h >> r.j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM hv CROSS JOIN range(16) r(j)
+      |  GROUP BY doc_id, r.j),
+      |sh AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Exact word-3-gram Jaccard near-dup pairs via an inverted shingle
     * index. Shingles appearing in more than 50 documents are dropped from

@@ -275,18 +275,24 @@ object PipelineOps {
     val Dec = org.apache.spark.sql.types.DecimalType(12, 2)
     val base = Tables.customer(spark, dir)
       .select($"c_custkey", $"c_name", $"c_acctbal")
-    // Surrogate keys for the insert branch start ABOVE max(c_custkey), so
-    // they can never collide with a real key at any scale factor (a fixed
-    // +1M offset would collide once the key space passes 1M, ~sf 7). The
-    // 1-row max is a broadcast scalar, not a driver collect.
-    val maxKey = base.agg(max($"c_custkey").as("max_ck"))
+    // Surrogate keys for the insert branch are offset by
+    // greatest(max(c_custkey), max(o_custkey)) + 1, so surrogate =
+    // o_custkey + offset is STRICTLY above every key in either domain and
+    // can never collide with a real key at any scale factor. (Offsetting
+    // by max(c_custkey) alone collides: o_custkey = 0 maps to exactly
+    // max(c_custkey), a real key. A fixed +1M offset collides once the
+    // key space passes 1M, ~sf 7.) The two 1-row maxes are column-pruned
+    // scans broadcast as scalars, not driver collects.
+    val offset = base.agg(max($"c_custkey").as("mc"))
+      .crossJoin(Tables.orders(spark, dir).agg(max($"o_custkey").as("mo")))
+      .select((greatest($"mc", $"mo") + 1).as("surr_off"))
     val upd = Tables.orders(spark, dir)
       .groupBy($"o_custkey")
       .agg(count(lit(1)).as("n_orders"),
         sum($"o_totalprice".cast(Dec)).cast("double").as("order_total"))
-      .crossJoin(broadcast(maxKey))
+      .crossJoin(broadcast(offset))
       .select(
-        when($"o_custkey" % 97 === 0, $"o_custkey" + $"max_ck")
+        when($"o_custkey" % 97 === 0, $"o_custkey" + $"surr_off")
           .otherwise($"o_custkey").as("u_custkey"),
         $"order_total")
     base.join(upd, $"c_custkey" === $"u_custkey", "full_outer")
@@ -304,7 +310,8 @@ object PipelineOps {
   val mergeUpsertCustomersSql: String =
     """WITH upd AS (
       |  SELECT CASE WHEN o_custkey % 97 = 0
-      |              THEN o_custkey + (SELECT max(c_custkey) FROM customer)
+      |              THEN o_custkey + (SELECT greatest((SELECT max(c_custkey) FROM customer),
+      |                                               (SELECT max(o_custkey) FROM orders)) + 1)
       |              ELSE o_custkey END AS u_custkey,
       |         order_total
       |  FROM (SELECT o_custkey,

@@ -116,13 +116,18 @@ object SimilarityOps {
 
   /** Brute-force cosine top-5 per query vector (excluding self), ranked by
     * (cosine desc, vec_id) — the exact baseline every ANN variant is
-    * measured against. Broadcast the query side; the corpus streams. */
+    * measured against. No broadcast hint on the query side: it is a fixed
+    * fraction of the corpus (every 100th vector), so a mandatory
+    * broadcast would grow linearly with corpus size — the same
+    * scale-killer class as per-user broadcasts. AQE broadcasts it at
+    * small scale on its own and falls back to a shuffled join once it
+    * outgrows the threshold. */
   def similarityTopk(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = quantized(spark, dir)
     val queries = n.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2"))
-    val scored = broadcast(queries).join(n, $"query_id" =!= $"vec_id")
+    val scored = queries.join(n, $"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"),
         cosine("qq", "q", "qn2", "n2").as("cos_sim"))
     val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
@@ -145,7 +150,10 @@ object SimilarityOps {
 
   /** ANN via multi-table sign-random-projection LSH: candidates = corpus
     * vectors colliding with the query in any of the 8 tables' 3-bit
-    * buckets; exact cosine re-rank, top-3. */
+    * buckets; exact cosine re-rank, top-3. The bucket probe is a plain
+    * hash equi-join on (tbl, bkt) — no broadcast hint, since the query
+    * bucket side is ×8 of a corpus fraction and grows with the corpus;
+    * AQE picks broadcast at small scale and shuffle at large. */
   def similarityAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = quantized(spark, dir)
@@ -153,7 +161,7 @@ object SimilarityOps {
       .select($"vec_id", $"b.tbl".as("tbl"), $"b.bkt".as("bkt"))
     val qBuckets = buckets.filter(isQuery($"vec_id"))
       .select($"vec_id".as("query_id"), $"tbl", $"bkt")
-    val cand = broadcast(qBuckets).join(buckets, Seq("tbl", "bkt"))
+    val cand = qBuckets.join(buckets, Seq("tbl", "bkt"))
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
     val scored = cand
@@ -239,6 +247,88 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin
+
+  /** IVF with TRAINED centroids: the same probe/re-rank shape as
+    * [[similarityIvf]], but the coarse quantizer is a seed-fixed MLlib
+    * k-means (k=16, the loop [[AnomalyOps]] also uses) instead of fixed
+    * pivot vectors. Trained centroids partition by the data's actual
+    * geometry, so nprobe=4 of 16 lists scans ~25% of the corpus yet
+    * recovers most true neighbors (the fixed-pivot variant needs 4 of 8
+    * lists = 50% for recall 0.73 — recall ≈ scanned fraction when pivots
+    * ignore geometry). No DuckDB oracle (model-based, like
+    * `anomaly_kmeans`): DuckDB has no k-means, and re-implementing Lloyd
+    * iterations in SQL would test the oracle, not the operator; the test
+    * suite asserts a recall floor against `similarity_topk` instead.
+    *
+    * Scale notes: training is MLlib's iterative map+treeAggregate over
+    * cached features; the k centroid arrays are a genuinely BOUNDED
+    * broadcast (k rows, independent of corpus size); list probing is a
+    * hash equi-join on pivot_id; assignment reuses the model's own
+    * transform (one narrow map). */
+  def similarityIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val n = quantized(spark, dir)
+    // spherical k-means: L2-normalize before training so Euclidean cells
+    // align with the cosine retrieval metric (on raw vectors the two
+    // metrics disagree and probe recall drops)
+    val features = Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .map { case (id, arr) =>
+        val d = arr.map(_.toDouble)
+        val norm = math.sqrt(d.map(x => x * x).sum)
+        (id, Vectors.dense(d.map(_ / norm)))
+      }
+      .toDF("vec_id", "features")
+      .persist()
+    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(features)
+    val centDf = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("pivot_id", "c")
+    val norm = (e0: String) =>
+      expr(s"transform($e0, x -> x / sqrt(aggregate($e0, 0D, (a, v) -> a + v * v)))")
+    // per-vector distance to each of the k centroids: a narrow ×k
+    // expansion against the bounded centroid broadcast (HOF fold — the
+    // hot corpus-side pairwise math stays in graft_dot downstream)
+    def centDist(side: DataFrame): DataFrame = side
+      .crossJoin(broadcast(centDf))
+      .select($"vec_id", $"pivot_id",
+        expr("aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
+          .as("d2"))
+    // inverted lists with MULTI-ASSIGNMENT factor 2: each corpus vector
+    // is indexed under its two nearest centroids (the classic IVF recall
+    // lever that does NOT raise nprobe). Top-2 via two partial+final
+    // max_by aggregations — a window would sort-shuffle the whole corpus.
+    val cscore = centDist(Tables.embeddings(spark, dir)
+      .select($"vec_id", expr("cast(embedding as array<double>)").as("e0"))
+      .select($"vec_id", norm("e0").as("e")))
+    val best = max_by($"pivot_id", struct(-$"d2", -$"pivot_id"))
+    val a1 = cscore.groupBy($"vec_id").agg(best.as("pivot_id"))
+    val a2 = cscore.join(a1.withColumnRenamed("pivot_id", "p1"), "vec_id")
+      .filter($"pivot_id" =!= $"p1")
+      .groupBy($"vec_id").agg(best.as("pivot_id"))
+    val assign = a1.unionByName(a2)
+    // query probes: top-4 lists by centroid distance (queries × k rows —
+    // tiny, the window is per-query over k entries)
+    val pscore = centDist(Tables.embeddings(spark, dir).filter(isQuery($"vec_id"))
+      .select($"vec_id", expr("cast(embedding as array<double>)").as("e0"))
+      .select($"vec_id", norm("e0").as("e")))
+    val wProbe = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"pivot_id".asc)
+    val probes = pscore
+      .withColumn("rk", row_number().over(wProbe)).filter($"rk" <= 4)
+      .select($"vec_id".as("query_id"), $"pivot_id")
+    val cand = probes.join(assign, "pivot_id")
+      .filter($"query_id" =!= $"vec_id")
+      .select($"query_id", $"vec_id".as("neighbor_id")).distinct()
+    val scored = cand
+      .join(n.select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2")), "query_id")
+      .join(n.select($"vec_id".as("neighbor_id"), $"q", $"n2"), "neighbor_id")
+      .select($"query_id", $"neighbor_id", cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .orderBy($"query_id", $"rk")
+  }
 
   lazy val similarityAnnLshSql: String =
     s"""WITH $quantizedCte,

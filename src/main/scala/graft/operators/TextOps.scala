@@ -157,28 +157,22 @@ object TextOps {
   /** Document fingerprinting (`text_fingerprint`): an exact content hash
     * plus a winnowing-style min-hash over word 5-gram windows (the rolling-
     * hash fingerprint used by near-dup detectors; md5 stands in for the
-    * rolling hash — both engines agree on it byte-for-byte). */
+    * rolling hash — both engines agree on it byte-for-byte). Entirely
+    * NARROW: the per-doc gram minimum is `array_min(transform(...))` over
+    * the in-row word array — no posexplode, no window sort-shuffle of the
+    * token stream, no re-aggregation join (contrast: a lead()-window
+    * formulation shuffles every word of the corpus). One map-only pass,
+    * then only the presentation sort. */
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
-    val grams = docs.select($"doc_id",
-        posexplode(split(lower($"text"), " ")).as(Seq("pos", "w")))
-      .withColumn("gram",
-        concat_ws(" ",
-          $"w",
-          lead($"w", 1).over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"doc_id").orderBy($"pos")),
-          lead($"w", 2).over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"doc_id").orderBy($"pos")),
-          lead($"w", 3).over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"doc_id").orderBy($"pos")),
-          lead($"w", 4).over(org.apache.spark.sql.expressions.Window
-            .partitionBy($"doc_id").orderBy($"pos"))))
-      .filter(size(split($"gram", " ")) === 5)
-    val minGram = grams.groupBy($"doc_id")
-      .agg(min(md5($"gram")).as("fp_min_gram"))
-    docs.select($"doc_id", md5(lower($"text")).as("fp_exact"))
-      .join(minGram, Seq("doc_id"), "left")
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5(lower($"text")).as("fp_exact"),
+        split(lower($"text"), " ").as("ws"))
+      .select($"doc_id", $"fp_exact",
+        when(size($"ws") >= 5,
+          expr("""array_min(transform(sequence(0, size(ws) - 5),
+                 i -> md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))))"""))
+          .as("fp_min_gram"))
       .orderBy($"doc_id")
   }
 

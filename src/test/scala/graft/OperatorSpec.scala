@@ -167,6 +167,16 @@ class OperatorSpec extends SparkTestBase {
     assert(recall >= 0.6, s"IVF recall collapsed: $recall")
   }
 
+  test("similarity_ivf_trained: trained centroids lift recall to >= 0.85 at nprobe 4") {
+    val brute = SparkEntry.queries("similarity_topk")(spark, sfDir).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("similarity_ivf_trained")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    info(f"trained-IVF recall@3 = $recall%.2f (${ivf.size} IVF pairs, ${brute.size} exact)")
+    assert(recall >= 0.85, s"trained-IVF recall below floor: $recall")
+  }
+
   test("text_tfidf_topterms: exactly ranks 1..3 per document") {
     val rows = SparkEntry.queries("text_tfidf_topterms")(spark, sfDir).collect()
     rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
@@ -217,9 +227,86 @@ class OperatorSpec extends SparkTestBase {
       s"missing merge branches: $byOp")
     // the surrogate-routed updates land in the insert branch (other
     // inserts may exist too: the synthetic orders table carries custkeys
-    // absent from customer); keys stay unique after the merge
-    assert(rows.filter(_.getString(3) == "insert").exists(_.getLong(0) > 1000000))
-    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // absent from customer); surrogates must land STRICTLY above every
+    // real key in either key domain (data-derived bound, not a constant,
+    // so the assert holds at any scale factor); keys stay unique
+    import org.apache.spark.sql.functions.max
+    val maxReal = math.max(
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .agg(max("c_custkey")).collect()(0).getLong(0),
+      spark.read.parquet(s"$sfDir/orders.parquet")
+        .agg(max("o_custkey")).collect()(0).getLong(0))
+    assert(rows.filter(_.getString(3) == "insert").exists(_.getLong(0) > maxReal),
+      s"no surrogate above the real key domain (max real key $maxReal)")
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length,
+      "duplicate custkeys after MERGE — uniqueness invariant violated")
+  }
+
+  // ---- plan-shape guardrails -----------------------------------------
+  // The 100 TB claims (pushdown, broadcast, top-k, no-BNLJ, runtime
+  // bloom filter) are asserted against the FORMATTED physical plan so a
+  // silent optimizer/operator regression fails CI instead of needing a
+  // manual Explain diff.
+  private def fmtPlan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("plan: agg_pricing_summary pushes the shipdate filter into the parquet scan") {
+    val p = fmtPlan("agg_pricing_summary")
+    assert(p.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"l_shipdate not in PushedFilters — scan reads the full table:\n$p")
+  }
+
+  test("plan: join_orders_customers broadcasts the customer dimension") {
+    val p = fmtPlan("join_orders_customers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin (bounded dim side):\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join degraded to SMJ:\n$p")
+  }
+
+  test("plan: join_bloom_pruned injects a runtime bloom filter on the fact scan") {
+    val p = fmtPlan("join_bloom_pruned")
+    assert(p.contains("might_contain") || p.contains("BloomFilter"),
+      s"no runtime bloom filter in the plan — fact rows shuffle unpruned:\n$p")
+  }
+
+  test("plan: topn_revenue is a TakeOrderedAndProject, not a global sort") {
+    val p = fmtPlan("topn_revenue")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"expected per-partition top-k (TakeOrderedAndProject):\n$p")
+  }
+
+  test("plan: dedup_embedding_cosine joins on block keys, never BNLJ/cartesian") {
+    val p = fmtPlan("dedup_embedding_cosine")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"embedding pair-gen planned a BroadcastNestedLoopJoin:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"embedding pair-gen planned a CartesianProduct:\n$p")
+  }
+
+  test("plan: text_fingerprint is map-only before the presentation sort") {
+    val p = fmtPlan("text_fingerprint")
+    assert(!p.contains("Window"), s"fingerprint re-grew a window shuffle:\n$p")
+    assert(!p.contains("HashAggregate"), s"fingerprint re-grew an aggregation:\n$p")
+  }
+
+  test("dedup_simhash_probe: recall ⊇ hamming-0 buckets, radius bound holds") {
+    val probe = SparkEntry.queries("dedup_simhash_probe")(spark, sfDir).collect()
+    assert(probe.forall(_.getInt(2) <= 1), "pair beyond hamming radius 1")
+    assert(probe.map(r => (r.getLong(0), r.getLong(1))).distinct.length == probe.length,
+      "multi-probe emitted a duplicate pair")
+    // every hamming-0 pair (same bucket in dedup_simhash) must be found
+    val h0 = SparkEntry.queries("dedup_simhash")(spark, sfDir).collect()
+      .groupBy(_.getLong(1)).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_.getLong(0)).toSeq
+        for { a <- ids; b <- ids if a < b } yield (a, b)
+      }.toSet
+    val probePairs = probe.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(h0.subsetOf(probePairs), "probe recall dropped below hamming-0")
+    assert(probe.exists(_.getInt(2) == 1),
+      "no hamming-1 pair found — probing adds nothing over hamming-0")
   }
 
   test("sample_topk_per_group: exactly 3 deterministic rows per stratum") {

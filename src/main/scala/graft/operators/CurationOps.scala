@@ -23,9 +23,10 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: every operator here is one narrow projection plus at most
   * one hash aggregation or one bounded window. Nothing collects to the
-  * driver; the only broadcast is the benchmark shingle set, whose size is
-  * fixed by the benchmark suite (not by corpus size) — the one class of
-  * side a 100 TB pipeline may always broadcast.
+  * driver and nothing forces a broadcast of a corpus-proportional side
+  * (the stand-in benchmark shingle set joins without a hint — see
+  * [[contaminationNgramOverlap]]); the only broadcasts are genuine 1-row
+  * scalars (corpus totals).
   */
 object CurationOps {
 
@@ -191,4 +192,75 @@ object CurationOps {
       |       CAST(len(regexp_extract_all(props, '[0-9]')) AS BIGINT) AS n_redacted
       |FROM events
       |ORDER BY event_id""".stripMargin
+
+  /** Domain mixture weighting (DoReMi-style prep): per-source document
+    * and token counts, the source's token share, and a sqrt-share
+    * sampling weight — the numbers a mixture-balancing pass feeds the
+    * sampler so no single crawl domain dominates the training mix. The
+    * weight is left UN-normalized: token counts are exact BIGINTs, share
+    * is one int/int division and sqrt is IEEE-deterministic, whereas
+    * normalizing would sum doubles in engine-dependent order. Shape: one
+    * narrow projection, one hash agg keyed by source, one broadcast
+    * 1-row total. */
+  def domainMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .select($"source", size(split($"text", " ")).cast("bigint").as("n_tok"))
+    val total = perDoc.agg(sum($"n_tok").as("total_tokens"))
+    perDoc.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+      .crossJoin(broadcast(total))
+      .select($"source", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast("double") / $"total_tokens".cast("double")).as("token_share"),
+        sqrt($"n_tokens".cast("double") / $"total_tokens".cast("double")).as("sample_weight"))
+      .orderBy($"source")
+  }
+
+  val domainMixtureSql: String =
+    """WITH perdoc AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |tot AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM perdoc)
+      |SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |       CAST(sum(n_tok) AS DOUBLE) / (SELECT CAST(total_tokens AS DOUBLE) FROM tot) AS token_share,
+      |       sqrt(CAST(sum(n_tok) AS DOUBLE) / (SELECT CAST(total_tokens AS DOUBLE) FROM tot)) AS sample_weight
+      |FROM perdoc
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  /** Length-bucket batching stats: documents binned into fixed 32-token
+    * buckets (integer arithmetic — no float log2, which is not bit-stable
+    * across engines at bucket boundaries), with the padding waste a
+    * batcher would pay padding every doc in the bucket to the bucket
+    * ceiling. The padding-efficiency audit behind length-grouped
+    * batching. Narrow map + one hash agg; bucket cardinality is bounded
+    * by max document length / 32. */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(size(split($"text", " ")).cast("bigint").as("n_tok"))
+      .select($"n_tok", (expr("(n_tok + 31) div 32") * 32L).as("bucket_ceil"))
+      .groupBy($"bucket_ceil")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("sum_tokens"),
+        sum($"bucket_ceil" - $"n_tok").as("sum_padding"))
+      .select($"bucket_ceil", $"n_docs", $"sum_tokens", $"sum_padding",
+        ($"sum_padding".cast("double") /
+          ($"bucket_ceil" * $"n_docs").cast("double")).as("waste_frac"))
+      .orderBy($"bucket_ceil")
+  }
+
+  val lengthBucketsSql: String =
+    """WITH perdoc AS (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |b AS (SELECT n_tok, ((n_tok + 31) // 32) * 32 AS bucket_ceil FROM perdoc)
+      |SELECT CAST(bucket_ceil AS BIGINT) AS bucket_ceil, count(*) AS n_docs,
+      |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+      |       CAST(sum(bucket_ceil - n_tok) AS BIGINT) AS sum_padding,
+      |       CAST(sum(bucket_ceil - n_tok) AS DOUBLE)
+      |         / CAST(bucket_ceil * count(*) AS DOUBLE) AS waste_frac
+      |FROM b
+      |GROUP BY bucket_ceil
+      |ORDER BY bucket_ceil""".stripMargin
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over the `documents` table — the text half of
@@ -153,6 +154,55 @@ object TextOps {
       |  CAST(length(text) AS BIGINT) AS n_chars_actual
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Vocabulary coverage curve (`text_vocab_coverage`): corpus token
+    * frequencies ranked descending with cumulative coverage — the
+    * tokenizer-prep view that answers "how many vocabulary entries cover
+    * X% of the corpus", top-100 entries. Determinism: counts and the
+    * running total are exact BIGINTs (one division to DOUBLE at the end);
+    * ties rank by token text.
+    *
+    * Scale notes: the corpus-wide pass is ONE hash aggregation over the
+    * token stream (partial+final). The rank/cumsum window is global and
+    * single-partition by construction, but it runs over the POST-AGG
+    * vocabulary, which is bounded by distinct-token count, not corpus
+    * size — the standard vocab-build shape (a 100 TB corpus still has a
+    * ~1e5-1e6 vocabulary). */
+  def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cnt = Tables.documents(spark, dir)
+      .select(explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+      .groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val total = cnt.agg(sum($"cnt").as("total_cnt"))
+    val w = Window.orderBy($"cnt".desc, $"token".asc)
+    cnt
+      .withColumn("rank", row_number().over(w))
+      .withColumn("cum_cnt", sum($"cnt").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter($"rank" <= 100)
+      .crossJoin(broadcast(total))
+      .select($"token", $"cnt", $"rank", $"cum_cnt",
+        ($"cum_cnt".cast("double") / $"total_cnt".cast("double")).as("cum_coverage"))
+      .orderBy($"rank")
+  }
+
+  val textVocabCoverageSql: String =
+    """WITH cnt AS (
+      |  SELECT token, count(*) AS cnt FROM (
+      |    SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents) t
+      |  WHERE token <> '' GROUP BY token),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_cnt FROM cnt),
+      |ranked AS (
+      |  SELECT token, cnt,
+      |         row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+      |         CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+      |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt
+      |  FROM cnt)
+      |SELECT token, cnt, CAST(rank AS INT) AS rank, cum_cnt,
+      |       CAST(cum_cnt AS DOUBLE) / (SELECT CAST(total_cnt AS DOUBLE) FROM tot) AS cum_coverage
+      |FROM ranked WHERE rank <= 100
+      |ORDER BY rank""".stripMargin
 
   /** Document fingerprinting (`text_fingerprint`): an exact content hash
     * plus a winnowing-style min-hash over word 5-gram windows (the rolling-

@@ -291,6 +291,46 @@ class OperatorSpec extends SparkTestBase {
     assert(!p.contains("HashAggregate"), s"fingerprint re-grew an aggregation:\n$p")
   }
 
+  test("plan: events_pii_scrub builds the scrubbed payload in ONE regexp_replace") {
+    val p = fmtPlan("events_pii_scrub")
+    val nReplace = "regexp_replace".r.findAllIn(p.toLowerCase).length
+    assert(nReplace == 1, s"expected exactly one RegExpReplace, found $nReplace:\n$p")
+    // Spark desugars regexp_count to size(regexp_extract_all(...))
+    val pl = p.toLowerCase
+    assert(pl.contains("regexp_count") || pl.contains("regexp_extract_all"),
+      s"audit count should be a match count, not a second replace:\n$p")
+  }
+
+  test("curation_domain_mixture: shares sum to 1, weights are sqrt-compressed") {
+    val rows = SparkEntry.queries("curation_domain_mixture")(spark, sfDir).collect()
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"token shares sum to $shareSum")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(4) - math.sqrt(r.getDouble(3))) < 1e-12,
+        "weight != sqrt(share)")
+    }
+  }
+
+  test("curation_length_buckets: padding accounting is conserved") {
+    val rows = SparkEntry.queries("curation_length_buckets")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (ceilB, nDocs, sumTok, sumPad) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(sumTok + sumPad == ceilB * nDocs,
+        s"bucket $ceilB: tokens + padding != capacity")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    }
+  }
+
+  test("text_vocab_coverage: cumulative coverage is monotone and bounded") {
+    val rows = SparkEntry.queries("text_vocab_coverage")(spark, sfDir).collect()
+    val cov = rows.sortBy(_.getInt(2)).map(_.getDouble(4))
+    assert(cov.zip(cov.tail).forall { case (a, b) => a <= b }, "coverage not monotone")
+    assert(cov.last <= 1.0 + 1e-12)
+    val cnts = rows.sortBy(_.getInt(2)).map(_.getLong(1))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b }, "counts not ranked desc")
+  }
+
   test("dedup_simhash_probe: recall ⊇ hamming-0 buckets, radius bound holds") {
     val probe = SparkEntry.queries("dedup_simhash_probe")(spark, sfDir).collect()
     assert(probe.forall(_.getInt(2) <= 1), "pair beyond hamming radius 1")

@@ -92,6 +92,45 @@ object ReferenceParity {
       |GROUP BY lang
       |ORDER BY lang""".stripMargin
 
+  /** CSV source/sink roundtrip with an EXPLICIT schema (never
+    * `inferSchema`, which scans the data a second time — at 100 TB the
+    * inference pass costs as much as the query). Write nation as
+    * headered CSV, read it back through the real CSV source; identity
+    * roundtrip is the oracle. */
+  def sourceCsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_csv").resolve("nation").toString
+    Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .option("header", "true").csv(out)
+      .orderBy($"n_nationkey")
+  }
+
+  val sourceCsvRoundtripSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** JSON-lines source/sink roundtrip, explicit schema for the same
+    * no-inference reason. Write region as JSONL, read it back through
+    * the real JSON source. */
+  def sourceJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_jsonl").resolve("region").toString
+    Tables.region(spark, dir)
+      .select($"r_regionkey", $"r_name")
+      .coalesce(1).write.mode("overwrite").json(out)
+    spark.read
+      .schema("r_regionkey INT, r_name STRING")
+      .json(out)
+      .select($"r_regionkey", $"r_name")
+      .orderBy($"r_regionkey")
+  }
+
+  val sourceJsonlRoundtripSql: String =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
   /** P1: 1→1 map, uppercase (`TestFlinkStreams.java:56`) — expressed as the
     * codegen'd Catalyst `Upper` expression rather than a typed lambda. */
   def mapUppercase(spark: SparkSession, dir: String): DataFrame = {

@@ -652,4 +652,41 @@ object Extended {
       |WHERE o_totalprice > 450000
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Salted skew JOIN — the join-side companion to
+    * [[EventOps.aggSaltedSkew]]'s two-stage aggregation. When one join
+    * key is hot enough that its shuffle partition alone blows an
+    * executor (the 100 TB celebrity-key problem AQE's skew split can't
+    * always save — it only splits the FACT side, and only post-shuffle),
+    * salt the fact side into [[SaltBuckets]] sub-keys and replicate the
+    * dimension row once per salt: the hot key's rows now land on 8
+    * reducers instead of 1. Each fact row matches EXACTLY the one dim
+    * replica carrying its salt, so the join result — and the oracle,
+    * which states the plain unsalted join — is identical. Broadcast is
+    * disabled in a cloned session (same device as [[joinBloomPruned]]):
+    * at the scale this models, the dim side does not fit. */
+  private val SaltBuckets = 8
+  def joinSaltedSkew(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    import s.implicits._
+    val fact = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity",
+        pmod($"l_orderkey" + $"l_linenumber", lit(SaltBuckets)).as("salt"))
+    val dim = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderpriority")
+      .withColumn("salt", explode(array((0 until SaltBuckets).map(i => lit(i.toLong)): _*)))
+    fact.join(dim, fact("l_orderkey") === dim("o_orderkey") && fact("salt") === dim("salt"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"l_quantity".cast(Dec)).cast("double").as("total_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinSaltedSkewSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

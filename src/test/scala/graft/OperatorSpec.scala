@@ -291,6 +291,13 @@ class OperatorSpec extends SparkTestBase {
     assert(!p.contains("HashAggregate"), s"fingerprint re-grew an aggregation:\n$p")
   }
 
+  test("plan: join_salted_skew joins on (key, salt) with no broadcast") {
+    val p = fmtPlan("join_salted_skew")
+    assert(!p.contains("BroadcastHashJoin"),
+      s"salted join must model the too-big-to-broadcast case:\n$p")
+    assert(p.contains("salt"), s"join keys lost the salt column:\n$p")
+  }
+
   test("plan: events_pii_scrub builds the scrubbed payload in ONE regexp_replace") {
     val p = fmtPlan("events_pii_scrub")
     val nReplace = "regexp_replace".r.findAllIn(p.toLowerCase).length

@@ -206,9 +206,14 @@ object CurationOps {
     import spark.implicits._
     val perDoc = Tables.documents(spark, dir)
       .select($"source", size(split($"text", " ")).cast("bigint").as("n_tok"))
-    val total = perDoc.agg(sum($"n_tok").as("total_tokens"))
-    perDoc.groupBy($"source")
+    val grouped = perDoc.groupBy($"source")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    // total derived from the GROUPED side (sum of 20 group sums, exact
+    // BIGINT), not from a second pass over perDoc: both branches hang off
+    // the identical groupBy exchange, so ReuseExchange leaves ONE corpus
+    // scan where a perDoc-side total would force two
+    val total = grouped.agg(sum($"n_tokens").as("total_tokens"))
+    grouped
       .crossJoin(broadcast(total))
       .select($"source", $"n_docs", $"n_tokens",
         ($"n_tokens".cast("double") / $"total_tokens".cast("double")).as("token_share"),

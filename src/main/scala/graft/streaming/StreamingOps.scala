@@ -246,6 +246,66 @@ object StreamingOps {
       |  AS t(ad_id, imp_s, click_s)
       |ORDER BY ad_id, imp_s, click_s""".stripMargin
 
+  /** LEFT OUTER stream-stream interval join: same ad-impression/click
+    * shape as [[streamingStreamJoin]], but an impression with NO click
+    * inside its 60 s window is still emitted — with a null click — once
+    * the watermark passes the window's end and Spark can PROVE no match
+    * can ever arrive. That proof is the whole point: outer stream-stream
+    * joins are only well-defined because the watermark bounds both
+    * sides' buffered state; the null row materializes in the eviction
+    * micro-batch after the watermark advances, not when the row arrives.
+    * Unmatched CLICKS are dropped (left outer keeps the left side);
+    * rows whose window the watermark has not yet passed stay buffered
+    * and absent from the output. */
+  def streamingOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000L
+    val imps = MemoryStream[(Int, Long)]
+    val clicks = MemoryStream[(Int, Long)]
+    val impDf = imps.toDF().toDF("ad_id", "s")
+      .select($"ad_id", timestamp_seconds($"s").as("imp_ts"))
+      .withWatermark("imp_ts", "1 minute")
+    val clkDf = clicks.toDF().toDF("c_ad_id", "cs")
+      .select($"c_ad_id", timestamp_seconds($"cs").as("click_ts"))
+      .withWatermark("click_ts", "1 minute")
+    val joined = impDf.join(clkDf,
+      expr("ad_id = c_ad_id AND click_ts >= imp_ts AND " +
+        "click_ts <= imp_ts + interval 60 seconds"),
+      "left_outer")
+    val name = "graft_soj_" + UUID.randomUUID().toString.replace("-", "")
+    val q = joined
+      .select($"ad_id", unix_timestamp($"imp_ts").as("imp_s"),
+        unix_timestamp($"click_ts").as("click_s"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: ad 1 impressed + clicked in-window; ad 2 impressed,
+      // never clicked
+      imps.addData((1, base + 10), (2, base + 20))
+      clicks.addData((1, base + 40))
+      q.processAllAvailable()
+      // batch 2: far-future events on BOTH streams (global watermark is
+      // the min across inputs) push the watermark past ad 2's window →
+      // its null-click row is emitted by state eviction. Ad 9's own
+      // window is still open, so it stays buffered and absent; click 8
+      // matches nothing and is dropped.
+      imps.addData((9, base + 1000))
+      clicks.addData((8, base + 1000))
+      q.processAllAvailable()
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy($"ad_id")
+  }
+
+  val streamingOuterJoinSql: String =
+    """SELECT CAST(ad_id AS INT) AS ad_id, CAST(imp_s AS BIGINT) AS imp_s,
+      |       CAST(click_s AS BIGINT) AS click_s
+      |FROM (VALUES (1, 1700000010, 1700000040), (2, 1700000020, NULL))
+      |  AS t(ad_id, imp_s, click_s)
+      |ORDER BY ad_id""".stripMargin
+
   /** Driver-contract wrapper for a stream-static (dimension-enrichment)
     * join: a MemoryStream of keyed measures joined per micro-batch
     * against the static `nation` dimension, aggregated in complete mode.

@@ -89,6 +89,18 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming_outer_join: unmatched impression emits a null click after watermark") {
+    val rows = SparkEntry.queries("streaming_outer_join")(spark, sfDir).collect()
+    assert(rows.length == 2, s"expected 2 rows, got ${rows.length}")
+    val ad1 = rows.find(_.getInt(0) == 1).get
+    assert(!ad1.isNullAt(2), "clicked impression lost its click")
+    val ad2 = rows.find(_.getInt(0) == 2).get
+    assert(ad2.isNullAt(2),
+      "unclicked impression must surface with a null click once provably unmatchable")
+    // ad 9 (window still open) and click 8 (right side unmatched) absent
+    assert(!rows.exists(_.getInt(0) == 9) && !rows.exists(_.getInt(0) == 8))
+  }
+
   test("sql entry point: plain SQL over registered views") {
     Sql.register(spark, sfDir)
     val out = spark.sql(

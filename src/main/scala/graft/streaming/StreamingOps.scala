@@ -195,6 +195,50 @@ object StreamingOps {
       |FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS t(id, v)
       |ORDER BY id""".stripMargin
 
+  /** Bounded-state streaming dedup (`dropDuplicatesWithinWatermark`):
+    * the production counterpart of [[streamingDedup]], whose plain
+    * `dropDuplicates` keeps EVERY key's state forever — unbounded state
+    * on an unbounded stream. With a watermark the dedup state for a key
+    * is dropped once the watermark passes its event time, which buys
+    * bounded state at a precise, visible cost: a duplicate arriving
+    * AFTER its key's state expired is re-emitted (id 1 here — twice in
+    * the output, by design). Exactly the at-least-once upstream contract:
+    * duplicates are suppressed within the disorder bound, not forever. */
+  def streamingDedupWatermarked(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000L
+    val in = MemoryStream[(Long, Long)](numPartitions = 1)
+    val name = "graft_dedupw_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("id", "sec")
+      .select($"id", timestamp_seconds($"sec").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .dropDuplicatesWithinWatermark("id")
+      .select($"id", unix_timestamp($"ts").as("ts_s"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      // batch 1: id 1 duplicated within the watermark window → one row
+      in.addData((1L, base + 10), (1L, base + 12), (2L, base + 20))
+      q.processAllAvailable()
+      // batch 2: far-future event advances the watermark past ids 1-2,
+      // evicting their dedup state
+      in.addData((9L, base + 1000))
+      q.processAllAvailable()
+      // batch 3: id 1 reappears AFTER its state expired → re-emitted
+      in.addData((1L, base + 995))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy($"id", $"ts_s")
+  }
+
+  val streamingDedupWatermarkedSql: String =
+    """SELECT CAST(id AS BIGINT) AS id, CAST(ts_s AS BIGINT) AS ts_s
+      |FROM (VALUES (1, 1700000010), (1, 1700000995), (2, 1700000020),
+      |             (9, 1700001000)) AS t(id, ts_s)
+      |ORDER BY id, ts_s""".stripMargin
+
   /** Driver-contract wrapper for a REAL stream-stream interval join:
     * impressions and clicks as two MemoryStreams, both watermarked, inner
     * join on ad id with the click inside [imp_ts, imp_ts + 60 s]. The

@@ -101,6 +101,15 @@ class StreamingSpec extends SparkTestBase {
     assert(!rows.exists(_.getInt(0) == 9) && !rows.exists(_.getInt(0) == 8))
   }
 
+  test("streaming_dedup_watermarked: state expiry re-admits a late duplicate") {
+    val rows = SparkEntry.queries("streaming_dedup_watermarked")(spark, sfDir).collect()
+    val id1 = rows.filter(_.getLong(0) == 1L)
+    assert(id1.length == 2,
+      s"id 1 should appear twice (pre- and post-expiry), got ${id1.length}")
+    assert(rows.filter(_.getLong(0) == 2L).length == 1,
+      "in-window duplicate suppressed exactly once")
+  }
+
   test("sql entry point: plain SQL over registered views") {
     Sql.register(spark, sfDir)
     val out = spark.sql(

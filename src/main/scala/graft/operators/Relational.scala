@@ -133,6 +133,26 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch-based quantiles (`approx_percentile`, Spark's GK/KLL-family
+    * sketch) emitted NEXT TO the exact values so the error is visible in
+    * the row itself — the single-pass, bounded-memory path a 100 TB
+    * percentile query actually takes (exact percentiles sort the whole
+    * column). No oracle, same as `agg_approx_distinct`: sketch internals
+    * are engine-specific by design; the test suite asserts the relative
+    * error bound instead (accuracy parameter 10000 → well under 1 % on
+    * this data). */
+  def aggApproxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx_p50"),
+        expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
+        expr("approx_percentile(l_extendedprice, 0.95, 10000)").as("approx_p95"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Pearson correlation from exact INTEGER-CENT moments: corr built from
     * (n, Σx, Σy, Σx², Σy², Σxy) with the same double expression tree on
     * both engines. The built-in `corr` is summation-order-dependent and

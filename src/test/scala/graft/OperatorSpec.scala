@@ -373,6 +373,17 @@ class OperatorSpec extends SparkTestBase {
       "tiny-cardinality approx should be exact")
   }
 
+  test("agg_approx_percentile: sketch quantiles within 1% of exact") {
+    SparkEntry.queries("agg_approx_percentile")(spark, sfDir).collect().foreach { r =>
+      Seq((r.getDouble(1), r.getDouble(2)), (r.getDouble(3), r.getDouble(4)))
+        .foreach { case (exact, approx) =>
+          val relErr = math.abs(approx - exact) / exact
+          assert(relErr < 0.01,
+            s"approx percentile off by ${relErr * 100}% (exact $exact, approx $approx)")
+        }
+    }
+  }
+
   test("sort_zorder_events: z-value interleaves both dimension buckets") {
     val rows = SparkEntry.queries("sort_zorder_events")(spark, sfDir).collect()
     rows.foreach { r =>

@@ -71,7 +71,10 @@ case class FixedPointDotProduct(left: Expression, right: Expression)
 object FixedPointDotProduct {
   /** Register `graft_dot(a, b)` in the session's function registry so it
     * is usable from `expr(...)` strings. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => FixedPointDotProduct(exprs(0), exprs(1)), "scala_udf")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => FixedPointDotProduct(exprs(0), exprs(1)), "scala_udf")
+  }
 }

@@ -689,4 +689,65 @@ object Extended {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Native as-of join — the same query (and the same DuckDB `ASOF LEFT
+    * JOIN` oracle) as [[joinAsof]], planned onto the custom whole-operator
+    * path instead of the union-tag + window composition: a resolved
+    * [[graft.plans.AsOfJoin]] logical node, matched by the injected
+    * [[graft.plans.AsOfJoinStrategy]] onto [[graft.plans.AsOfJoinExec]]
+    * (co-partitioned, co-sorted, O(1)-state per-partition merge — see that
+    * file for the 100 TB rationale). Both variants stay registered on
+    * purpose: identical hashes prove the custom operator against the
+    * composable formulation AND the external oracle. */
+  def joinAsofNative(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+      .select($"o_custkey", $"o_orderdate".cast("timestamp").as("o_time"), $"o_orderkey")
+    val events = Tables.events(spark, dir)
+      .select($"event_id", (pmod($"user_id", lit(100)) + 1).as("custkey"), $"ts")
+    graft.plans.GraftOps.asofJoin(events, orders, "custkey", "o_custkey", "ts", "o_time")
+      .select($"event_id", $"custkey", expr("unix_micros(ts)").as("ts_us"),
+        $"o_orderkey".as("matched_orderkey"))
+      .orderBy($"event_id")
+  }
+
+  val joinAsofNativeSql: String = joinAsofSql
+
+  /** Top-k-dimension join under the maxRows-based broadcast rule
+    * ([[graft.plans.BroadcastBoundedLimit]]). Stats-based broadcasting is
+    * disabled in a cloned session (at 100 TB size estimates are routinely
+    * unusable or turned off); the rule alone must recognize that a
+    * `Sort + LIMIT 10` side is PROVABLY ≤ 10 rows and hint it broadcast —
+    * plan-asserted in OperatorSpec. Without it, the fact table pays a full
+    * shuffle to meet 10 rows in a sort-merge join. */
+  def joinLimitBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.plans.GraftOps.ensureInjected(s)
+    import s.implicits._
+    val topOrders = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(10)
+      .select($"o_orderkey")
+    Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity")
+      .join(topOrders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum($"l_quantity".cast(Dec)).cast("double").as("total_qty"))
+      .orderBy($"o_orderkey")
+  }
+
+  val joinLimitBroadcastSql: String =
+    """WITH top_orders AS (
+      |  SELECT o_orderkey FROM orders
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
+      |SELECT o_orderkey, count(*) AS n_lines,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM lineitem JOIN top_orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderkey
+      |ORDER BY o_orderkey""".stripMargin
 }

@@ -407,4 +407,28 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1, 1700000010L, 1700000040L), (3, 1700000500L, 1700000530L)))
   }
+
+  test("plan: join_asof_native runs on the custom AsOfJoin operator, no union/window") {
+    val p = fmtPlan("join_asof_native")
+    assert(p.contains("AsOfJoin"),
+      s"custom AsOfJoinExec missing — strategy not injected?:\n$p")
+    assert(!p.contains("Window"), s"as-of fell back to the window composition:\n$p")
+    assert(!p.contains("Union"), s"as-of fell back to the union-tag composition:\n$p")
+  }
+
+  test("join_asof_native matches the composed join_asof row-for-row") {
+    val native = SparkEntry.queries("join_asof_native")(spark, sfDir).collect()
+    val composed = SparkEntry.queries("join_asof")(spark, sfDir).collect()
+    assert(native.length == composed.length)
+    native.zip(composed).foreach { case (n, c) =>
+      assert(n == c, s"native/composed as-of divergence: $n vs $c") }
+  }
+
+  test("plan: join_limit_broadcast broadcasts the LIMIT-bounded side without stats") {
+    val p = fmtPlan("join_limit_broadcast")
+    assert(p.contains("BroadcastHashJoin"),
+      s"BroadcastBoundedLimit rule did not hint the provably-small side:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"top-k dim join degraded to a full fact shuffle:\n$p")
+  }
 }

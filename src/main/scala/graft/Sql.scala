@@ -72,4 +72,29 @@ object Sql {
 
   def sqlCustomerDistribution(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, customerDistributionSql)
+
+  /** TPC-H Q2-style correlated scalar subquery (adapted to this schema:
+    * lineitem doubles as the part-supplier price list): for every large
+    * part, the supplier(s) selling it at the minimum observed price.
+    * ONE shared ANSI text on both engines. Catalyst decorrelates the
+    * scalar subquery into a per-part min aggregate + equi-join — no
+    * per-row re-execution — and the outer three-way join stays on key
+    * columns. `min_price` is a SELECTED parquet double (no arithmetic),
+    * so equality and ordering are exact on both engines; DISTINCT makes
+    * rows unique on (p_partkey, s_name), which the ORDER BY totally
+    * orders. */
+  val minCostSupplierSql: String =
+    """SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name,
+      |       l.l_extendedprice AS min_price
+      |FROM part p, lineitem l, supplier s
+      |WHERE l.l_partkey = p.p_partkey
+      |  AND s.s_suppkey = l.l_suppkey
+      |  AND p.p_size >= 40
+      |  AND l.l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = p.p_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  def sqlMinCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, minCostSupplierSql)
 }

@@ -750,4 +750,92 @@ object Extended {
       |FROM lineitem JOIN top_orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderkey
       |ORDER BY o_orderkey""".stripMargin
+
+  /** Value-based window frame (RANGE BETWEEN): per order, the customer's
+    * trailing-90-day order value. Completes the frame coverage next to
+    * [[windowRunningSum]]'s ROWS frame — RANGE frames are the correct tool
+    * whenever the window is defined by the ORDER-BY VALUE (days here), not
+    * a row count, and they make ties well-defined: all same-day orders of
+    * a customer fall in each other's frame, so the sum is deterministic
+    * under any intra-day row order (decimal-exact on both engines). Day
+    * arithmetic is exact integer epoch-days on both sides. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"d").rangeBetween(-90, 0)
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_custkey",
+        expr("unix_date(to_date(o_orderdate))").cast("long").as("d"),
+        $"o_totalprice".cast(Dec).as("price"))
+      .withColumn("trailing_90d", sum($"price").over(w).cast("double"))
+      .select($"o_orderkey", $"o_custkey", $"d", $"trailing_90d")
+      .orderBy($"o_orderkey")
+  }
+
+  val windowRangeFrameSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |    PARTITION BY o_custkey
+      |    ORDER BY CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+      |    RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_90d
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Pure interval join (NO equi key) made distributable by binning: how
+    * many orders are "open" (ordered, not yet fully shipped) at each
+    * biweekly probe date of 1997 (mid-range of the data's 1995-2001
+    * order-date span), and their total value.
+    *
+    * The naive plan for `od <= p AND p < dd` is a broadcast nested-loop
+    * join — fine for 27 probe points, fatal when BOTH sides are large
+    * (point-in-interval joins over IP ranges, time ranges, genomic
+    * intervals). The scale shape used here: quantize the time axis into
+    * fixed 64-day bins, explode each interval to the bins it covers
+    * (bounded fan-out: order-fulfillment spans are weeks-to-months, so
+    * ≤ ~4 bins each), map each probe point to its single bin, equi-join
+    * on the bin, then re-check the exact predicate as a residual filter.
+    * The join is a plain hash join on `bin` — partitionable, AQE-
+    * splittable, no cartesian anywhere (plan-asserted). The oracle states
+    * the pure interval-join semantics directly. */
+  def joinIntervalBinned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val done = Tables.lineitem(spark, dir).groupBy($"l_orderkey")
+      .agg(max(expr("unix_date(to_date(l_shipdate))").cast("long")).as("dd"))
+    val lo = expr("unix_date(date'1997-01-01')").cast("long")
+    val hi = expr("unix_date(date'1997-12-31')").cast("long")
+    val iv = Tables.orders(spark, dir)
+      .select($"o_orderkey",
+        expr("unix_date(to_date(o_orderdate))").cast("long").as("od"), $"o_totalprice")
+      .join(done, $"o_orderkey" === $"l_orderkey")
+      .filter($"od" <= hi && $"dd" > lo)
+      .withColumn("bin", explode(expr("sequence(od div 64, dd div 64)")))
+    val probes = spark.range(1)
+      .select(explode(sequence(lo, hi, lit(14L))).as("p"))
+      .withColumn("bin", expr("p div 64"))
+    iv.join(probes, "bin")
+      .filter($"od" <= $"p" && $"p" < $"dd")
+      .groupBy($"p")
+      .agg(count(lit(1)).as("n_open"),
+        sum($"o_totalprice".cast(Dec)).cast("double").as("open_value"))
+      .orderBy($"p")
+  }
+
+  val joinIntervalBinnedSql: String =
+    """WITH done AS (
+      |  SELECT l_orderkey,
+      |         CAST(max(CAST(l_shipdate AS DATE)) - DATE '1970-01-01' AS BIGINT) AS dd
+      |  FROM lineitem GROUP BY l_orderkey),
+      |iv AS (
+      |  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS od,
+      |         dd, o_totalprice
+      |  FROM orders JOIN done ON o_orderkey = l_orderkey),
+      |probes AS (
+      |  SELECT unnest(generate_series(
+      |    CAST(DATE '1997-01-01' - DATE '1970-01-01' AS BIGINT),
+      |    CAST(DATE '1997-12-31' - DATE '1970-01-01' AS BIGINT), 14)) AS p)
+      |SELECT p, count(*) AS n_open,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS open_value
+      |FROM probes JOIN iv ON od <= p AND p < dd
+      |GROUP BY p
+      |ORDER BY p""".stripMargin
 }

@@ -247,4 +247,67 @@ object TextOps {
       |SELECT d.doc_id, md5(lower(d.text)) AS fp_exact, m.fp_min_gram
       |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
       |ORDER BY d.doc_id""".stripMargin
+
+  /** Bigram collocation mining (tokenizer prep: which adjacent word pairs
+    * co-occur far more than chance — multi-word-expression candidates for
+    * vocabulary merges). Association is a PMI-style LIFT kept RATIONAL:
+    * `lift = (n_xy · T²) / (B · n_x · n_y)` — the log of classic PMI is
+    * monotone, so ranking is unchanged, and staying transcendental-free
+    * keeps the doubles bit-equal across engines (same reason the tf-idf
+    * query uses a BM25-style rational idf).
+    *
+    * Scale shape: bigram construction is NARROW (per-row array slide, like
+    * the shingle pipeline — no window over the exploded token stream);
+    * the two count aggregations shuffle O(vocab) partials; the unigram
+    * re-attachment is a hash join on the word key (no broadcast hint —
+    * vocabulary grows with the corpus); the two 1-row totals are derived
+    * from the GROUPED sides (no second corpus pass) and are the only
+    * broadcast sides. Final top-50 is a TakeOrderedAndProject. */
+  def textBigramCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(split(lower($"text"), " ").as("ws"))
+    val bg = docs
+      .select(explode(when(size($"ws") >= 2, expr(
+        "transform(sequence(0, size(ws) - 2), i -> named_struct('w1', ws[i], 'w2', ws[i+1]))"))
+        .otherwise(expr("array()"))).as("b"))
+      .select($"b.w1", $"b.w2")
+      .groupBy($"w1", $"w2").agg(count(lit(1)).as("n_xy"))
+    val uni = docs.select(explode($"ws").as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("n_w"))
+    val tot = uni.agg(sum($"n_w").as("t_tok"))
+    val btot = bg.agg(sum($"n_xy").as("b_tot"))
+    bg.join(uni.select($"w".as("w1"), $"n_w".as("n_x")), "w1")
+      .join(uni.select($"w".as("w2"), $"n_w".as("n_y")), "w2")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(btot))
+      .filter($"n_xy" >= 3)
+      .withColumn("lift", expr(
+        "(CAST(n_xy AS DOUBLE) * CAST(t_tok AS DOUBLE) * CAST(t_tok AS DOUBLE)) / " +
+        "(CAST(b_tot AS DOUBLE) * CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))"))
+      .select($"w1", $"w2", $"n_xy", $"lift")
+      .orderBy($"lift".desc, $"w1", $"w2")
+      .limit(50)
+  }
+
+  val textBigramCollocationsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
+      |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      |  FROM documents),
+      |bg0 AS (
+      |  SELECT w AS w1, lead(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |  FROM words),
+      |bg AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy
+      |  FROM bg0 WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM words GROUP BY w),
+      |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS t_tok FROM uni),
+      |btot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS b_tot FROM bg)
+      |SELECT bg.w1, bg.w2, bg.n_xy,
+      |  (CAST(bg.n_xy AS DOUBLE) * CAST(t_tok AS DOUBLE) * CAST(t_tok AS DOUBLE)) /
+      |  (CAST(b_tot AS DOUBLE) * CAST(u1.n_w AS DOUBLE) * CAST(u2.n_w AS DOUBLE)) AS lift
+      |FROM bg, uni u1, uni u2, tot, btot
+      |WHERE bg.w1 = u1.w AND bg.w2 = u2.w AND bg.n_xy >= 3
+      |ORDER BY lift DESC, bg.w1, bg.w2
+      |LIMIT 50""".stripMargin
 }

@@ -424,6 +424,14 @@ class OperatorSpec extends SparkTestBase {
       assert(n == c, s"native/composed as-of divergence: $n vs $c") }
   }
 
+  test("plan: join_interval_binned is an equi join on bins, never BNLJ/cartesian") {
+    val p = fmtPlan("join_interval_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join planned a BroadcastNestedLoopJoin — binning not applied:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"interval join planned a CartesianProduct:\n$p")
+  }
+
   test("plan: join_limit_broadcast broadcasts the LIMIT-bounded side without stats") {
     val p = fmtPlan("join_limit_broadcast")
     assert(p.contains("BroadcastHashJoin"),

@@ -25,6 +25,7 @@ object Sql {
     // events goes through the nanos→micros conversion reader
     Tables.events(spark, dir).createOrReplaceTempView("events")
     graft.functions.FixedPointDotProduct.register(spark)
+    graft.functions.TopKPairs.register(spark)
   }
 
   def sql(spark: SparkSession, dir: String, query: String): DataFrame = {

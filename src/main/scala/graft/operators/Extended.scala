@@ -838,4 +838,39 @@ object Extended {
       |FROM probes JOIN iv ON od <= p AND p < dd
       |GROUP BY p
       |ORDER BY p""".stripMargin
+
+  /** Top-3 orders per status through the CUSTOM BOUNDED-STATE AGGREGATE
+    * `graft_topk` ([[graft.functions.TopKPairs]], a TypedImperativeAggregate):
+    * the partial (map-side) aggregate already truncates to k pairs of
+    * longs, so the shuffle carries O(groups × k) regardless of group size
+    * — unlike the window formulation (`sample_topk_per_group`), which
+    * shuffles and sorts every row of every group. The aggregate's output
+    * order is total (price DESC, orderkey ASC), so the exploded result is
+    * deterministic; the oracle states the same top-k with a row_number
+    * window. Prices are exact integer cents. */
+  def aggTopkCustom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TopKPairs.register(spark)
+    Tables.orders(spark, dir)
+      .select($"o_orderstatus",
+        ($"o_totalprice".cast(Dec) * 100).cast("long").as("price_cents"), $"o_orderkey")
+      .groupBy($"o_orderstatus")
+      .agg(expr("graft_topk(price_cents, o_orderkey, 3)").as("top3"))
+      .select($"o_orderstatus", posexplode($"top3"))
+      .select($"o_orderstatus", ($"pos" + 1).cast("long").as("rank"),
+        $"col.sort_val".as("price_cents"), $"col.tie_val".as("okey"))
+      .orderBy($"o_orderstatus", $"rank")
+  }
+
+  val aggTopkCustomSql: String =
+    """SELECT o_orderstatus, rank, price_cents, okey FROM (
+      |  SELECT o_orderstatus,
+      |    CAST(row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) DESC,
+      |               o_orderkey) AS BIGINT) AS rank,
+      |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS price_cents,
+      |    o_orderkey AS okey
+      |  FROM orders) t
+      |WHERE rank <= 3
+      |ORDER BY o_orderstatus, rank""".stripMargin
 }

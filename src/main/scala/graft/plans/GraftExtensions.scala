@@ -39,6 +39,7 @@ object GraftOps {
     if (!em.extraOptimizations.contains(BroadcastBoundedLimit))
       em.extraOptimizations = em.extraOptimizations :+ BroadcastBoundedLimit
     FixedPointDotProduct.register(spark)
+    graft.functions.TopKPairs.register(spark)
   }
 
   /** Left as-of join (see [[AsOfJoin]] for semantics and the scale

@@ -432,6 +432,36 @@ class OperatorSpec extends SparkTestBase {
       s"interval join planned a CartesianProduct:\n$p")
   }
 
+  test("plan: agg_topk_custom aggregates with map-side-combined graft_topk") {
+    val p = fmtPlan("agg_topk_custom")
+    assert(p.contains("ObjectHashAggregate"),
+      s"custom TypedImperativeAggregate should plan as ObjectHashAggregate:\n$p")
+    assert(p.toLowerCase.contains("partial_graft_topk"),
+      s"graft_topk must partial-aggregate map-side (bounded shuffle):\n$p")
+    assert(!p.contains("Window"), s"top-k fell back to a window sort:\n$p")
+  }
+
+  test("agg_topk_custom matches the window-based top-k row-for-row") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val viaAgg = SparkEntry.queries("agg_topk_custom")(spark, sfDir).collect()
+    val o = Tables.orders(spark, sfDir)
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    val viaWindow = o.select(col("o_orderstatus"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("price_cents"),
+        col("o_orderkey"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_orderstatus"), col("rank"), col("price_cents"),
+        col("o_orderkey").as("okey"))
+      .orderBy(col("o_orderstatus"), col("rank"))
+      .collect()
+    assert(viaAgg.length == viaWindow.length)
+    viaAgg.zip(viaWindow).foreach { case (a, b) =>
+      assert(a == b, s"custom-agg/window top-k divergence: $a vs $b") }
+  }
+
   test("plan: join_limit_broadcast broadcasts the LIMIT-bounded side without stats") {
     val p = fmtPlan("join_limit_broadcast")
     assert(p.contains("BroadcastHashJoin"),

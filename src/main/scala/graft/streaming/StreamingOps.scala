@@ -239,6 +239,45 @@ object StreamingOps {
       |             (9, 1700001000)) AS t(id, ts_s)
       |ORDER BY id, ts_s""".stripMargin
 
+  /** Running per-key aggregation on the ROCKSDB state store backend —
+    * the state-scale counterpart of the fixture queries above. The
+    * default HDFS-backed store keeps every version of every state row ON
+    * HEAP; at 100 TB-pipeline state sizes (billions of dedup keys,
+    * millions of live sessions) that is executor OOM, not a tuning knob.
+    * `RocksDBStateStoreProvider` (rocksdbjni ships with Spark) moves
+    * state off-heap with incremental checkpointing — the same query,
+    * one conf away, which is exactly why the provider is set per-session
+    * here and asserted against the query's state-operator metrics in
+    * StreamingSpec. State carries across micro-batches (complete-mode
+    * counts merge batch 1 + 2); results are engine-deterministic longs. */
+  def streamingRocksdbAgg(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(Long, Long)](numPartitions = 1)
+    val name = "graft_rocks_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("k", "amount")
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n"), sum($"amount").as("total"))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .start()
+    try {
+      in.addData((1L, 10L), (2L, 20L), (1L, 5L))
+      q.processAllAvailable()
+      in.addData((2L, 7L), (3L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy($"k")
+  }
+
+  val streamingRocksdbAggSql: String =
+    """SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |       CAST(total AS BIGINT) AS total
+      |FROM (VALUES (1, 2, 15), (2, 2, 27), (3, 1, 1)) AS t(k, n, total)
+      |ORDER BY k""".stripMargin
+
   /** Driver-contract wrapper for a REAL stream-stream interval join:
     * impressions and clicks as two MemoryStreams, both watermarked, inner
     * join on ad id with the click inside [imp_ts, imp_ts + 60 s]. The

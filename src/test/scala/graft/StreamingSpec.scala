@@ -233,4 +233,28 @@ class StreamingSpec extends SparkTestBase {
     val lines = spark.read.text(outDir).collect().map(_.getString(0)).sorted
     assert(lines.toSeq == Seq("flink", "hardly", "love"))
   }
+
+  test("RocksDB state store backend actually carries the streaming state") {
+    import scala.jdk.CollectionConverters._
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val in = MemoryStream[(Long, Long)](numPartitions = 1)
+    val q = in.toDF().toDF("k", "v").groupBy($"k").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("rocks_probe").outputMode("complete")
+      .start()
+    try {
+      in.addData((1L, 1L), (1L, 2L), (2L, 1L))
+      q.processAllAvailable()
+      val stateOps = q.lastProgress.stateOperators
+      assert(stateOps.nonEmpty, "no state operator in the streaming progress")
+      val metricKeys = stateOps.head.customMetrics.keySet.asScala
+      assert(metricKeys.exists(_.toLowerCase.contains("rocksdb")),
+        s"state store is not RocksDB-backed; metrics: $metricKeys")
+      assert(s.table("rocks_probe").count() == 2)
+    } finally q.stop()
+  }
 }

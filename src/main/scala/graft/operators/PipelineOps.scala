@@ -356,6 +356,35 @@ object PipelineOps {
     * layouts are engine-specific, so cross-engine bit-parity is
     * impossible BY DESIGN — the test asserts the documented error bound
     * (rsd = 0.02) against the exact counts instead. */
+  /** Mergeable-sketch cardinality (Apache DataSketches HLL, built into
+    * Spark 4): per-event-type user sketches, each estimated in place, plus
+    * an ALL row whose estimate comes from UNIONING the per-type sketches —
+    * never re-reading raw data. This is the re-aggregatable pattern exact
+    * `countDistinct` fundamentally lacks at 100 TB: exact per-group
+    * distinct counts cannot be combined (the ALL row's exact side needs a
+    * second full pass, done here deliberately to show the asymmetry),
+    * while sketches are a few KB, persist as bytes, and union
+    * associatively — per-day sketches roll up to months for free.
+    * No oracle (sketch layouts are engine-specific, like
+    * `agg_approx_distinct`); the test suite asserts the union estimate
+    * equals the direct whole-table sketch estimate exactly and is within
+    * 5 % of exact. */
+  def aggHllMerge(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = Tables.events(spark, dir)
+    val perType = events.groupBy($"event_type")
+      .agg(hll_sketch_agg($"user_id").as("sk"),
+        countDistinct($"user_id").as("exact_users"))
+    val typed = perType.select($"event_type", $"exact_users",
+      hll_sketch_estimate($"sk").as("approx_users"))
+    val merged = perType
+      .agg(hll_sketch_estimate(hll_union_agg($"sk")).as("approx_users"))
+    val total = events.agg(countDistinct($"user_id").as("exact_users"))
+      .crossJoin(merged)
+      .select(lit("ALL").as("event_type"), $"exact_users", $"approx_users")
+    typed.unionByName(total).orderBy($"event_type")
+  }
+
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)

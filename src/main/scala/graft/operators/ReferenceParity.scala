@@ -131,6 +131,29 @@ object ReferenceParity {
   val sourceJsonlRoundtripSql: String =
     "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
 
+  /** ORC source/sink roundtrip — the second columnar format Spark ships
+    * natively. Same pushdown/pruning machinery as parquet (predicate
+    * pushdown, column pruning, vectorized read), so at scale the choice
+    * between them is ecosystem, not capability; a user of the reference
+    * migrating ORC data switches with one format string. The read-back
+    * states the schema explicitly like every other source here (ORC
+    * carries its schema, but pinning it asserts the roundtrip preserved
+    * the types, not just the values). */
+  def sourceOrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_orc").resolve("nation").toString
+    Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .coalesce(1).write.mode("overwrite").orc(out)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .orc(out)
+      .orderBy($"n_nationkey")
+  }
+
+  val sourceOrcRoundtripSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
   /** P1: 1→1 map, uppercase (`TestFlinkStreams.java:56`) — expressed as the
     * codegen'd Catalyst `Upper` expression rather than a typed lambda. */
   def mapUppercase(spark: SparkSession, dir: String): DataFrame = {

@@ -462,6 +462,25 @@ class OperatorSpec extends SparkTestBase {
       assert(a == b, s"custom-agg/window top-k divergence: $a vs $b") }
   }
 
+  test("agg_hll_merge: sketch union is lossless and estimates stay within 5%") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("agg_hll_merge")(spark, sfDir).collect()
+    assert(rows.length >= 2, "expected per-type rows plus the ALL row")
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: HLL estimate $approx off exact $exact by >5%")
+    }
+    // associativity: union of per-type sketches == one whole-table sketch
+    val merged = rows.find(_.getString(0) == "ALL").get.getLong(2)
+    val direct = Tables.events(spark, sfDir)
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))))
+      .collect()(0).getLong(0)
+    assert(merged == direct,
+      s"union-of-sketches estimate $merged != direct sketch estimate $direct")
+  }
+
   test("plan: join_limit_broadcast broadcasts the LIMIT-bounded side without stats") {
     val p = fmtPlan("join_limit_broadcast")
     assert(p.contains("BroadcastHashJoin"),

@@ -873,4 +873,55 @@ object Extended {
       |  FROM orders) t
       |WHERE rank <= 3
       |ORDER BY o_orderstatus, rank""".stripMargin
+
+  /** Dynamic partition pruning over a hive-partitioned fact layout: the
+    * orders measures are first laid out partitioned by order priority
+    * (the canonical date-key layout of a 100 TB fact table, modeled on
+    * the 5-value priority column so the fixture stays small), then
+    * joined to a tiny priority-dimension filtered to one class. The dim
+    * filter is NOT a literal predicate on the fact side — statically
+    * Spark must scan all partitions — but DPP turns the broadcast dim
+    * into a runtime partition filter (`dynamicpruningexpression` in the
+    * scan, reusing the join's own broadcast exchange, so the filter
+    * costs nothing), and the fact scan reads 2 of 5 partition
+    * directories. At 100 TB that is the difference between scanning a
+    * week and scanning five years; the plan shape is asserted in
+    * OperatorSpec. */
+  def joinDppPruned(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp")
+    val out = base.resolve("orders_by_priority").toString
+    val dimPath = base.resolve("priority_dim").toString
+    Tables.orders(spark, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    // the dim must be a STORED relation: a filter over an in-memory
+    // LocalRelation is constant-folded away before the pruning rule runs,
+    // and DPP requires a surviving selective predicate on the build side
+    Seq(("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
+        ("3-MEDIUM", "routine"), ("4-NOT SPECIFIED", "routine"),
+        ("5-LOW", "routine")).toDF("p_priority", "p_class")
+      .coalesce(1).write.mode("overwrite").parquet(dimPath)
+    val fact = spark.read.parquet(out)
+    val dim = spark.read
+      .schema("p_priority STRING, p_class STRING").parquet(dimPath)
+    fact.join(dim.filter($"p_class" === "expedite"),
+        $"o_orderpriority" === $"p_priority")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(Dec)).cast("double").as("sum_price"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinDppPrunedSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |JOIN (SELECT * FROM (VALUES ('1-URGENT', 'expedite'), ('2-HIGH', 'expedite'),
+      |        ('3-MEDIUM', 'routine'), ('4-NOT SPECIFIED', 'routine'),
+      |        ('5-LOW', 'routine')) AS m(p_priority, p_class)
+      |      WHERE p_class = 'expedite') d
+      |  ON o_orderpriority = d.p_priority
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
 }

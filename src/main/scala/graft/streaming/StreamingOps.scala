@@ -4,10 +4,10 @@ import java.util.UUID
 import java.util.concurrent.atomic.AtomicReference
 
 import graft.{FailureRegistry, UnstableData}
-import org.apache.spark.sql.{DataFrame, Dataset, ForeachWriter, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, ForeachWriter, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, StreamingQueryException}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, StreamingQueryException, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming ports of the reference's streaming semantics
   * (SURVEY.md §2.3-2.4, §2.7):
@@ -277,6 +277,72 @@ object StreamingOps {
       |       CAST(total AS BIGINT) AS total
       |FROM (VALUES (1, 2, 15), (2, 2, 27), (3, 1, 1)) AS t(k, n, total)
       |ORDER BY k""".stripMargin
+
+  /** Per-key running (count, total) through the NEW arbitrary-state API
+    * (`transformWithState`, Spark 4): typed `ValueState` read/updated per
+    * input row, emitting a running-aggregate row for EVERY input — the
+    * per-row emission cadence `groupBy().agg()` cannot express in append
+    * mode (it only emits on watermark close / complete-mode snapshots).
+    * This is `flatMapGroupsWithState`'s successor: state is declared as
+    * named, individually-evolvable variables on a handle (ValueState /
+    * ListState / MapState + TTL + timers) instead of one opaque blob,
+    * and the runtime requires the RocksDB provider — which is the 100 TB
+    * posture anyway (off-heap state, incremental checkpoints; see
+    * [[streamingRocksdbAgg]]). */
+  final class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState("running",
+        Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, total) = if (st.exists()) st.get() else (0L, 0L)
+      val out = rows.map { case (_, amount) =>
+        n += 1; total += amount
+        st.update((n, total))
+        (key, n, total)
+      }.toList // materialize: state updates must happen in this call
+      out.iterator
+    }
+  }
+
+  /** Driver-contract wrapper: two micro-batches through
+    * [[RunningTotalsProcessor]] — key 1's and 2's second rows continue
+    * from checkpointed state, proving the cross-batch carry; single-
+    * partition input keeps per-key row order deterministic. */
+  def streamingTransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(Long, Long)](numPartitions = 1)
+    val name = "graft_tws_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        Encoders.product[(Long, Long, Long)])
+      .toDF("k", "n", "total")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      in.addData((1L, 10L), (2L, 20L), (1L, 5L))
+      q.processAllAvailable()
+      in.addData((2L, 7L), (3L, 1L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy($"k", $"n")
+  }
+
+  val streamingTransformWithStateSql: String =
+    // running rows: k1 → (1,10),(2,15); k2 → (1,20),(2,27); k3 → (1,1)
+    """SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+      |       CAST(total AS BIGINT) AS total
+      |FROM (VALUES (1, 1, 10), (1, 2, 15), (2, 1, 20), (2, 2, 27),
+      |             (3, 1, 1)) AS t(k, n, total)
+      |ORDER BY k, n""".stripMargin
 
   /** Driver-contract wrapper for a REAL stream-stream interval join:
     * impressions and clicks as two MemoryStreams, both watermarked, inner

@@ -481,6 +481,12 @@ class OperatorSpec extends SparkTestBase {
       s"union-of-sketches estimate $merged != direct sketch estimate $direct")
   }
 
+  test("plan: join_dpp_pruned carries a dynamic partition-pruning filter on the fact scan") {
+    val p = fmtPlan("join_dpp_pruned")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamicpruningexpression in the fact scan — all partitions read:\n$p")
+  }
+
   test("plan: join_limit_broadcast broadcasts the LIMIT-bounded side without stats") {
     val p = fmtPlan("join_limit_broadcast")
     assert(p.contains("BroadcastHashJoin"),

@@ -98,4 +98,33 @@ object Sql {
 
   def sqlMinCostSupplier(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, minCostSupplierSql)
+
+  /** TPC-H Q5-style local-supplier volume: revenue per nation for one
+    * region and one order year, where the lineitem's supplier and the
+    * order's customer share a nation. ONE shared ANSI text on both
+    * engines. This is the join-REORDER showcase: six relations in an
+    * unordered comma list, and Catalyst must (and does) build the tree
+    * selective-first — region filter → nation → broadcast down the
+    * customer/supplier sides, never materializing the unconstrained
+    * cross products the syntactic order implies. The revenue expression
+    * rides the exact-decimal pattern; ties break on n_name. */
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey
+      |  AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def sqlLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, localSupplierVolumeSql)
 }

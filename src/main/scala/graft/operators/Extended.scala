@@ -913,6 +913,62 @@ object Extended {
       .orderBy($"o_orderpriority")
   }
 
+  /** AQE runtime skew-join split — the ADAPTIVE counterpart of the
+    * hand-salted [[joinSaltedSkew]]. The fact side funnels ~75 % of
+    * lineitem onto one join key (the celebrity-key shape), the dim side
+    * is too big to broadcast (threshold off), so statically this is a
+    * sort-merge join with one reducer drowning. AQE measures the actual
+    * shuffle-partition sizes at the stage boundary and SPLITS the skewed
+    * partition into advisory-sized slices, replicating the matching dim
+    * partition per slice (`skew=true` on the join in the executed plan,
+    * asserted in OperatorSpec) — no code changes, no salt columns. The
+    * thresholds are scaled down to fixture sizes; on a real cluster the
+    * defaults (256 MB/partition, factor 5) do the same job. Salting
+    * remains the tool when skew must be fixed BEFORE the shuffle (AQE
+    * splits post-shuffle map output); this query is the runtime half of
+    * that story. */
+  def joinAqeSkew(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    import s.implicits._
+    // AQE splits a skewed partition along MAPPER boundaries, so the fact
+    // side must come from several map tasks — the fixture's single-row-
+    // group parquet collapses to ONE mapper (whose block can't be split),
+    // where a real 100 TB fact side has thousands; the round-robin
+    // repartition models that many-mapper shape explicitly
+    val fact = Tables.lineitem(s, dir).select(
+      when(pmod($"l_orderkey", lit(8)) < 6, lit(1L))
+        .otherwise(pmod($"l_orderkey", lit(1000))).as("sk"),
+      $"l_quantity")
+      .repartition(8)
+    // dim side must stay Sort(shuffle-stage) for the skew rule to match —
+    // a post-shuffle agg (e.g. distinct) between them defeats it, so the
+    // dim is the naturally-unique customer key, filtered map-side only
+    val dim = Tables.customer(s, dir)
+      .filter($"c_custkey" <= 1000).select($"c_custkey".as("k"))
+    fact.join(dim, $"sk" === $"k")
+      .groupBy(pmod($"k", lit(7)).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast(Dec)).cast("double").as("sum_qty"))
+      .orderBy($"grp")
+  }
+
+  val joinAqeSkewSql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 8 < 6 THEN 1
+      |              ELSE l_orderkey % 1000 END AS sk, l_quantity
+      |  FROM lineitem),
+      |dim AS (SELECT c_custkey AS k FROM customer WHERE c_custkey <= 1000)
+      |SELECT k % 7 AS grp, count(*) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM fact JOIN dim ON sk = k
+      |GROUP BY 1
+      |ORDER BY grp""".stripMargin
+
   val joinDppPrunedSql: String =
     """SELECT o_orderpriority, count(*) AS n_orders,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price

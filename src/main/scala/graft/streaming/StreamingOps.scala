@@ -307,6 +307,83 @@ object StreamingOps {
     }
   }
 
+  /** Event-time TIMERS through `transformWithState`: per-key session
+    * close-out without `session_window`'s merge machinery. Each input
+    * batch bumps a per-key count and (re)arms one timer at
+    * last-event-time + gap; when the WATERMARK passes the timer,
+    * `handleExpiredTimer` emits the session summary and clears state.
+    * This is the primitive that windowing, TTL caches, and SLA alerts
+    * ("no heartbeat for 30 s") compile down to — and unlike
+    * `flatMapGroupsWithState`'s single per-key timeout, timers here are
+    * first-class values (list/delete/re-arm several) next to named state.
+    * A key whose timer the watermark never passes stays open and emits
+    * nothing — correct append-mode session semantics. */
+  final class SessionTimeoutProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp), (Long, Long)] {
+    @transient private var cnt: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState("cnt", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[(Long, Long)] = {
+      var n = if (cnt.exists()) cnt.get() else 0L
+      var lastMs = Long.MinValue
+      rows.foreach { case (_, ts) => n += 1; lastMs = math.max(lastMs, ts.getTime) }
+      cnt.update(n)
+      // re-arm: one live timer per key (timers are enumerable + deletable)
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer(lastMs + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+        info: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val out = if (cnt.exists()) Iterator.single((key, cnt.get())) else Iterator.empty
+      cnt.clear()
+      out
+    }
+  }
+
+  /** Driver-contract wrapper for [[SessionTimeoutProcessor]]: keys 1-2
+    * build sessions in batch 1 (timers armed at last-event + 30 s); the
+    * far-future event in batch 2 advances the watermark past both timers,
+    * whose expiry emits the summaries in the watermark-advance batch.
+    * Key 9's own timer is never passed → stays open, absent from the
+    * output. */
+  def streamingTwsTimers(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val base = 1700000000L
+    val in = MemoryStream[(Long, Long)](numPartitions = 1)
+    val name = "graft_twst_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("k", "sec")
+      .select($"k", timestamp_seconds($"sec").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionTimeoutProcessor(30000L),
+        TimeMode.EventTime(), OutputMode.Append(),
+        Encoders.product[(Long, Long)])
+      .toDF("k", "n_events")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      in.addData((1L, base + 10), (1L, base + 12), (2L, base + 20))
+      q.processAllAvailable()
+      in.addData((9L, base + 1000))
+      q.processAllAvailable()
+      q.processAllAvailable() // watermark-advance batch fires the timers
+    } finally q.stop()
+    s.table(name).orderBy($"k")
+  }
+
+  val streamingTwsTimersSql: String =
+    """SELECT CAST(k AS BIGINT) AS k, CAST(n_events AS BIGINT) AS n_events
+      |FROM (VALUES (1, 2), (2, 1)) AS t(k, n_events)
+      |ORDER BY k""".stripMargin
+
   /** Driver-contract wrapper: two micro-batches through
     * [[RunningTotalsProcessor]] — key 1's and 2's second rows continue
     * from checkpointed state, proving the cross-batch carry; single-

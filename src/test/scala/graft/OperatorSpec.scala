@@ -481,6 +481,14 @@ class OperatorSpec extends SparkTestBase {
       s"union-of-sketches estimate $merged != direct sketch estimate $direct")
   }
 
+  test("plan: join_aqe_skew splits the skewed partition at runtime (skew=true)") {
+    val df = SparkEntry.queries("join_aqe_skew")(spark, sfDir)
+    df.collect() // AQE decisions only exist in the EXECUTED plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not mark the join skewed — hot partition ran on one reducer:\n$p")
+  }
+
   test("plan: join_dpp_pruned carries a dynamic partition-pruning filter on the fact scan") {
     val p = fmtPlan("join_dpp_pruned")
     assert(p.toLowerCase.contains("dynamicpruning"),

@@ -385,6 +385,35 @@ object PipelineOps {
     typed.unionByName(total).orderBy($"event_type")
   }
 
+  /** Observed write: named `Observation` metrics (row count + exact
+    * decimal revenue) piggyback on the WRITE pass itself — the executors
+    * accumulate them while producing the sink output, so data-quality
+    * telemetry costs zero extra scans. At 100 TB the alternative — a
+    * separate validation query after the write — doubles the pipeline's
+    * read volume; `observe` is the Spark-native answer (same mechanism
+    * streaming queries surface via `lastProgress.observedMetrics`). The
+    * query returns the observed metrics as a 1-row frame, which the
+    * oracle recomputes declaratively — proving the piggybacked metrics
+    * equal a dedicated aggregation pass. */
+  def pipelineObservedWrite(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Dec = org.apache.spark.sql.types.DecimalType(12, 2)
+    val obs = new org.apache.spark.sql.Observation(
+      "graft_obs_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    val df = Tables.orders(spark, dir)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum($"o_totalprice".cast(Dec)).cast("double").as("sum_price"))
+    df.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_price").asInstanceOf[Double]))
+      .toDF("n_rows", "sum_price")
+  }
+
+  val pipelineObservedWriteSql: String =
+    """SELECT count(*) AS n_rows,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders""".stripMargin
+
   def aggApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.events(spark, dir)

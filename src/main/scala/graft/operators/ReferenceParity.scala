@@ -154,6 +154,52 @@ object ReferenceParity {
   val sourceOrcRoundtripSql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
 
+  /** Avro source/sink roundtrip — Spark 4 bundles the Avro datasource in
+    * spark-sql, covering the row-oriented interchange format (Kafka
+    * payloads, schema-registry pipelines). Columnar scans stay
+    * parquet/ORC; Avro is the wire format a 100 TB ingest edge speaks,
+    * and a reference user's Avro landing zone reads with one format
+    * string. Schema pinned on read-back like every source here. (This
+    * build's spark-sql jar carries the full Avro implementation but not
+    * its `avro` shortname service registration, so the format is named
+    * by its provider class — same datasource either way.) */
+  def sourceAvroRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val avro = "org.apache.spark.sql.avro.AvroFileFormat"
+    val out = Files.createTempDirectory("graft_avro").resolve("nation").toString
+    Tables.nation(spark, dir)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .coalesce(1).write.mode("overwrite").format(avro).save(out)
+    spark.read
+      .schema("n_nationkey INT, n_name STRING, n_regionkey INT")
+      .format(avro).load(out)
+      .orderBy($"n_nationkey")
+  }
+
+  val sourceAvroRoundtripSql: String =
+    "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey"
+
+  /** XML source/sink roundtrip — the spark-xml datasource merged into
+    * Spark 4 core. XML is the long tail of enterprise feeds; `rowTag`
+    * names the repeated record element, and the explicit read schema
+    * keeps type inference (a per-file extra pass at scale) off. */
+  def sourceXmlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_xml").resolve("region").toString
+    Tables.region(spark, dir)
+      .select($"r_regionkey", $"r_name")
+      .coalesce(1).write.mode("overwrite")
+      .option("rowTag", "region").format("xml").save(out)
+    spark.read
+      .option("rowTag", "region")
+      .schema("r_regionkey INT, r_name STRING")
+      .format("xml").load(out)
+      .orderBy($"r_regionkey")
+  }
+
+  val sourceXmlRoundtripSql: String =
+    "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+
   /** P1: 1→1 map, uppercase (`TestFlinkStreams.java:56`) — expressed as the
     * codegen'd Catalyst `Upper` expression rather than a typed lambda. */
   def mapUppercase(spark: SparkSession, dir: String): DataFrame = {

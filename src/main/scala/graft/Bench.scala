@@ -44,6 +44,14 @@ object Bench {
     val failedSecs = jsonMap(results.collect { case (k, v, false) => (k, v) })
     val total = results.collect { case (_, v, true) => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedNames,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    // The full line above exceeds harnesses that keep only a short output
+    // tail (the per-round capture holds 2000 bytes — ~115 queries is ~4 KB,
+    // which truncates the headline "value" right out of the record). Emit a
+    // compact, complete summary LAST: same schema, "queries" limited to the
+    // slowest 20, always well under the tail window.
+    val slowest = results.collect { case (k, v, true) => (k, v) }
+      .sortBy(-_._2).take(20)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._3)},"queries":${jsonMap(slowest)},"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -127,4 +127,75 @@ object Sql {
 
   def sqlLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, localSupplierVolumeSql)
+
+  /** TPC-H Q4-style correlated EXISTS (adapted: this lineitem has no
+    * commit/receipt dates, so "late" orders become orders with a returned
+    * line). ONE shared ANSI text on both engines. Catalyst rewrites the
+    * correlated EXISTS into a LEFT SEMI hash join on `l_orderkey` — the
+    * subquery never re-executes per row — and only then aggregates, so
+    * the fact table is touched exactly once. The count is an exact
+    * integer; the 5-priority output is totally ordered. */
+  val orderPriorityExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders o
+      |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  def sqlOrderPriorityExists(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, orderPriorityExistsSql)
+
+  /** TPC-H Q10-style returned-item revenue: top-20 customers by revenue
+    * lost to returns in a six-month window. ONE shared ANSI text on both
+    * engines. The selective pieces (date range on orders, returnflag on
+    * lineitem) sit in the WHERE clause as pushable conjuncts — both
+    * reach their parquet scans — and the revenue sum rides the
+    * exact-decimal pattern. Top-20 plans as TakeOrderedAndProject (no
+    * global sort); revenue DESC ties break on c_custkey. */
+  val returnedItemRevenueSql: String =
+    """SELECT c.c_custkey, c.c_name, n.n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM customer c, orders o, lineitem l, nation n
+      |WHERE c.c_custkey = o.o_custkey
+      |  AND l.l_orderkey = o.o_orderkey
+      |  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      |  AND l.l_returnflag = 'R'
+      |  AND c.c_nationkey = n.n_nationkey
+      |GROUP BY c.c_custkey, c.c_name, n.n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  def sqlReturnedItemRevenue(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, returnedItemRevenueSql)
+
+  /** TPC-H Q14-style promotion share: one month of lineitem joined to
+    * part, split into promo vs total revenue by conditional aggregation.
+    * ONE shared ANSI text on both engines. Numerator and denominator are
+    * emitted as separate exact-decimal sums instead of a ratio — decimal
+    * division rounds differently across engines, and a downstream reader
+    * dividing two exact doubles gets the same IEEE result everywhere.
+    * Part (the dimension side) broadcasts; the one-month shipdate filter
+    * is pushed into the lineitem scan. */
+  val promoRevenueSql: String =
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |       THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      |            * (1 - CAST(l_discount AS DECIMAL(12,2)))
+      |       ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin
+
+  def sqlPromoRevenue(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, promoRevenueSql)
 }

@@ -980,4 +980,43 @@ object Extended {
       |  ON o_orderpriority = d.p_priority
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Slowly-changing-dimension type-2 build: treat each customer's order
+    * stream as dimension-version changes and derive the validity
+    * intervals — `valid_from` = this version's date, `valid_to` = the
+    * next version's date (NULL ⇒ current row). The lag/lead family is
+    * the idiomatic Spark shape for interval derivation: one sort-shuffle
+    * per customer partition, then a linear pass — no self-join on
+    * "next row", which is the O(n²) trap.
+    *
+    * Scale notes: partitionBy(customer) distributes the window across
+    * executors (no global sort); an SCD2 build over 100 TB of change
+    * events shuffles once on the dimension key, exactly this plan. The
+    * window order tie-breaks equal dates on o_orderkey, so versions are
+    * total and both engines agree. Epochs are BIGINT seconds. */
+  def windowScd2Orders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(spark, dir)
+      .filter($"o_custkey" % 100 === 0)
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(w).cast("long").as("version"),
+        unix_timestamp($"o_orderdate").as("valid_from"),
+        lead(unix_timestamp($"o_orderdate"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", $"valid_to".isNull)
+      .orderBy($"o_custkey", $"version")
+  }
+
+  val windowScd2OrdersSql: String =
+    """SELECT o_custkey, o_orderkey, version, valid_from, valid_to,
+      |       valid_to IS NULL AS is_current
+      |FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    CAST(row_number() OVER w AS BIGINT) AS version,
+      |    CAST(epoch(o_orderdate) AS BIGINT) AS valid_from,
+      |    CAST(lead(epoch(o_orderdate)) OVER w AS BIGINT) AS valid_to
+      |  FROM orders
+      |  WHERE o_custkey % 100 = 0
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
+      |ORDER BY o_custkey, version""".stripMargin
 }

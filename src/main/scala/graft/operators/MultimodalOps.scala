@@ -109,4 +109,48 @@ object MultimodalOps {
       |               octet_length(encode(text)) AS nb
       |        FROM documents) t0) t
       |ORDER BY doc_id""".stripMargin
+
+  /** Raw-media ingest through Spark's `binaryFile` source: stage a
+    * sample of document payloads as standalone `<doc_id>.bin` files
+    * (executor-side imperative IO — the write path a media pipeline's
+    * upstream produces), then read them back as (path, length, content)
+    * rows and extract id + size + checksum without ever interpreting the
+    * bytes.
+    *
+    * This is the ingest shape for images/audio at 100 TB: one task per
+    * file group, no schema inference, the binary column prunable for
+    * metadata-only queries. Here executors write to the shared local
+    * tmpfs; on a cluster the staging dir is object storage and the code
+    * is unchanged. The `% 37` sample bounds file count — binaryFile is
+    * for payloads measured in MB/file, not a row format. */
+  def sourceBinaryfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_binfiles").toString
+    Tables.documents(spark, dir)
+      .filter($"doc_id" % 37 === 0)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .foreachPartition { (it: Iterator[(Long, Array[Byte])]) =>
+        it.foreach { case (id, bytes) =>
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(out, s"$id.bin"), bytes)
+        }
+      }
+    spark.read.format("binaryFile").load(out + "/*.bin")
+      .select(
+        regexp_extract($"path", "([0-9]+)\\.bin$", 1).cast("long").as("doc_id"),
+        $"length".as("n_bytes"),
+        md5($"content").as("checksum"))
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle recomputes size + md5 from the source text the files were
+    * staged from (both engines hash the same UTF-8 bytes). */
+  val sourceBinaryfileSql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum
+      |FROM documents
+      |WHERE doc_id % 37 = 0
+      |ORDER BY doc_id""".stripMargin
 }

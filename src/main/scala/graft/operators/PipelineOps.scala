@@ -460,7 +460,11 @@ object PipelineOps {
        |ORDER BY z, event_id""".stripMargin
   }
 
-  lazy val dedupConnectedComponentsSql: String =
+  /** Shared oracle CTE chain: MinHash sketch → candidate graph →
+    * recursive-CTE reachability fixpoint → `cc(doc_id, comp_id)`.
+    * Reused by the connected-components query and everything built on
+    * its labels (canonical pick). */
+  private lazy val ccCtes: String =
     s"""${DedupOps.minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.5
@@ -470,8 +474,104 @@ object PipelineOps {
        |  SELECT a AS node, a AS r FROM edges
        |  UNION
        |  SELECT e.b AS node, reach.r AS r
-       |  FROM reach JOIN edges e ON e.a = reach.node)
-       |SELECT node AS doc_id, min(r) AS comp_id
-       |FROM reach GROUP BY node
+       |  FROM reach JOIN edges e ON e.a = reach.node),
+       |cc AS (
+       |  SELECT node AS doc_id, min(r) AS comp_id
+       |  FROM reach GROUP BY node)""".stripMargin
+
+  lazy val dedupConnectedComponentsSql: String =
+    s"""$ccCtes
+       |SELECT doc_id, comp_id FROM cc
        |ORDER BY doc_id""".stripMargin
+
+  /** The keep/drop decision on top of the component labels: every
+    * clustered document, its component, and the component's canonical
+    * representative — the member with the most content (`n_chars` DESC,
+    * ties to the smallest doc_id). `keep` marks the one row per cluster
+    * a dedup pass retains.
+    *
+    * Plan shape: the labels (clustered docs only — a small fraction of
+    * the corpus) hash-join to documents for the length column, one
+    * min-aggregation per component picks the canonical via a struct
+    * ordering (NOT a per-corpus window sort), and a second small join
+    * attaches it back. At 100 TB both joins key on comp_id/doc_id and
+    * every side after the CC stage is proportional to the DUPLICATE set,
+    * not the corpus. */
+  def dedupCanonicalPick(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val labels = dedupConnectedComponents(spark, dir)
+      .select($"doc_id", $"comp_id")
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"n_chars")
+    val labeled = labels.join(docs, "doc_id")
+    // canonical member = min over (−n_chars, doc_id): longest content,
+    // smallest id on ties — one bounded agg row per component
+    val canon = labeled.groupBy($"comp_id")
+      .agg(min(struct((-$"n_chars").as("neg_chars"), $"doc_id".as("d"))).as("c"))
+      .select($"comp_id", $"c.d".as("canonical_id"))
+    labeled.join(canon, "comp_id")
+      .select($"doc_id", $"comp_id", $"canonical_id",
+        ($"doc_id" === $"canonical_id").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val dedupCanonicalPickSql: String =
+    s"""$ccCtes,
+       |labeled AS (
+       |  SELECT cc.doc_id, cc.comp_id, d.n_chars
+       |  FROM cc JOIN documents d USING (doc_id)),
+       |canon AS (
+       |  SELECT comp_id, doc_id AS canonical_id,
+       |         row_number() OVER (PARTITION BY comp_id
+       |                            ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM labeled)
+       |SELECT l.doc_id, l.comp_id, c.canonical_id,
+       |       l.doc_id = c.canonical_id AS keep
+       |FROM labeled l JOIN canon c ON l.comp_id = c.comp_id AND c.rn = 1
+       |ORDER BY l.doc_id""".stripMargin
+
+  /** Corpus health report: the one-page summary a curation pipeline
+    * emits before cutting a training extract — corpus size, exact-dup
+    * content cardinality, near-dup candidate pairs, language spread,
+    * total characters. One (metric, value) row each, exact integers.
+    *
+    * Each metric is a single aggregate (the near-dup count rides the
+    * session-cached MinHash estimates shared with the dedup family). At
+    * 100 TB the two DISTINCT counts are the expensive rows — production
+    * swaps them for the mergeable sketches already in this library
+    * (agg_approx_distinct / agg_hll_merge) when ±2% is acceptable; the
+    * report shape is unchanged. */
+  def curationCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    def one(name: String, df: DataFrame): DataFrame =
+      df.select(lit(name).as("metric"), $"value")
+    val report =
+      one("chars_total", docs.agg(sum($"n_chars").cast("long").as("value")))
+        .union(one("docs_distinct_text",
+          docs.agg(countDistinct(md5($"text".cast("binary"))).as("value"))))
+        .union(one("docs_total", docs.agg(count(lit(1)).as("value"))))
+        .union(one("langs", docs.agg(countDistinct($"lang").as("value"))))
+        .union(one("near_dup_pairs",
+          DedupOps.minhashEstimates(spark, dir)
+            .filter($"est_jaccard" >= 0.5)
+            .agg(count(lit(1)).as("value"))))
+    report.orderBy($"metric")
+  }
+
+  lazy val curationCorpusReportSql: String =
+    s"""${DedupOps.minhashCtes}
+       |SELECT metric, value FROM (
+       |  SELECT 'chars_total' AS metric, CAST(sum(n_chars) AS BIGINT) AS value
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'docs_distinct_text', CAST(count(DISTINCT md5(text)) AS BIGINT)
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT 'docs_total', CAST(count(*) AS BIGINT) FROM documents
+       |  UNION ALL
+       |  SELECT 'langs', CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+       |  UNION ALL
+       |  SELECT 'near_dup_pairs', CAST(count(*) AS BIGINT)
+       |  FROM est WHERE est_jaccard >= 0.5) t
+       |ORDER BY metric""".stripMargin
 }

@@ -652,4 +652,52 @@ object StreamingOps {
     }
     restarts
   }
+
+  /** Exactly-once upsert sink via `foreachBatch`: each micro-batch lands
+    * in its own `batch=<id>` directory with an idempotent overwrite —
+    * a replayed batch (after failure recovery) rewrites the SAME
+    * directory instead of duplicating rows, which is how foreachBatch
+    * turns Spark's at-least-once sink contract into effective
+    * exactly-once on any overwrite-capable store. The merge-on-read pass
+    * then resolves each key to its latest version (`max_by` on the
+    * sequence number) — the Delta/Iceberg MERGE pattern with the
+    * transaction log replaced by batch-id directories.
+    *
+    * Scale notes: the per-batch write is append-shaped (no global
+    * shuffle); the merge-on-read is one hash aggregation keyed on `k`
+    * with map-side `max_by` truncation. A compaction pass
+    * (sink_compacted_parquet) bounds the directory count. */
+  def streamingForeachBatchUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fbatch").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fbatch_ckpt").toString
+    val in = MemoryStream[(Long, String, Long)](numPartitions = 1)
+    val q = in.toDF().toDF("k", "v", "seq")
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/batch=$batchId")
+      }
+      .start()
+    try {
+      in.addData((1L, "a", 1L), (2L, "b", 2L))
+      q.processAllAvailable()
+      // batch 2 upserts key 1 and inserts key 3
+      in.addData((1L, "a2", 3L), (3L, "c", 4L))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.read.parquet(outDir + "/batch=*")
+      .groupBy($"k")
+      .agg(max_by(struct($"v", $"seq"), $"seq").as("t"))
+      .select($"k", $"t.v".as("v"), $"t.seq".as("seq"))
+      .orderBy($"k")
+  }
+
+  val streamingForeachBatchUpsertSql: String =
+    """SELECT CAST(k AS BIGINT) AS k, v, CAST(seq AS BIGINT) AS seq
+      |FROM (VALUES (1, 'a2', 3), (2, 'b', 2), (3, 'c', 4)) AS t(k, v, seq)
+      |ORDER BY k""".stripMargin
 }

@@ -502,4 +502,78 @@ class OperatorSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"),
       s"top-k dim join degraded to a full fact shuffle:\n$p")
   }
+
+  test("plan: sql_promo_revenue broadcasts part and pushes the shipdate range") {
+    val p = fmtPlan("sql_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"part (dimension side) should broadcast:\n$p")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p).isDefined,
+      s"one-month shipdate filter not pushed into the lineitem scan:\n$p")
+  }
+
+  test("plan: sql_returned_item_revenue plans the LIMIT as TakeOrderedAndProject") {
+    val p = fmtPlan("sql_returned_item_revenue")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 should be per-partition top-k, not a global sort:\n$p")
+  }
+
+  test("window_scd2_orders: versions are contiguous, intervals chain, one current row per customer") {
+    val rows = SparkEntry.queries("window_scd2_orders")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cust, vs) =>
+      val sorted = vs.sortBy(_.getLong(2))
+      assert(sorted.map(_.getLong(2)).toSeq == (1L to vs.length).toSeq,
+        s"customer $cust versions not contiguous")
+      assert(sorted.count(_.isNullAt(4)) == 1 && sorted.last.isNullAt(4),
+        s"customer $cust must have exactly one current (last) version")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(4) == b.getLong(3),
+            s"customer $cust: valid_to of v${a.getLong(2)} != valid_from of next")
+        case _ => ()
+      }
+    }
+  }
+
+  test("dedup_canonical_pick: exactly one kept (longest, lowest-id) member per component") {
+    val rows = SparkEntry.queries("dedup_canonical_pick")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getLong(1)).foreach { case (comp, members) =>
+      val kept = members.filter(_.getBoolean(3))
+      assert(kept.length == 1, s"component $comp kept ${kept.length} members")
+      val canon = kept.head.getLong(0)
+      assert(members.forall(_.getLong(2) == canon),
+        s"component $comp members disagree on the canonical id")
+      members.foreach { m =>
+        val (d, c) = (lens(m.getLong(0)), lens(canon))
+        assert(c > d || (c == d && canon <= m.getLong(0)),
+          s"component $comp canonical $canon is not (longest, lowest-id)")
+      }
+    }
+  }
+
+  test("source_binaryfile reads back exactly the staged sample") {
+    val n = SparkEntry.queries("source_binaryfile")(spark, sfDir).count()
+    val expected = Tables.documents(spark, sfDir)
+      .filter("doc_id % 37 = 0").count()
+    assert(n == expected && n > 0)
+  }
+
+  test("curation_corpus_report: metric sanity (dups only shrink, counts positive)") {
+    val m = SparkEntry.queries("curation_corpus_report")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet == Set("chars_total", "docs_distinct_text", "docs_total",
+      "langs", "near_dup_pairs"))
+    assert(m("docs_distinct_text") <= m("docs_total"))
+    assert(m("langs") >= 1 && m("chars_total") > 0)
+  }
+
+  test("streaming_foreach_batch_upsert resolves every key to its latest version") {
+    val rows = SparkEntry.queries("streaming_foreach_batch_upsert")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "a2", 3L), (2L, "b", 2L), (3L, "c", 4L)))
+  }
 }

@@ -374,4 +374,57 @@ object EventOps {
       |FROM events
       |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
       |ORDER BY event_id""".stripMargin
+
+  /** Time-series gap filling: resample each user's event stream onto a
+    * dense daily calendar spine — days with no events appear with an
+    * explicit zero (plus the running total), which is what rolling-
+    * window models and feature stores need (a missing row and a zero row
+    * are different facts).
+    *
+    * The spine is generated per user with `sequence(min_day, max_day)`
+    * (array of dates, narrow explode) — never a driver-side calendar
+    * loop, never a cross join against a global date table: each user
+    * contributes exactly their own span, the explode is bounded by it,
+    * and the left join back to the daily aggregate is an equi-join on
+    * (user, day). The cumulative sum is one sort within the user
+    * partition. All values are exact integers. */
+  def eventsGapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val daily = Tables.events(spark, dir)
+      .filter($"user_id" % 10 === 0)
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = daily.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val cum = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select($"user_id",
+        datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("epoch_day"),
+        coalesce($"n_events", lit(0L)).as("n_events"))
+      .withColumn("cum_events", sum($"n_events").over(
+        Window.partitionBy($"user_id").orderBy($"epoch_day")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy($"user_id", $"epoch_day")
+  }
+
+  val eventsGapFillSql: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n_events
+      |  FROM events WHERE user_id % 10 = 0
+      |  GROUP BY user_id, CAST(ts AS DATE)),
+      |spine AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(min(day), max(day),
+      |                                     INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id)
+      |SELECT s.user_id,
+      |  CAST(s.day - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+      |  CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events,
+      |  CAST(sum(coalesce(d.n_events, 0)) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
+      |FROM spine s LEFT JOIN daily d USING (user_id, day)
+      |ORDER BY user_id, epoch_day""".stripMargin
 }

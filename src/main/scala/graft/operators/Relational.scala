@@ -224,4 +224,56 @@ object Relational {
       |  FROM orders) t
       |WHERE rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Robust per-group statistics: median, MAD (median absolute
+    * deviation), and the 3-MAD outlier count — the outlier-resistant
+    * alternative to mean/stddev z-scores for data-quality gates (one
+    * corrupt billion-dollar row shifts a mean, not a median).
+    *
+    * Two aggregation passes over the fact table (median, then MAD needs
+    * the median first) plus one counting pass — inherent to exact MAD;
+    * each pass is a partial+final hash aggregate, and the 3-row stats
+    * side broadcasts back. Exact `percentile` is bit-equal to DuckDB's
+    * `quantile_cont`; the outlier fences are the same IEEE expression on
+    * identical doubles on both engines. */
+  def aggRobustStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
+    val med = li.groupBy($"flag")
+      .agg(expr("percentile(x, 0.5)").as("median_price"))
+    val mad = li.join(broadcast(med), "flag")
+      .select($"flag", $"median_price", abs($"x" - $"median_price").as("d"))
+      .groupBy($"flag")
+      .agg(min($"median_price").as("median_price"),
+        expr("percentile(d, 0.5)").as("mad_price"))
+    li.join(broadcast(mad), "flag")
+      .groupBy($"flag", $"median_price", $"mad_price")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" > $"median_price" + lit(3.0) * $"mad_price" ||
+                 $"x" < $"median_price" - lit(3.0) * $"mad_price", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select($"flag", $"median_price", $"mad_price", $"n", $"n_outliers")
+      .orderBy($"flag")
+  }
+
+  val aggRobustStatsSql: String =
+    """WITH med AS (
+      |  SELECT l_returnflag AS flag,
+      |         quantile_cont(l_extendedprice, 0.5) AS median_price
+      |  FROM lineitem GROUP BY 1),
+      |mad AS (
+      |  SELECT m.flag, min(m.median_price) AS median_price,
+      |         quantile_cont(abs(l.l_extendedprice - m.median_price), 0.5)
+      |           AS mad_price
+      |  FROM lineitem l JOIN med m ON l.l_returnflag = m.flag
+      |  GROUP BY m.flag)
+      |SELECT m.flag, m.median_price, m.mad_price,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN l.l_extendedprice > m.median_price + 3.0 * m.mad_price
+      |             OR l.l_extendedprice < m.median_price - 3.0 * m.mad_price
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM lineitem l JOIN mad m ON l.l_returnflag = m.flag
+      |GROUP BY m.flag, m.median_price, m.mad_price
+      |ORDER BY flag""".stripMargin
 }

@@ -571,6 +571,58 @@ class OperatorSpec extends SparkTestBase {
     assert(m("langs") >= 1 && m("chars_total") > 0)
   }
 
+  test("dedup_prefix_filter finds EXACTLY the true Jaccard>=0.5 pairs (brute force)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{split, lower, when, size, expr}
+    val sets = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .select($"doc_id",
+        when(size($"ws") >= 3,
+          expr("array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+          .otherwise(expr("array()")).as("shs"))
+      .as[(Long, Seq[String])].collect().map { case (id, s) => id -> s.toSet }
+    val expected = (for {
+      i <- sets.indices; j <- (i + 1) until sets.length
+      (a, sa) = sets(i); (b, sb) = sets(j)
+      inter = (sa & sb).size
+      if 2 * inter >= sa.size + sb.size - inter
+    } yield (math.min(a, b), math.max(a, b))).toSet
+    val got = SparkEntry.queries("dedup_prefix_filter")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing: ${expected -- got}, spurious: ${got -- expected}")
+  }
+
+  test("plan: dedup_prefix_filter candidates come from equi-joins, never BNLJ/cartesian") {
+    val p = fmtPlan("dedup_prefix_filter")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"prefix-filter candidate generation degraded to all-pairs:\n$p")
+  }
+
+  test("events_gap_fill: spine is dense per user and the running total closes") {
+    val rows = SparkEntry.queries("events_gap_fill")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (user, days) =>
+      val sorted = days.sortBy(_.getLong(1))
+      val ds = sorted.map(_.getLong(1))
+      assert(ds.last - ds.head + 1 == ds.length,
+        s"user $user calendar spine has gaps")
+      assert(sorted.last.getLong(3) == sorted.map(_.getLong(2)).sum,
+        s"user $user cumulative total does not close")
+    }
+  }
+
+  test("agg_robust_stats: fences are sane (MAD>=0, outliers a strict minority)") {
+    val rows = SparkEntry.queries("agg_robust_stats")(spark, sfDir).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0)
+      assert(r.getLong(4) * 2 < r.getLong(3),
+        s"flag ${r.getString(0)}: 3-MAD flagged a majority — fences are wrong")
+    }
+  }
+
   test("streaming_foreach_batch_upsert resolves every key to its latest version") {
     val rows = SparkEntry.queries("streaming_foreach_batch_upsert")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

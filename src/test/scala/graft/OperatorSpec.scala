@@ -623,6 +623,32 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("source_dsv2_pushdown: the planner ships a narrowed interval and pruned schema") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = SparkEntry.queries("source_dsv2_pushdown")(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }
+    assert(scans.length == 1, "expected exactly one BatchScan")
+    val scan = scans.head.asInstanceOf[graft.sources.GenScan]
+    assert(scan.lo == 25000L && scan.hi == 75000L,
+      s"id range not pushed into the source: [${scan.lo},${scan.hi})")
+    assert(scan.pushed.nonEmpty, "accepted filters not reported to Catalyst")
+    assert(scan.readSchema().fieldNames.toSet == Set("id", "bucket", "payload"))
+    // a projection that drops payload must prune it out of the scan
+    val pruned = spark.read.format("graftgen").option("n", "64").load()
+      .select("id", "bucket")
+    val ps = pruned.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(ps.readSchema().fieldNames.toSet == Set("id", "bucket"),
+      s"payload not pruned: ${ps.readSchema().fieldNames.mkString(",")}")
+    // split planning honors the parts option
+    val nParts = SparkEntry.queries("source_dsv2_pushdown")(spark, sfDir)
+      .rdd.getNumPartitions
+    assert(nParts > 0)
+  }
+
   test("streaming_foreach_batch_upsert resolves every key to its latest version") {
     val rows = SparkEntry.queries("streaming_foreach_batch_upsert")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

@@ -198,4 +198,29 @@ object Sql {
 
   def sqlPromoRevenue(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, promoRevenueSql)
+
+  /** TPC-H Q15-style top supplier: a revenue CTE reused twice — once as
+    * the join side, once inside a scalar `max` subquery. ONE shared ANSI
+    * text on both engines. Catalyst plans the CTE once per reference but
+    * the scalar max collapses to a 1-row broadcast; the revenue equality
+    * compares two decimal-derived doubles that are bit-identical on both
+    * engines (same exact-decimal sum, cast once). */
+  val topSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+      |      AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  def sqlTopSupplier(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, topSupplierSql)
 }

@@ -257,6 +257,59 @@ object Relational {
       .orderBy($"flag")
   }
 
+  /** Welch two-sample t statistic (returned vs regular lineitems on
+    * price), computed from EXACT integer-cent moments — the significance
+    * test a data pipeline runs to decide whether two cohorts differ.
+    * Same discipline as [[aggCorrQuantityPrice]]: quantize to cents,
+    * sum as DECIMAL(38,0) (order-independent), cast once to double, and
+    * build the IDENTICAL mean/variance/t expression tree on both engines
+    * (÷ and √ are correctly-rounded IEEE ops, so identical inputs give
+    * identical bits). Means stay in cent units — one fewer op to agree
+    * on. One aggregation pass, two 1-row sides, no shuffle after. */
+  def aggWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val D38 = DecimalType(38, 0)
+    val yc = expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+    val m = Tables.lineitem(spark, dir)
+      .filter($"l_returnflag".isin("R", "N"))
+      .select($"l_returnflag".as("g"), yc.as("yc"))
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"),
+        sum($"yc".cast(D38)).cast("double").as("s"),
+        sum(($"yc" * $"yc").cast(D38)).cast("double").as("ss"))
+    val r = m.filter($"g" === "R")
+      .select($"n".as("n_r"), $"s".as("s_r"), $"ss".as("ss_r"))
+    val nn = m.filter($"g" === "N")
+      .select($"n".as("n_n"), $"s".as("s_n"), $"ss".as("ss_n"))
+    r.crossJoin(nn).select($"n_r", $"n_n",
+      ($"s_r" / $"n_r").as("mean_cents_r"),
+      ($"s_n" / $"n_n").as("mean_cents_n"),
+      (($"s_r" / $"n_r" - $"s_n" / $"n_n") /
+        sqrt((($"ss_r" - $"s_r" * $"s_r" / $"n_r") / ($"n_r" - 1)) / $"n_r" +
+             (($"ss_n" - $"s_n" * $"s_n" / $"n_n") / ($"n_n" - 1)) / $"n_n"))
+        .as("t_stat"))
+  }
+
+  val aggWelchTtestSql: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS g, count(*) AS n,
+      |    CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(yc * yc AS DECIMAL(38,0))) AS DOUBLE) AS ss
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+      |    FROM lineitem WHERE l_returnflag IN ('R', 'N')) t0
+      |  GROUP BY 1),
+      |r AS (SELECT n AS n_r, s AS s_r, ss AS ss_r FROM m WHERE g = 'R'),
+      |nn AS (SELECT n AS n_n, s AS s_n, ss AS ss_n FROM m WHERE g = 'N')
+      |SELECT n_r, n_n,
+      |  s_r / n_r AS mean_cents_r,
+      |  s_n / n_n AS mean_cents_n,
+      |  (s_r / n_r - s_n / n_n) /
+      |    sqrt(((ss_r - s_r * s_r / n_r) / (n_r - 1)) / n_r
+      |       + ((ss_n - s_n * s_n / n_n) / (n_n - 1)) / n_n) AS t_stat
+      |FROM r, nn""".stripMargin
+
   val aggRobustStatsSql: String =
     """WITH med AS (
       |  SELECT l_returnflag AS flag,

@@ -649,9 +649,37 @@ class OperatorSpec extends SparkTestBase {
     assert(nParts > 0)
   }
 
+  test("sink_dsv2_metrics commit protocol is exactly-once under task retry") {
+    val spark0 = spark
+    import spark0.implicits._
+    OperatorSpecFaults.armed.set(true)
+    val run = "graftsink_retry_test"
+    val n = 1000L
+    spark.range(n).select($"id").as[Long]
+      .map { v =>
+        if (v == 123L && OperatorSpecFaults.armed.compareAndSet(true, false))
+          throw new RuntimeException("injected write-stage failure")
+        v
+      }
+      .toDF("id")
+      .write.format("graftsink").option("run", run).mode("append").save()
+    val t = graft.sources.CountSinkRegistry.get(run).get
+    graft.sources.CountSinkRegistry.clear(run)
+    // the failed attempt's partial counts must have been aborted, the
+    // retry counted exactly once
+    assert(t.rows == n, s"expected $n rows, got ${t.rows}")
+    assert(t.checksum == n * (n - 1) / 2, s"checksum off: ${t.checksum}")
+  }
+
   test("streaming_foreach_batch_upsert resolves every key to its latest version") {
     val rows = SparkEntry.queries("streaming_foreach_batch_upsert")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.toSeq == Seq((1L, "a2", 3L), (2L, "b", 2L), (3L, "c", 4L)))
   }
+}
+
+/** JVM-static fault flag for the write-stage retry test (local mode =
+  * executors share the JVM, so a static is visible to tasks). */
+object OperatorSpecFaults {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
 }

@@ -72,12 +72,13 @@ final class GenTable(n: Long, parts: Int) extends Table with SupportsRead {
   override def name(): String = s"graftgen($n)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(n, parts)
+    new GenScanBuilder(n, parts,
+      Option(options.get("batchRows")).map(_.toLong).getOrElse(256L))
 }
 
-final class GenScanBuilder(n: Long, parts: Int)
+final class GenScanBuilder(n: Long, parts: Int, batchRows: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var lo: Long = 0L
   private var hi: Long = n
@@ -116,26 +117,70 @@ final class GenScanBuilder(n: Long, parts: Int)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = GenScan(lo, hi, parts, required, accepted)
+  override def build(): Scan = GenScan(lo, hi, parts, required, accepted, batchRows)
 }
 
 final case class GenScan(
     lo: Long, hi: Long, parts: Int,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter],
+    batchRows: Long = 256L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graftgen range=[$lo,$hi) cols=[${required.fieldNames.mkString(",")}] " +
       s"pushed=[${pushed.mkString(", ")}]"
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    GenScan.slices(lo, hi, parts)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GenMicroBatchStream(lo, hi, parts, batchRows, required.fieldNames)
+}
+
+object GenScan {
+  private[sources] def slices(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
     val span = math.max(0L, hi - lo)
     val k = math.max(1, parts)
     (0 until k).map { i =>
       GenPartition(lo + span * i / k, lo + span * (i + 1) / k)
     }.filter(p => p.from < p.until).toArray[InputPartition]
   }
+}
+
+/** The STREAMING half of the connector: the generated interval is
+  * replayed as micro-batches of `batchRows` ids. Offsets are plain row
+  * positions — `latestOffset` advances one batch per trigger until the
+  * interval is exhausted (so `processAllAvailable` drains a bounded,
+  * deterministic number of real micro-batches), `planInputPartitions`
+  * splits each [start, end) offset window exactly like the batch path,
+  * and committed offsets need no action because the generator is
+  * idempotent by construction — the replayability contract (Kafka
+  * offsets, file positions) that makes exactly-once recovery possible. */
+final class GenMicroBatchStream(
+    lo: Long, hi: Long, parts: Int, batchRows: Long, fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private var reached: Long = lo
+
+  override def initialOffset(): Offset = GenOffset(lo)
+  override def latestOffset(): Offset = {
+    reached = math.min(hi, reached + math.max(1L, batchRows))
+    GenOffset(reached)
+  }
+  override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    GenScan.slices(start.asInstanceOf[GenOffset].pos, end.asInstanceOf[GenOffset].pos, parts)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GenReaderFactory(required.fieldNames)
+    new GenReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+final case class GenOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
 }
 
 final case class GenPartition(from: Long, until: Long) extends InputPartition
@@ -187,6 +232,35 @@ object GenSourceOps {
       |  CAST(sum(CASE WHEN substr(md5(CAST(id AS VARCHAR)), 1, 1) = 'a'
       |           THEN 1 ELSE 0 END) AS BIGINT) AS n_a
       |FROM range(25000, 75000) t(id)
+      |GROUP BY CAST(id % 16 AS INT)
+      |ORDER BY bucket""".stripMargin
+
+  /** REAL streaming execution through the connector's
+    * [[GenMicroBatchStream]]: 1000 generated rows replayed as ~300-row
+    * micro-batches into a complete-mode aggregation. The final state is
+    * independent of how the offset windows happened to batch — that
+    * invariance (plus idempotent replay from offsets) is exactly what
+    * the micro-batch contract promises. */
+  def streamingDsv2Source(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val name = "graft_dsv2s_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format("graftgen")
+      .option("n", "1000").option("batchRows", "300").option("parts", "2")
+      .load()
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy($"bucket")
+  }
+
+  val streamingDsv2SourceSql: String =
+    """SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+      |  CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM range(0, 1000) t(id)
       |GROUP BY CAST(id % 16 AS INT)
       |ORDER BY bucket""".stripMargin
 }

@@ -257,4 +257,27 @@ class StreamingSpec extends SparkTestBase {
       assert(s.table("rocks_probe").count() == 2)
     } finally q.stop()
   }
+
+  test("graftgen DSv2 micro-batch stream delivers all rows across multiple real batches") {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val q = s.readStream.format("graftgen")
+      .option("n", "1000").option("batchRows", "300").option("parts", "2")
+      .load()
+      .groupBy($"bucket").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dsv2_stream_probe")
+      .outputMode("complete")
+      .start()
+    try {
+      q.processAllAvailable()
+      val progressed = q.recentProgress
+      assert(progressed.map(_.numInputRows).sum == 1000L,
+        "micro-batch offsets lost or duplicated rows")
+      assert(progressed.count(_.numInputRows > 0) >= 2,
+        "expected the interval to arrive over multiple micro-batches")
+      assert(s.table("dsv2_stream_probe")
+        .agg(sum($"n")).collect()(0).getLong(0) == 1000L)
+    } finally q.stop()
+  }
 }

@@ -448,7 +448,10 @@ object DedupOps {
     * prefix filtering — the exact counterpart of the MinHash+LSH
     * approximation, over the SAME 3-gram shingle sets: where
     * [[dedupMinhashLsh]] estimates Jaccard from 16 hash minima, this
-    * finds every pair whose TRUE Jaccard ≥ 0.5, with no false negatives.
+    * finds every pair whose TRUE Jaccard ≥ 0.5, with no false negatives
+    * (shingles are dictionary-compressed to 60-bit md5 keys for the
+    * joins; a collision could only merge shingles and raise a pair's
+    * apparent similarity — it can never hide a true pair).
     *
     * The all-pairs trap is avoided by three classic filters, all
     * integer-exact:
@@ -467,16 +470,23 @@ object DedupOps {
     * no broadcast of anything corpus-proportional, no cartesian. */
   def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // every join/group key is a 60-bit md5-derived long, not the 3-word
+    // shingle string: the dfreq aggregate, the rank join, the prefix
+    // self-join and both verify joins shuffle 8-byte keys instead of
+    // ~25-byte strings (same md5-int trick that sped up ngram_jaccard;
+    // the oracle hashes identically, so parity is exact even in the
+    // astronomically-unlikely collision case)
     val tok = shingleSets(spark, dir)
-    val dfreq = tok.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"sh")
-    val ranked = tok.join(dfreq, "sh")
-      .select($"doc_id", $"sh",
+      .select($"doc_id", expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
+    val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+    val ranked = tok.join(dfreq, "h")
+      .select($"doc_id", $"h",
         row_number().over(wDoc).cast("long").as("pos"),
         count(lit(1)).over(Window.partitionBy($"doc_id")).as("len"))
     val pfx = ranked.filter($"pos" <= $"len" - expr("(len + 1) div 2") + 1)
     val cand = pfx.as("a").join(pfx.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id" &&
+        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
         $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&
         lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
           expr("(a.len + b.len + 2) div 3"))
@@ -484,7 +494,7 @@ object DedupOps {
     val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
     val common = cand
       .join(tok.as("ta"), $"ta.doc_id" === $"doc_a")
-      .join(tok.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.sh" === $"tb.sh")
+      .join(tok.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.h" === $"tb.h")
       .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
     common
       .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
@@ -498,25 +508,29 @@ object DedupOps {
 
   lazy val dedupPrefixFilterSql: String =
     s"""WITH $shinglesCte,
-       |dfreq AS (SELECT sh, count(*) AS df FROM shingles GROUP BY sh),
+       |tok AS (
+       |  SELECT doc_id,
+       |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+       |  FROM shingles),
+       |dfreq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
        |ranked AS (
-       |  SELECT t.doc_id, t.sh,
+       |  SELECT t.doc_id, t.h,
        |         CAST(row_number() OVER (PARTITION BY t.doc_id
-       |                                 ORDER BY f.df, t.sh) AS BIGINT) AS pos,
+       |                                 ORDER BY f.df, t.h) AS BIGINT) AS pos,
        |         count(*) OVER (PARTITION BY t.doc_id) AS len
-       |  FROM shingles t JOIN dfreq f USING (sh)),
+       |  FROM tok t JOIN dfreq f USING (h)),
        |pfx AS (SELECT * FROM ranked WHERE pos <= len - (len + 1) // 2 + 1),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM pfx a JOIN pfx b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
        |    AND a.len <= 2 * b.len AND b.len <= 2 * a.len
        |    AND 1 + least(a.len - a.pos, b.len - b.pos)
        |        >= (a.len + b.len + 2) // 3),
-       |sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+       |sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
        |ic AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
-       |  FROM cand c JOIN shingles ta ON ta.doc_id = c.doc_a
-       |              JOIN shingles tb ON tb.doc_id = c.doc_b AND ta.sh = tb.sh
+       |  FROM cand c JOIN tok ta ON ta.doc_id = c.doc_a
+       |              JOIN tok tb ON tb.doc_id = c.doc_b AND ta.h = tb.h
        |  GROUP BY c.doc_a, c.doc_b)
        |SELECT i.doc_a, i.doc_b,
        |  CAST(i.n_common AS BIGINT) AS n_common,

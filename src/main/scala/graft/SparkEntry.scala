@@ -70,6 +70,8 @@ object SparkEntry {
     "agg_robust_stats"         -> (Relational.aggRobustStats(_, _)),
     // Welch t between cohorts from exact integer-cent moments
     "agg_welch_ttest"          -> (Relational.aggWelchTtest(_, _)),
+    // public typed Aggregator tier (Encoder-serialized exact buffer)
+    "agg_typed_aggregator"     -> (Relational.aggTypedAggregator(_, _)),
     // extended relational surface (reference §2.8 gaps, Spark-first)
     "join_asof"                -> (Extended.joinAsof(_, _)),
     // custom Catalyst whole-operator path (LogicalPlan+Strategy+SparkPlan)
@@ -251,6 +253,7 @@ object SparkEntry {
     "agg_corr_quantity_price"  -> Relational.aggCorrQuantityPriceSql,
     "agg_robust_stats"         -> Relational.aggRobustStatsSql,
     "agg_welch_ttest"          -> Relational.aggWelchTtestSql,
+    "agg_typed_aggregator"     -> Relational.aggTypedAggregatorSql,
     "join_asof"                -> Extended.joinAsofSql,
     "join_asof_native"         -> Extended.joinAsofNativeSql,
     "join_limit_broadcast"     -> Extended.joinLimitBroadcastSql,

@@ -476,8 +476,13 @@ object DedupOps {
     // ~25-byte strings (same md5-int trick that sped up ngram_jaccard;
     // the oracle hashes identically, so parity is exact even in the
     // astronomically-unlikely collision case)
+    // tok feeds five consumers (df agg, rank join, sizes, both verify
+    // sides) and pfx two (the self-join) — persist both or the shingle
+    // explosion re-runs per consumer; a few MB per 5k docs, executor-
+    // memory-proportional at scale like the memoized MinHash sketches
     val tok = shingleSets(spark, dir)
       .select($"doc_id", expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
+      .persist()
     val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
     val ranked = tok.join(dfreq, "h")
@@ -485,6 +490,7 @@ object DedupOps {
         row_number().over(wDoc).cast("long").as("pos"),
         count(lit(1)).over(Window.partitionBy($"doc_id")).as("len"))
     val pfx = ranked.filter($"pos" <= $"len" - expr("(len + 1) div 2") + 1)
+      .persist()
     val cand = pfx.as("a").join(pfx.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
         $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&

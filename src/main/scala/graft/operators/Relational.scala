@@ -257,6 +257,35 @@ object Relational {
       .orderBy($"flag")
   }
 
+  /** Exact per-flag average price through the PUBLIC typed
+    * [[graft.functions.TypedExactAvg]] Aggregator — the Dataset-native
+    * aggregation tier (`groupByKey(...).agg(agg.toColumn)`): a typed
+    * `(count, Σcents)` buffer that partial-aggregates and merges
+    * exactly, dividing once at `finish`. The oracle rebuilds the same
+    * integer-exact average; matching it proves the Encoder-serialized
+    * buffer merged losslessly across partitions. */
+  def aggTypedAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.TypedExactAvg.toColumn.name("avg_price"))
+      .toDF("flag", "avg_price")
+      .orderBy($"flag")
+  }
+
+  val aggTypedAggregatorSql: String =
+    """SELECT l_returnflag AS flag,
+      |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+      |       AS DOUBLE)
+      |    / count(*) / 100.0 AS avg_price
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY flag""".stripMargin
+
   /** Welch two-sample t statistic (returned vs regular lineitems on
     * price), computed from EXACT integer-cent moments — the significance
     * test a data pipeline runs to decide whether two cohorts differ.

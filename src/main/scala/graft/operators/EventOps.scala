@@ -397,15 +397,13 @@ object EventOps {
     val spine = daily.groupBy($"user_id")
       .agg(min($"day").as("d0"), max($"day").as("d1"))
       .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
-    val cum = Window.partitionBy($"user_id").orderBy($"day")
+    val cum = Window.partitionBy($"user_id").orderBy($"epoch_day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(daily, Seq("user_id", "day"), "left")
       .select($"user_id",
         datediff($"day", lit("1970-01-01").cast("date")).cast("long").as("epoch_day"),
         coalesce($"n_events", lit(0L)).as("n_events"))
-      .withColumn("cum_events", sum($"n_events").over(
-        Window.partitionBy($"user_id").orderBy($"epoch_day")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("cum_events", sum($"n_events").over(cum))
       .orderBy($"user_id", $"epoch_day")
   }
 

@@ -50,6 +50,8 @@ object SparkEntry {
     "streaming_foreach_batch_upsert" -> (graft.streaming.StreamingOps.streamingForeachBatchUpsert(_, _)),
     // micro-batch offsets through the custom DSv2 connector
     "streaming_dsv2_source"    -> (graft.sources.GenSourceOps.streamingDsv2Source(_, _)),
+    // append-mode event-time windows (bounded state, emit-on-close)
+    "streaming_append_windows" -> (graft.sources.GenSourceOps.streamingDsv2AppendWindows(_, _)),
     // §2.9 relational extensions
     "agg_pricing_summary"      -> (Relational.aggPricingSummary(_, _)),
     "sql_shipping_priority"    -> (Sql.sqlShippingPriority(_, _)),
@@ -237,6 +239,7 @@ object SparkEntry {
     "streaming_tws_timers"     -> graft.streaming.StreamingOps.streamingTwsTimersSql,
     "streaming_foreach_batch_upsert" -> graft.streaming.StreamingOps.streamingForeachBatchUpsertSql,
     "streaming_dsv2_source"    -> graft.sources.GenSourceOps.streamingDsv2SourceSql,
+    "streaming_append_windows" -> graft.sources.GenSourceOps.streamingDsv2AppendWindowsSql,
     "agg_pricing_summary"      -> Relational.aggPricingSummarySql,
     "sql_shipping_priority"    -> Sql.shippingPrioritySql,
     "sql_customer_distribution" -> Sql.customerDistributionSql,

@@ -263,4 +263,43 @@ object GenSourceOps {
       |FROM range(0, 1000) t(id)
       |GROUP BY CAST(id % 16 AS INT)
       |ORDER BY bucket""".stripMargin
+
+  /** APPEND-mode event-time windows over the same stream — the
+    * production shape for unbounded aggregation (complete mode re-emits
+    * the whole state every trigger; append emits each window exactly
+    * once, when the watermark closes it, and lets the store EVICT it —
+    * bounded state on an unbounded stream). Ids double as event-time
+    * seconds; the final watermark is max_ts − 10 s = 989, so windows
+    * [0,100) … [800,900) close and emit while [900,1000) is still open
+    * and withheld — asserting exactly that boundary is what pins the
+    * semantics. The result is batching-invariant: watermarks advance
+    * monotonically whatever the offset windows did. */
+  def streamingDsv2AppendWindows(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val name = "graft_dsv2w_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = 1700000000L
+    val q = s.readStream.format("graftgen")
+      .option("n", "1000").option("batchRows", "300").option("parts", "2")
+      .load()
+      .select($"id", timestamp_seconds(lit(base) + $"id").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "100 seconds"))
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+      .select(unix_timestamp($"window.start").as("w_start"), $"n", $"sum_id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy($"w_start")
+  }
+
+  /** Only the 9 watermark-closed windows appear; [900,1000) is open. */
+  val streamingDsv2AppendWindowsSql: String =
+    """SELECT 1700000000 + (id // 100) * 100 AS w_start,
+      |  count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM range(0, 1000) t(id)
+      |WHERE id < 900
+      |GROUP BY id // 100
+      |ORDER BY w_start""".stripMargin
 }

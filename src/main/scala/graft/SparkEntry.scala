@@ -199,6 +199,8 @@ object SparkEntry {
     // multimodal plumbing
     "multimodal_meta"          -> (MultimodalOps.multimodalMeta(_, _)),
     "multimodal_frame_sample"  -> (MultimodalOps.multimodalFrameSample(_, _)),
+    // fixed-size thumbnail downsampling (the resize step of the codec path)
+    "multimodal_resize"        -> (MultimodalOps.multimodalResize(_, _)),
     // model-based anomaly detection (no oracle — rows-only check)
     "anomaly_kmeans"           -> (AnomalyOps.anomalyKmeans(_, _)),
   )
@@ -342,5 +344,6 @@ object SparkEntry {
     "text_vocab_coverage"      -> TextOps.textVocabCoverageSql,
     "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,
     "multimodal_frame_sample"  -> MultimodalOps.multimodalFrameSampleSql,
+    "multimodal_resize"        -> MultimodalOps.multimodalResizeSql,
   )
 }

@@ -110,6 +110,60 @@ object MultimodalOps {
       |        FROM documents) t0) t
       |ORDER BY doc_id""".stripMargin
 
+  /** "Resize" plumbing: downsample every payload to a fixed-size
+    * 64-sample thumbnail (stride = ⌊n/64⌋ bytes, the byte-domain stand-in
+    * for pixel-domain bilinear resize), emitting the thumbnail length,
+    * plain sum, and an order-sensitive weighted checksum — so a permuted
+    * or off-by-one-stride "resize" fails the compare. Same shape as a
+    * production image-resize pass: narrow `mapPartitions`, one codec per
+    * partition, output size constant per row regardless of input size
+    * (what makes downstream batch tensors rectangular). */
+  def multimodalResize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val stride = math.max(1, n / 64)
+          val k = math.min(64, n)
+          var i = 0
+          var sum = 0L
+          var weighted = 0L
+          while (i < k) {
+            val s = bytes(i * stride) & 0xff
+            sum += s
+            weighted += s.toLong * (i + 1)
+            i += 1
+          }
+          (id, k.toLong, sum, weighted)
+        }
+      }
+      .toDF("doc_id", "thumb_len", "thumb_sum", "thumb_weighted")
+      .orderBy($"doc_id")
+  }
+
+  /** Oracle strides the hex-encoded UTF-8 bytes: sample i (1-based)
+    * reads the byte at offset (i−1)·stride, i.e. hex position
+    * 1 + 2·(i−1)·stride. */
+  val multimodalResizeSql: String =
+    """SELECT doc_id,
+      |  CAST(len(samples) AS BIGINT) AS thumb_len,
+      |  CAST(coalesce(list_sum(samples), 0) AS BIGINT) AS thumb_sum,
+      |  CAST(coalesce(list_sum(
+      |    [samples[i] * i for i in range(1, len(samples) + 1)]), 0) AS BIGINT)
+      |    AS thumb_weighted
+      |FROM (
+      |  SELECT doc_id,
+      |    [CAST(concat('0x', substr(h, 1 + 2 * (i - 1) * stride, 2)) AS INT)
+      |     for i in range(1, least(64, nb) + 1)] AS samples
+      |  FROM (SELECT doc_id, hex(encode(text)) AS h,
+      |               octet_length(encode(text)) AS nb,
+      |               greatest(1, octet_length(encode(text)) // 64) AS stride
+      |        FROM documents) t0) t
+      |ORDER BY doc_id""".stripMargin
+
   /** Raw-media ingest through Spark's `binaryFile` source: stage a
     * sample of document payloads as standalone `<doc_id>.bin` files
     * (executor-side imperative IO — the write path a media pipeline's

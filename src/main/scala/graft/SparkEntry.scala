@@ -62,6 +62,7 @@ object SparkEntry {
     "sql_returned_item_revenue" -> (Sql.sqlReturnedItemRevenue(_, _)),
     "sql_promo_revenue"        -> (Sql.sqlPromoRevenue(_, _)),
     "sql_top_supplier"         -> (Sql.sqlTopSupplier(_, _)),
+    "sql_large_orders"         -> (Sql.sqlLargeOrders(_, _)),
     "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
     "topn_revenue"             -> (Relational.topnRevenue(_, _)),
     "window_rank_orders"       -> (Relational.windowRankOrders(_, _)),
@@ -251,6 +252,7 @@ object SparkEntry {
     "sql_returned_item_revenue" -> Sql.returnedItemRevenueSql,
     "sql_promo_revenue"        -> Sql.promoRevenueSql,
     "sql_top_supplier"         -> Sql.topSupplierSql,
+    "sql_large_orders"         -> Sql.largeOrdersSql,
     "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
     "topn_revenue"             -> Relational.topnRevenueSql,
     "window_rank_orders"       -> Relational.windowRankOrdersSql,

@@ -223,4 +223,27 @@ object Sql {
 
   def sqlTopSupplier(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, topSupplierSql)
+
+  /** TPC-H Q18-style large-volume orders: a HAVING-filtered aggregate
+    * subquery (orders whose line quantities sum past a threshold) feeds
+    * an IN predicate — Catalyst rewrites it to a LEFT SEMI join against
+    * the aggregated side, so the HAVING filter prunes BEFORE the 3-way
+    * join. ONE shared ANSI text on both engines; quantity sums ride the
+    * exact-decimal pattern and the top-20 is tie-broken on o_orderkey. */
+  val largeOrdersSql: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem
+      |    GROUP BY l_orderkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+      |  AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  def sqlLargeOrders(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, largeOrdersSql)
 }

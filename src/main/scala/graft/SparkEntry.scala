@@ -63,6 +63,7 @@ object SparkEntry {
     "sql_promo_revenue"        -> (Sql.sqlPromoRevenue(_, _)),
     "sql_top_supplier"         -> (Sql.sqlTopSupplier(_, _)),
     "sql_large_orders"         -> (Sql.sqlLargeOrders(_, _)),
+    "sql_forecast_revenue"     -> (Sql.sqlForecastRevenue(_, _)),
     "join_orders_customers"    -> (Relational.joinOrdersCustomers(_, _)),
     "topn_revenue"             -> (Relational.topnRevenue(_, _)),
     "window_rank_orders"       -> (Relational.windowRankOrders(_, _)),
@@ -253,6 +254,7 @@ object SparkEntry {
     "sql_promo_revenue"        -> Sql.promoRevenueSql,
     "sql_top_supplier"         -> Sql.topSupplierSql,
     "sql_large_orders"         -> Sql.largeOrdersSql,
+    "sql_forecast_revenue"     -> Sql.forecastRevenueSql,
     "join_orders_customers"    -> Relational.joinOrdersCustomersSql,
     "topn_revenue"             -> Relational.topnRevenueSql,
     "window_rank_orders"       -> Relational.windowRankOrdersSql,

@@ -246,4 +246,25 @@ object Sql {
 
   def sqlLargeOrders(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, largeOrdersSql)
+
+  /** TPC-H Q6-style revenue forecast: the canonical PURE-PUSHDOWN query
+    * — single table, three conjunctive range predicates, one aggregate,
+    * no join, no group. All three predicates reach the parquet scan as
+    * PushedFilters (row groups outside the year are skipped on
+    * min/max stats), which is the whole point of the shape at 100 TB:
+    * the scan, not the agg, is the query. ONE shared ANSI text; the
+    * revenue product rides the exact-decimal pattern, and BETWEEN on
+    * parquet doubles compares stored values exactly. */
+  val forecastRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  def sqlForecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, forecastRevenueSql)
 }

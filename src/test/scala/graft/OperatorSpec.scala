@@ -511,6 +511,15 @@ class OperatorSpec extends SparkTestBase {
       s"one-month shipdate filter not pushed into the lineitem scan:\n$p")
   }
 
+  test("plan: sql_forecast_revenue pushes all three predicates into the scan, no joins") {
+    val p = fmtPlan("sql_forecast_revenue")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>
+      assert(("PushedFilters: \\[[^\\]]*" + c).r.findFirstIn(p).isDefined,
+        s"$c not in PushedFilters:\n$p")
+    }
+    assert(!p.contains("Join"), s"Q6 shape must be join-free:\n$p")
+  }
+
   test("plan: sql_returned_item_revenue plans the LIMIT as TakeOrderedAndProject") {
     val p = fmtPlan("sql_returned_item_revenue")
     assert(p.contains("TakeOrderedAndProject"),

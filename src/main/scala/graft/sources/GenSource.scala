@@ -122,7 +122,7 @@ final class GenScanBuilder(n: Long, parts: Int, batchRows: Long)
 
 final case class GenScan(
     lo: Long, hi: Long, parts: Int,
-    required: StructType, pushed: Array[Filter],
+    required: StructType, pushed: Seq[Filter],
     batchRows: Long = 256L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -139,6 +139,15 @@ final case class GenScan(
 }
 
 object GenScan {
+  /** Pushed filters are kept as a Seq, not the Array the DSv2 API hands
+    * over: Array equals/hashCode are reference-based, which would make
+    * two identical scans never compare equal and defeat plan
+    * canonicalization (`sameResult`, ReuseExchange / scan reuse) for
+    * queries reading the source twice. */
+  def apply(lo: Long, hi: Long, parts: Int, required: StructType,
+      pushed: Array[Filter], batchRows: Long): GenScan =
+    new GenScan(lo, hi, parts, required, pushed.toSeq, batchRows)
+
   private[sources] def slices(lo: Long, hi: Long, parts: Int): Array[InputPartition] = {
     val span = math.max(0L, hi - lo)
     val k = math.max(1, parts)
@@ -156,19 +165,45 @@ object GenScan {
   * splits each [start, end) offset window exactly like the batch path,
   * and committed offsets need no action because the generator is
   * idempotent by construction — the replayability contract (Kafka
-  * offsets, file positions) that makes exactly-once recovery possible. */
+  * offsets, file positions) that makes exactly-once recovery possible.
+  *
+  * RESTART SAFETY: an earlier version advanced a private high-water
+  * var from `lo` inside the no-arg `latestOffset()`. A fresh instance
+  * after a checkpoint recovery would then return an offset BEHIND the
+  * committed one — the engine either stalls ("no new data") or
+  * re-plans the regressed window, duplicating rows on an append sink.
+  * And the no-arg form can't be fixed from inside the source: Spark
+  * calls it before ever handing the source its restored offsets. So
+  * the stream implements [[SupportsAdmissionControl]] instead —
+  * `latestOffset(start, limit)` RECEIVES the engine's true start
+  * offset every trigger and derives the next boundary from it,
+  * stateless, so a restart resumes exactly where the checkpoint left
+  * off. Verified by the checkpoint-restart test in `StreamingSpec`
+  * (two Trigger.Once runs over one file sink → exactly [0, 600)). */
 final class GenMicroBatchStream(
     lo: Long, hi: Long, parts: Int, batchRows: Long, fields: Array[String])
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
-
-  private var reached: Long = lo
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = GenOffset(lo)
-  override def latestOffset(): Offset = {
-    reached = math.min(hi, reached + math.max(1L, batchRows))
-    GenOffset(reached)
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxRows(math.max(1L, batchRows))
+
+  /** Next boundary = start + batchRows, clamped to the interval end —
+    * pure function of the engine-supplied start, no instance state. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GenOffset].pos
+    GenOffset(math.min(hi, from + math.max(1L, batchRows)))
   }
+
+  /** Engine must use the admission-control overload (same contract as
+    * Kafka's source; reaching here would be a Spark regression). */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
   override def deserializeOffset(json: String): Offset = GenOffset(json.toLong)
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     GenScan.slices(start.asInstanceOf[GenOffset].pos, end.asInstanceOf[GenOffset].pos, parts)

@@ -318,4 +318,39 @@ class StreamingSpec extends SparkTestBase {
         .agg(sum($"n")).collect()(0).getLong(0) == 1000L)
     } finally q.stop()
   }
+
+  test("graftgen stream resumes past the committed offset after a checkpoint restart") {
+    // a fresh GenMicroBatchStream starts its high-water mark at lo; on a
+    // checkpoint restart the committed offset is already ahead, and an
+    // unclamped latestOffset would hand back a REGRESSED offset — the
+    // engine then either stalls (sees "no new data") or replays the
+    // committed window, duplicating rows on an append sink. Two
+    // Trigger.Once runs over one checkpoint must produce exactly
+    // [0, 600): run 1 emits ids [0, 300), run 2 must resume at 300.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val ckpt = Files.createTempDirectory("graft_gen_ckpt").toString
+    val outDir = Files.createTempDirectory("graft_gen_out").toString
+    def runOnce(): Unit = {
+      val q = s.readStream.format("graftgen")
+        .option("n", "1000").option("batchRows", "300").option("parts", "2")
+        .load()
+        .select($"id")
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce()
+    runOnce()
+    val ids = s.read.parquet(outDir).select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.size == 600,
+      s"expected ids [0,600) after two Trigger.Once runs, got ${ids.size} rows " +
+        "(300 = restart stalled on a regressed offset; >600 = committed window replayed)")
+    assert(ids.distinct.size == ids.size, "restart duplicated committed rows")
+    assert(ids.head == 0L && ids.last == 599L, s"wrong id range: [${ids.head}, ${ids.last}]")
+  }
 }

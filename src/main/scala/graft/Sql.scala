@@ -267,4 +267,173 @@ object Sql {
 
   def sqlForecastRevenue(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, forecastRevenueSql)
+
+  /** TPC-H Q7-style bilateral trade volume: revenue shipped between two
+    * specific nations, per direction per year. The interesting plan
+    * property is the SYMMETRIC disjunction on the two nation dims —
+    * Catalyst can't split the OR across the joins, but both `nation`
+    * sides are tiny bounded dims (broadcast), so the OR is evaluated
+    * post-join at broadcast-hash-join speed while the big
+    * lineitem⋈orders⋈customer spine stays a pure key-equi-join tree —
+    * exactly the shape you want when lineitem is 100 TB and nation is
+    * 25 rows. ONE shared ANSI text on both engines; the year is
+    * extracted and CAST to INT on both, revenue rides the exact-decimal
+    * pattern, and (supp_nation, cust_nation, l_year) totally orders. */
+  val nationTradeVolumeSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(sum(volume) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+      |         CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                       AND TIMESTAMP '1997-12-31 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  def sqlNationTradeVolume(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, nationTradeVolumeSql)
+
+  /** TPC-H Q12-style priority-by-class counts (adapted: this schema has
+    * no l_shipmode, so l_returnflag plays the class column): one pass
+    * over a date-windowed lineitem⋈orders join producing two
+    * conditional sums — the shipdate range is the only selective
+    * predicate and it reaches the parquet scan as PushedFilters, so at
+    * 100 TB the query reads one year of row groups, joins on the order
+    * key, and never materializes a CASE column. ONE shared ANSI text. */
+  val shipmodePrioritySql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  def sqlShipmodePriority(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, shipmodePrioritySql)
+
+  /** TPC-H Q17-style small-quantity revenue: a correlated scalar AVG
+    * subquery (lines below 20% of their part's average quantity).
+    * Catalyst decorrelates it into ONE per-part average aggregate plus
+    * an equi-join — the subquery runs once over lineitem, not once per
+    * outer row, which is the difference between O(n) and O(n²) at
+    * 100 TB. Quantities are whole numbers stored as doubles, so the
+    * per-part average is order-independent (integer sums are exact in
+    * binary64) and the 0.2× threshold compares identically on both
+    * engines; the revenue sum rides the exact-decimal pattern. */
+  val smallQuantityRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand = 'Brand#13'
+      |  AND p_size < 5
+      |  AND l_quantity < (
+      |    SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  def sqlSmallQuantityRevenue(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, smallQuantityRevenueSql)
+
+  /** TPC-H Q19-style disjunctive-predicate revenue (adapted: p_size
+    * ranges replace the container lists): three OR'd conjunctions
+    * spanning both join sides. The optimizer-shape point: Catalyst
+    * extracts the COMMON parts of the disjunction per side (brand/size
+    * reach the part scan, quantity bounds reach the lineitem scan as a
+    * pushed `(q>=1 AND q<=11) OR ... ` filter), so each scan prunes on
+    * the union envelope BEFORE the join and only the residual OR is
+    * evaluated post-join — the difference between scanning three
+    * slivers and scanning the world, twice. ONE shared ANSI text. */
+  val disjunctiveRevenueSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+      |         * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity >= 1 AND l_quantity <= 11)
+      |    OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 25
+      |        AND l_quantity >= 10 AND l_quantity <= 20)
+      |    OR (p_brand = 'Brand#34' AND p_size BETWEEN 20 AND 35
+      |        AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  def sqlDisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, disjunctiveRevenueSql)
+
+  /** TPC-H Q21-style waiting-suppliers (adapted: "late" = shipped more
+    * than 60 days after the order date, since this schema has no
+    * commit/receipt dates): for finished orders, suppliers whose line
+    * was the ONLY late one in a multi-supplier order. The shape is the
+    * full correlated-quantifier gauntlet — one EXISTS (another supplier
+    * participated) and one NOT EXISTS (no OTHER supplier was late),
+    * both correlated on the order key. Catalyst turns them into a left
+    * semi and a left anti join against lineitem keyed on l_orderkey —
+    * hash-partitionable self-joins, no per-row subquery execution.
+    * ONE shared ANSI text; (numwait DESC, s_name) totally orders. */
+  val waitingSuppliersSql: String =
+    """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL '60' DAY
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+      |  AND EXISTS (
+      |    SELECT * FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT * FROM lineitem l3, orders o2
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND o2.o_orderkey = l3.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > o2.o_orderdate + INTERVAL '60' DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
+  def sqlWaitingSuppliers(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, waitingSuppliersSql)
+
+  /** TPC-H Q22-style dormant high-balance accounts (adapted: the
+    * custkey's last digit plays the phone country code, and "never
+    * ordered" becomes "no order since 2000" — every customer in this
+    * dataset has SOME order): an uncorrelated scalar AVG subquery sets
+    * the balance bar, a correlated NOT EXISTS prunes recently-active
+    * customers (→ left anti join on o_custkey with the date filter
+    * pushed into the orders scan), and the survivors aggregate by
+    * segment. The average is computed over DECIMAL(12,2) so the bar is
+    * order-independent and identical on both engines. ONE shared text. */
+  val dormantAccountsSql: String =
+    """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
+      |  FROM customer
+      |  WHERE c_custkey % 10 IN (1, 3, 5, 7)
+      |    AND c_acctbal > (
+      |      SELECT avg(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+      |      WHERE c_acctbal > 0.00 AND c_custkey % 10 IN (1, 3, 5, 7))
+      |    AND NOT EXISTS (
+      |      SELECT * FROM orders
+      |      WHERE o_custkey = c_custkey
+      |        AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |) custsale
+      |GROUP BY cntrycode
+      |ORDER BY cntrycode""".stripMargin
+
+  def sqlDormantAccounts(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, dormantAccountsSql)
 }

@@ -347,4 +347,69 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin
+
+  /** Symmetric int8 quantization of the embedding column
+    * (`embedding_quantize_int8`) — the storage-compression half of the
+    * ANN family: per-vector absmax scale, `q = ⌊x·127/absmax + ½⌋`, plus
+    * the reconstruction quality a compression pass must report
+    * (checksum, L1 mass, max absolute error). At 100 TB this is the op
+    * that turns a 256 GB float corpus into 64 GB before indexing.
+    *
+    * Everything is per-row HOFs over the array column — a narrow
+    * projection, no shuffle, fully codegen; the only aggregate is the
+    * caller's. Determinism discipline: inputs ride the same
+    * ⌊x·10⁶⌋ fixed-point grid as the cosine family, the quantizer is
+    * spelled `floor(· + 0.5)` (identical IEEE ops on both engines —
+    * `round()` half-breaking differs between engines), and max() over
+    * elements is order-independent, so every output column is
+    * bit-stable. Zero vectors are guarded by `greatest(absmax, 1)`. */
+  def embeddingQuantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantized(spark, dir)
+      .withColumn("maxabs_m",
+        expr("greatest(array_max(transform(q, x -> abs(x))), 1L)"))
+      // every arithmetic step is forced to DOUBLE: a bare `127.0`
+      // literal is DECIMAL(4,1) to Spark's parser, and decimal division
+      // truncates to a scale-6 grid that DuckDB's double math doesn't —
+      // identical IEEE double trees on both engines or the hash flaps
+      .withColumn("q8",
+        expr("""transform(q, x -> cast(floor(
+            (cast(x as double) * 127.0D) / cast(maxabs_m as double) + 0.5D) as int))"""))
+      .select(
+        $"vec_id",
+        ($"maxabs_m".cast("double") / 1000000.0).as("scale"),
+        expr("cast(aggregate(q8, 0L, (acc, x) -> acc + x) as bigint)").as("q8_sum"),
+        expr("cast(aggregate(q8, 0L, (acc, x) -> acc + abs(x)) as bigint)").as("q8_l1"),
+        (expr("""array_max(zip_with(q, q8, (x, v) ->
+            abs(cast(x as double)
+                - (cast(v as double) * cast(maxabs_m as double)) / 127.0D)))""")
+          / 1000000.0).as("max_abs_err"))
+      .orderBy($"vec_id")
+  }
+
+  lazy val embeddingQuantizeInt8Sql: String =
+    s"""WITH $quantizedCte,
+       |m AS (
+       |  SELECT vec_id, q,
+       |         greatest(list_max(list_transform(q, x -> abs(x))), 1) AS maxabs_m
+       |  FROM n),
+       |qq AS (
+       |  SELECT vec_id, q, maxabs_m,
+       |         list_transform(q, x -> CAST(floor(
+       |           (CAST(x AS DOUBLE) * CAST(127 AS DOUBLE))
+       |             / CAST(maxabs_m AS DOUBLE) + 0.5) AS INT)) AS q8
+       |  FROM m)
+       |SELECT vec_id,
+       |  CAST(maxabs_m AS DOUBLE) / 1000000.0 AS scale,
+       |  CAST(list_sum(q8) AS BIGINT) AS q8_sum,
+       |  CAST(list_sum(list_transform(q8, x -> abs(x))) AS BIGINT) AS q8_l1,
+       |  list_max(list_transform(q,
+       |    x -> abs(CAST(x AS DOUBLE)
+       |             - (CAST(CAST(floor(
+       |                 (CAST(x AS DOUBLE) * CAST(127 AS DOUBLE))
+       |                   / CAST(maxabs_m AS DOUBLE) + 0.5) AS INT) AS DOUBLE)
+       |                * CAST(maxabs_m AS DOUBLE))
+       |               / CAST(127 AS DOUBLE)))) / 1000000.0 AS max_abs_err
+       |FROM qq
+       |ORDER BY vec_id""".stripMargin
 }

@@ -310,4 +310,59 @@ object TextOps {
       |WHERE bg.w1 = u1.w AND bg.w2 = u2.w AND bg.n_xy >= 3
       |ORDER BY lift DESC, bg.w1, bg.w2
       |LIMIT 50""".stripMargin
+
+  /** Lexical rarity scoring (`text_rarity_score`): the integer-exact
+    * proxy for unigram-LM perplexity filtering — a corpus pass builds
+    * the global unigram table, then each document is scored by the
+    * fraction of its tokens that are rarer than the corpus MEAN token
+    * frequency. Real perplexity needs `ln(p)`, whose last-ulp value
+    * differs between libm implementations, so the score is restated in
+    * exact integer arithmetic (`cnt · |vocab| < total` avoids division
+    * entirely) with ONE final double division per doc — bit-identical on
+    * both engines, same selectivity ordering as mean surprisal for a
+    * monotone frequency threshold.
+    *
+    * Plan shape at 100 TB: the token stream is a narrow split/explode;
+    * the unigram table is vocab-bounded (hash agg); the score join is a
+    * hash equi-join on the token — AQE broadcasts the unigram side while
+    * it fits and degrades to shuffle when a web-scale vocab doesn't. The
+    * two corpus constants (total, vocab) are a 1-row cross join. */
+  def textRarityScore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    val uni = tok.groupBy($"token").agg(count(lit(1)).as("cnt"))
+    val consts = uni.agg(
+      sum($"cnt").as("total"), count(lit(1)).as("vocab"))
+    tok.join(uni, "token")
+      .crossJoin(consts)
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when($"cnt" * $"vocab" < $"total", 1L).otherwise(0L)).as("n_rare"))
+      .select($"doc_id", $"n_tokens", $"n_rare",
+        ($"n_rare".cast("double") / $"n_tokens".cast("double")).as("rare_ratio"))
+      .orderBy($"doc_id")
+  }
+
+  val textRarityScoreSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> ''),
+      |uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      |consts AS (
+      |  SELECT CAST(sum(cnt) AS BIGINT) AS total,
+      |         CAST(count(*) AS BIGINT) AS vocab FROM uni)
+      |SELECT t.doc_id,
+      |  CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(CASE WHEN u.cnt * c.vocab < c.total THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_rare,
+      |  CAST(sum(CASE WHEN u.cnt * c.vocab < c.total THEN 1 ELSE 0 END)
+      |       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rare_ratio
+      |FROM tok t JOIN uni u USING (token), consts c
+      |GROUP BY t.doc_id
+      |ORDER BY t.doc_id""".stripMargin
 }

@@ -191,11 +191,27 @@ final class GenMicroBatchStream(
   override def getDefaultReadLimit: ReadLimit =
     ReadLimit.maxRows(math.max(1L, batchRows))
 
-  /** Next boundary = start + batchRows, clamped to the interval end —
-    * pure function of the engine-supplied start, no instance state. */
+  /** Next boundary = start + the admitted row budget, clamped to the
+    * interval end — pure function of the engine-supplied start and
+    * limit, no instance state. The engine usually echoes
+    * [[getDefaultReadLimit]] back, but an explicit maxRows (or a
+    * composite carrying one) is honored, and ReadAllAvailable admits
+    * the whole remaining interval — the contract Trigger.AvailableNow
+    * relies on to drain in one pass. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+    def admitted(l: ReadLimit): Long = l match {
+      case r: ReadMaxRows => r.maxRows()
+      case _: ReadAllAvailable => Long.MaxValue
+      case c: CompositeReadLimit =>
+        c.getReadLimits.map(admitted).min
+      case _ => math.max(1L, batchRows)
+    }
     val from = start.asInstanceOf[GenOffset].pos
-    GenOffset(math.min(hi, from + math.max(1L, batchRows)))
+    val step = math.max(1L, admitted(limit))
+    // saturating add: ReadAllAvailable admits Long.MaxValue rows
+    val next = if (step > hi - from) hi else from + step
+    GenOffset(next)
   }
 
   /** Engine must use the admission-control overload (same contract as

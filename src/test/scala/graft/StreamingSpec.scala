@@ -319,6 +319,23 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("graftgen admission control honors engine read limits") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{GenMicroBatchStream, GenOffset}
+    val s = new GenMicroBatchStream(0L, 1000L, 2, 300L, Array("id"))
+    def next(from: Long, l: ReadLimit): Long =
+      s.latestOffset(GenOffset(from), l).asInstanceOf[GenOffset].pos
+    assert(next(0L, s.getDefaultReadLimit) == 300L)
+    assert(next(0L, ReadLimit.maxRows(10L)) == 10L)
+    assert(next(990L, ReadLimit.allAvailable()) == 1000L)
+    assert(next(0L, ReadLimit.allAvailable()) == 1000L)
+    assert(next(0L, ReadLimit.compositeLimit(
+      Array(ReadLimit.allAvailable(), ReadLimit.maxRows(50L)))) == 50L)
+    // stateless: a start offset ahead of lo (checkpoint recovery) is
+    // advanced FROM, never regressed below
+    assert(next(600L, s.getDefaultReadLimit) == 900L)
+  }
+
   test("graftgen stream resumes past the committed offset after a checkpoint restart") {
     // a fresh GenMicroBatchStream starts its high-water mark at lo; on a
     // checkpoint restart the committed offset is already ahead, and an

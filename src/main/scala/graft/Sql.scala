@@ -436,4 +436,121 @@ object Sql {
 
   def sqlDormantAccounts(spark: SparkSession, dir: String): DataFrame =
     sql(spark, dir, dormantAccountsSql)
+
+  /** TPC-H Q8-style market share: one nation's slice of regional PROMO
+    * revenue per order year — an 8-relation join where everything but
+    * the lineitem⋈orders spine is a bounded broadcast dim, then a
+    * conditional-sum ratio. Both sums are exact decimals; the single
+    * double division at the end is deterministic on both engines. */
+  val marketShareSql: String =
+    """SELECT o_year,
+      |  CAST(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) AS DOUBLE)
+      |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                        AND TIMESTAMP '1997-12-31 00:00:00'
+      |    AND p_type = 'PROMO'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  def sqlMarketShare(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, marketShareSql)
+
+  /** TPC-H Q9-style product-line profit (adapted: cost =
+    * 0.1 × p_retailprice × quantity stands in for the missing
+    * partsupp.ps_supplycost): profit per supplier nation per year over
+    * a LIKE-filtered part subset. The amount expression is a pure
+    * decimal tree (two products, one subtraction — all exact), so the
+    * per-group sums are bit-identical on both engines. */
+  val productProfitSql: String =
+    """SELECT nation, o_year, CAST(sum(amount) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name AS nation,
+      |    CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(12,2))
+      |      * (1 - CAST(l_discount AS DECIMAL(12,2)))
+      |      - CAST(p_retailprice AS DECIMAL(12,2))
+      |        * CAST(l_quantity AS DECIMAL(12,2)) * 0.1 AS amount
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+      |    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+      |    AND p_name LIKE '%widget%'
+      |) profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  def sqlProductProfit(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, productProfitSql)
+
+  /** TPC-H Q11-style important stock (adapted: per-part lineitem value
+    * stands in for partsupp value): parts whose value exceeds a fixed
+    * fraction of the GLOBAL total — the aggregate CTE is used both as
+    * the row source and inside the scalar threshold subquery, so the
+    * plan reuses one aggregation with a 1-row broadcast for the bar.
+    * All values stay exact decimals until the final output cast. */
+    // threshold 0.0008: ~2000 parts at uniform ~0.0005 share each →
+    // only the heavy tail passes (6 rows at sf0.01); 0.001 passes none
+  val importantStockSql: String =
+    """WITH val AS (
+      |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS v
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+      |FROM val
+      |WHERE v > (SELECT sum(v) * 0.0008 FROM val)
+      |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  def sqlImportantStock(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, importantStockSql)
+
+  /** TPC-H Q16-style supplier count (adapted: suppliers with negative
+    * balances play the complaints blacklist): distinct suppliers per
+    * (brand, type, size) over an IN-list size filter, minus a NOT IN
+    * subquery — planned as a null-aware anti join against the tiny
+    * blacklist while the distinct count shuffles once on the group key. */
+  val supplierCountSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#13'
+      |  AND p_type <> 'PROMO'
+      |  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  def sqlSupplierCount(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, supplierCountSql)
+
+  /** TPC-H Q20-style high-volume part suppliers (adapted: "shipped more
+    * than 50 units of one PROMO part in 1997" stands in for the
+    * partsupp availability correlation): an IN predicate over a
+    * grouped-HAVING subquery — Catalyst plans the inner aggregate once
+    * and semi-joins suppliers against its distinct key set; the date
+    * window is pushed into the lineitem scan. */
+  val excessSuppliersSql: String =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem, part
+      |    WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+      |      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+      |  AND s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin
+
+  def sqlExcessSuppliers(spark: SparkSession, dir: String): DataFrame =
+    sql(spark, dir, excessSuppliersSql)
 }

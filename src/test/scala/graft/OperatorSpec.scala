@@ -511,6 +511,25 @@ class OperatorSpec extends SparkTestBase {
       s"one-month shipdate filter not pushed into the lineitem scan:\n$p")
   }
 
+  test("plan: sql_disjunctive_revenue pushes each side's OR envelope into its scan") {
+    val p = fmtPlan("sql_disjunctive_revenue")
+    // the quantity disjunction must reach the lineitem scan and the
+    // brand/size disjunction the part scan — the Q19 point: each scan
+    // prunes on its union envelope BEFORE the join
+    assert("PushedFilters: \\[[^\\]]*Or\\([^\\]]*l_quantity".r.findFirstIn(p).isDefined,
+      s"quantity OR-envelope not pushed into the lineitem scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*Or\\([^\\]]*p_brand".r.findFirstIn(p).isDefined,
+      s"brand/size OR-envelope not pushed into the part scan:\n$p")
+  }
+
+  test("plan: sql_waiting_suppliers decorrelates both quantifiers into hash joins") {
+    val p = fmtPlan("sql_waiting_suppliers")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS did not become a left semi join:\n$p")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS did not become a left anti join:\n$p")
+  }
+
   test("plan: sql_forecast_revenue pushes all three predicates into the scan, no joins") {
     val p = fmtPlan("sql_forecast_revenue")
     Seq("l_shipdate", "l_discount", "l_quantity").foreach { c =>

@@ -365,4 +365,52 @@ object TextOps {
       |FROM tok t JOIN uni u USING (token), consts c
       |GROUP BY t.doc_id
       |ORDER BY t.doc_id""".stripMargin
+
+  /** Sliding-window token chunking (`text_chunk_overlap`) — the
+    * context-window prep step of an LLM training / RAG pipeline: each
+    * document becomes ⌈(n−32)/24⌉+1 chunks of 32 tokens with stride 24
+    * (8-token overlap so no boundary context is lost), emitted with a
+    * per-chunk content hash for downstream chunk-level dedup.
+    *
+    * Plan shape: tokenize → `sequence` → `explode` is one narrow
+    * Generate per doc — no shuffle, no window; fan-out is bounded by
+    * each doc's own length (n/24 chunks), so the op scales linearly on
+    * partitions however the 100 TB corpus is laid out. The only sort is
+    * the presentation ORDER BY. */
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("filter(split(lower(text), ' '), t -> t <> '')").as("w"))
+      .select($"doc_id", $"w", size($"w").as("n"))
+      .select($"doc_id", $"w",
+        explode(expr("sequence(0L, (greatest(n - 32, 0) + 23) div 24)")).as("k"))
+      .select($"doc_id",
+        $"k".cast("int").as("chunk_idx"),
+        ($"k" * 24L).cast("bigint").as("chunk_start"),
+        expr("cast(size(slice(w, cast(k * 24 + 1 as int), 32)) as bigint)")
+          .as("n_chunk_tokens"),
+        expr("md5(concat_ws(' ', slice(w, cast(k * 24 + 1 as int), 32)))")
+          .as("chunk_hash"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
+  val textChunkOverlapSql: String =
+    """WITH ws AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
+      |  FROM documents),
+      |starts AS (
+      |  SELECT doc_id, w,
+      |         unnest(range(0, 1 + ((greatest(len(w) - 32, 0) + 23) // 24))) AS k
+      |  FROM ws)
+      |SELECT doc_id,
+      |  CAST(k AS INT) AS chunk_idx,
+      |  CAST(k * 24 AS BIGINT) AS chunk_start,
+      |  CAST(len(list_slice(w, k * 24 + 1, k * 24 + 32)) AS BIGINT)
+      |    AS n_chunk_tokens,
+      |  md5(array_to_string(list_slice(w, k * 24 + 1, k * 24 + 32), ' '))
+      |    AS chunk_hash
+      |FROM starts
+      |ORDER BY doc_id, chunk_idx""".stripMargin
 }

@@ -336,22 +336,51 @@ class StreamingSpec extends SparkTestBase {
     assert(next(600L, s.getDefaultReadLimit) == 900L)
   }
 
+  test("graftgen drains fully under Trigger.AvailableNow and then terminates") {
+    // AvailableNow pins the drain target by asking the source for its
+    // latest offset ONCE up front — through the ReadAllAvailable limit
+    // path — then processes up to it and stops. One run must deliver
+    // the whole interval exactly once, not one batchRows step.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val outDir = Files.createTempDirectory("graft_gen_avail").toString
+    val ckpt = Files.createTempDirectory("graft_gen_avail_ckpt").toString
+    val q = s.readStream.format("graftgen")
+      .option("n", "1000").option("batchRows", "300").option("parts", "2")
+      .load()
+      .select($"id")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val ids = s.read.parquet(outDir).select($"id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids.size == 1000 && ids.distinct.size == 1000 &&
+      ids.head == 0L && ids.last == 999L,
+      s"AvailableNow drain incomplete or duplicated: ${ids.size} rows, " +
+        s"range [${ids.headOption.getOrElse(-1L)}, ${ids.lastOption.getOrElse(-1L)}]")
+  }
+
   test("graftgen stream resumes past the committed offset after a checkpoint restart") {
-    // a fresh GenMicroBatchStream starts its high-water mark at lo; on a
-    // checkpoint restart the committed offset is already ahead, and an
-    // unclamped latestOffset would hand back a REGRESSED offset — the
-    // engine then either stalls (sees "no new data") or replays the
-    // committed window, duplicating rows on an append sink. Two
-    // Trigger.Once runs over one checkpoint must produce exactly
-    // [0, 600): run 1 emits ids [0, 300), run 2 must resume at 300.
+    // on a checkpoint restart the committed offset is ahead of the
+    // fresh instance's lo; a source that derives its next offset from
+    // instance state (the pre-SupportsAdmissionControl bug) regresses —
+    // the engine then either stalls at the old high-water mark or
+    // replays the committed window, duplicating rows on an append sink.
+    // Run 1 drains a 300-row interval and commits offset 300; run 2
+    // reopens the SAME checkpoint with the interval grown to 1000 and
+    // must emit EXACTLY [300, 1000): a regressing source would stall at
+    // 300 total, a replaying one would duplicate [0, 300).
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", "2")
     import s.implicits._
     val ckpt = Files.createTempDirectory("graft_gen_ckpt").toString
     val outDir = Files.createTempDirectory("graft_gen_out").toString
-    def runOnce(): Unit = {
+    def runOnce(n: Int): Unit = {
       val q = s.readStream.format("graftgen")
-        .option("n", "1000").option("batchRows", "300").option("parts", "2")
+        .option("n", n.toString).option("batchRows", "300").option("parts", "2")
         .load()
         .select($"id")
         .writeStream.format("parquet")
@@ -360,14 +389,14 @@ class StreamingSpec extends SparkTestBase {
         .start()
       try q.awaitTermination() finally q.stop()
     }
-    runOnce()
-    runOnce()
+    runOnce(300)
+    runOnce(1000)
     val ids = s.read.parquet(outDir).select($"id")
       .collect().map(_.getLong(0)).sorted.toSeq
-    assert(ids.size == 600,
-      s"expected ids [0,600) after two Trigger.Once runs, got ${ids.size} rows " +
-        "(300 = restart stalled on a regressed offset; >600 = committed window replayed)")
+    assert(ids.size == 1000,
+      s"expected ids [0,1000) after restart, got ${ids.size} rows " +
+        "(300 = restart stalled on a regressed offset; >1000 = committed window replayed)")
     assert(ids.distinct.size == ids.size, "restart duplicated committed rows")
-    assert(ids.head == 0L && ids.last == 599L, s"wrong id range: [${ids.head}, ${ids.last}]")
+    assert(ids.head == 0L && ids.last == 999L, s"wrong id range: [${ids.head}, ${ids.last}]")
   }
 }

@@ -425,4 +425,46 @@ object EventOps {
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_events
       |FROM spine s LEFT JOIN daily d USING (user_id, day)
       |ORDER BY user_id, epoch_day""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event sequences
+    * (`events_markov_transitions`) — the sequence-modeling prep that
+    * turns a clickstream into `P(next | current)`: one `lead()` window
+    * per user (hash-partitioned on user_id — each user's sequence sorts
+    * locally, no global sort), integer pair counts, then ONE double
+    * division per matrix cell against the per-source-state total. The
+    * matrix itself is |event_types|² ≤ 25 rows — the normalize join is
+    * a trivial broadcast however big the event log is. Ordering ties
+    * break on event_id, so the sequence (and the matrix) is total-order
+    * deterministic on both engines. */
+  def eventsMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts".asc, $"event_id".asc)
+    val cnt = Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("next_type", lead($"event_type", 1).over(w))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"event_type").agg(sum($"n").as("t"))
+    cnt.join(tot, "event_type")
+      .select($"event_type", $"next_type", $"n",
+        ($"n".cast("double") / $"t".cast("double")).as("p"))
+      .orderBy($"event_type", $"next_type")
+  }
+
+  val eventsMarkovTransitionsSql: String =
+    """WITH pairs AS (
+      |  SELECT event_type,
+      |         lead(event_type) OVER (
+      |           PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |cnt AS (
+      |  SELECT event_type, next_type, count(*) AS n
+      |  FROM pairs WHERE next_type IS NOT NULL
+      |  GROUP BY event_type, next_type),
+      |tot AS (SELECT event_type, sum(n) AS t FROM cnt GROUP BY event_type)
+      |SELECT c.event_type, c.next_type, CAST(c.n AS BIGINT) AS n,
+      |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
+      |FROM cnt c JOIN tot t USING (event_type)
+      |ORDER BY c.event_type, c.next_type""".stripMargin
 }

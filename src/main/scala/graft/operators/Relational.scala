@@ -205,6 +205,54 @@ object Relational {
       |  GROUP BY l_returnflag) t
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Per-group OLS regression of price on quantity
+    * (`agg_linear_regression`) — same exact-integer-moment discipline as
+    * [[aggCorrQuantityPrice]]: cents-scaled bigint inputs, DECIMAL(38,0)
+    * moment sums (one partial+final agg pass, order-independent), then
+    * an identical closed-form IEEE tree on both engines. Slope is
+    * scale-invariant (both axes ×100); the intercept is de-scaled by
+    * the single final /100 division. */
+  def aggLinearRegression(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val D38 = DecimalType(38, 0)
+    val xc = expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")
+    val yc = expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")
+    Tables.lineitem(spark, dir)
+      .select($"l_returnflag", xc.as("xc"), yc.as("yc"))
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum($"xc".cast(D38)).cast("double").as("sx"),
+        sum($"yc".cast(D38)).cast("double").as("sy"),
+        sum(($"xc" * $"xc").cast(D38)).cast("double").as("sxx"),
+        sum(($"xc" * $"yc").cast(D38)).cast("double").as("sxy"))
+      .select($"l_returnflag", $"n",
+        (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+          .as("slope"),
+        ((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
+            ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n") / 100.0)
+          .as("intercept"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggLinearRegressionSql: String =
+    """SELECT l_returnflag, n,
+      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+      |  ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 100.0
+      |    AS intercept
+      |FROM (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(CAST(xc AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(yc AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(xc * xc AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(xc * yc AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+      |  FROM (
+      |    SELECT l_returnflag,
+      |      CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS xc,
+      |      CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS yc
+      |    FROM lineitem) t0
+      |  GROUP BY l_returnflag) t
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Ranking window function: top-3 orders per customer by total price. */
   def windowRankOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

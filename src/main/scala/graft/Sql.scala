@@ -291,8 +291,8 @@ object Sql {
       |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
       |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
       |    AND c_nationkey = n2.n_nationkey
-      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND ((n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_12')
+      |      OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_11'))
       |    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
       |                       AND TIMESTAMP '1997-12-31 00:00:00'
       |) shipping

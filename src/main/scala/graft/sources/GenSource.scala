@@ -353,4 +353,47 @@ object GenSourceOps {
       |WHERE id < 900
       |GROUP BY id // 100
       |ORDER BY w_start""".stripMargin
+
+  /** CHAINED event-time aggregations — two stateful windowed aggs in ONE
+    * streaming query (the multiple-stateful-operator support that
+    * landed with SPARK-40925): 100 s windows roll up into 200 s windows
+    * downstream, with `window_time()` extracting the event time the
+    * second `window()` groups on. The second tier only sees CLOSED
+    * first-tier windows, so a 200 s window emits exactly once, when the
+    * watermark passes ITS end — the final watermark is 989, so
+    * [0,800) closes tier 2 (4 rows, 2 subwindows each) while [800,1000)
+    * is withheld: its [800,900) input exists but [900,1000) is open.
+    * This is the production shape for multi-resolution rollups (raw →
+    * minute → hour) in one pass instead of one job per tier. */
+  def streamingDsv2ChainedWindows(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val name = "graft_dsv2c_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val base = 1700000000L
+    val q = s.readStream.format("graftgen")
+      .option("n", "1000").option("batchRows", "300").option("parts", "2")
+      .load()
+      .select($"id", timestamp_seconds(lit(base) + $"id").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "100 seconds"))
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+      .groupBy(window(window_time($"window"), "200 seconds").as("w2"))
+      .agg(sum($"n").as("n"), sum($"sum_id").as("sum_id"),
+        count(lit(1)).as("n_subwindows"))
+      .select(unix_timestamp($"w2.start").as("w_start"),
+        $"n", $"sum_id", $"n_subwindows")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy($"w_start")
+  }
+
+  val streamingDsv2ChainedWindowsSql: String =
+    """SELECT 1700000000 + (id // 200) * 200 AS w_start,
+      |  count(*) AS n, CAST(sum(id) AS BIGINT) AS sum_id,
+      |  count(DISTINCT id // 100) AS n_subwindows
+      |FROM range(0, 800) t(id)
+      |GROUP BY id // 200
+      |ORDER BY w_start""".stripMargin
 }

@@ -273,6 +273,12 @@ object SimilarityOps {
     // spherical k-means: L2-normalize before training so Euclidean cells
     // align with the cosine retrieval metric (on raw vectors the two
     // metrics disagree and probe recall drops)
+    // coalesce(2): the feature set is k-bounded-tiny next to the corpus
+    // scans (one Vector per embedding row); MLlib runs ~2 jobs per
+    // iteration, so task count per job — not data volume — is the cost.
+    // Random init replaces k-means||'s ~5 extra init rounds; with the
+    // fixed seed the centroids are still deterministic, and the suite's
+    // recall floor (>= 0.85 @ nprobe 4) pins the quality.
     val features = Tables.embeddings(spark, dir)
       .select($"vec_id", $"embedding").as[(Long, Array[Float])]
       .map { case (id, arr) =>
@@ -281,8 +287,10 @@ object SimilarityOps {
         (id, Vectors.dense(d.map(_ / norm)))
       }
       .toDF("vec_id", "features")
+      .coalesce(2)
       .persist()
     val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      .setInitMode("random")
       .setFeaturesCol("features").fit(features)
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("pivot_id", "c")

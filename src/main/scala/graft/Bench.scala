@@ -22,6 +22,12 @@ object Bench {
     // untimed warmup: codegen pipeline + parquet reader + shuffle machinery
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
+    // memoized shared stages (MinHash estimates, SimHash sketch, PPJoin
+    // pairs) are built and timed ONCE up front as their own ledger lines:
+    // previously whichever dedup-family query ran first paid the whole
+    // sketch build, so unchanged queries appeared to regress between
+    // rounds whenever registration order shifted
+    val shared = graft.operators.DedupOps.prewarmSharedStages(spark, sfDir)
     // noop-format write executes the FULL plan (final sorts/projections
     // included) — a count() would let Catalyst prune them. The "queries"
     // map holds ONLY successes (so a naive sum over it is correct); failed
@@ -42,8 +48,11 @@ object Bench {
     val failedNames = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val failedSecs = jsonMap(results.collect { case (k, v, false) => (k, v) })
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedNames,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
+    val sharedJson = jsonMap(shared)
+    // headline total = queries + shared-stage builds, so it stays
+    // comparable with rounds where the builds hid inside query lines
+    val total = results.collect { case (_, v, true) => v }.sum + shared.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shared_stages":$sharedJson,"failed":$failedNames,"failed_secs":$failedSecs,"sf":"$sfDir"}""")
     // The full line above exceeds harnesses that keep only a short output
     // tail (the per-round capture holds 2000 bytes — ~115 queries is ~4 KB,
     // which truncates the headline "value" right out of the record). Emit a
@@ -51,7 +60,7 @@ object Bench {
     // slowest 20, always well under the tail window.
     val slowest = results.collect { case (k, v, true) => (k, v) }
       .sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._3)},"queries":${jsonMap(slowest)},"failed":$failedNames,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.count(_._3)},"queries":${jsonMap(slowest)},"shared_stages":$sharedJson,"failed":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

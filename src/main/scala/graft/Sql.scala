@@ -410,12 +410,17 @@ object Sql {
   /** TPC-H Q22-style dormant high-balance accounts (adapted: the
     * custkey's last digit plays the phone country code, and "never
     * ordered" becomes "no order since 2000" — every customer in this
-    * dataset has SOME order): an uncorrelated scalar AVG subquery sets
-    * the balance bar, a correlated NOT EXISTS prunes recently-active
+    * dataset has SOME order): uncorrelated scalar subqueries set the
+    * balance bar, a correlated NOT EXISTS prunes recently-active
     * customers (→ left anti join on o_custkey with the date filter
     * pushed into the orders scan), and the survivors aggregate by
-    * segment. The average is computed over DECIMAL(12,2) so the bar is
-    * order-independent and identical on both engines. ONE shared text. */
+    * segment. The "above average" bar is stated in EXACT cross-multiplied
+    * decimal arithmetic — `bal · count > sum` instead of `bal > avg` —
+    * because avg(DECIMAL(12,2)) itself is engine-dependent (Spark yields
+    * a rounded DECIMAL(16,6), DuckDB a raw DOUBLE), so a cent-grid
+    * balance within 5e-7 of the bar could flip membership between
+    * engines; the decimal product and sum are order-independent and
+    * identical everywhere. ONE shared text. */
   val dormantAccountsSql: String =
     """SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
@@ -423,8 +428,11 @@ object Sql {
       |  SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
       |  FROM customer
       |  WHERE c_custkey % 10 IN (1, 3, 5, 7)
-      |    AND c_acctbal > (
-      |      SELECT avg(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+      |    AND CAST(c_acctbal AS DECIMAL(12,2)) * (
+      |      SELECT count(*) FROM customer
+      |      WHERE c_acctbal > 0.00 AND c_custkey % 10 IN (1, 3, 5, 7))
+      |    > (
+      |      SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
       |      WHERE c_acctbal > 0.00 AND c_custkey % 10 IN (1, 3, 5, 7))
       |    AND NOT EXISTS (
       |      SELECT * FROM orders

@@ -135,9 +135,29 @@ object DedupOps {
       })
     }
 
-  private[operators] def minhashEstimates(spark: SparkSession, dir: String): DataFrame = {
+  /** Race-safe per-key memoization of a PERSISTED DataFrame. The build
+    * runs outside the map, then `putIfAbsent` decides the winner; a
+    * concurrent loser unpersists its own build immediately, so no
+    * persisted intermediate can leak in the block manager for the app
+    * lifetime (`TrieMap.getOrElseUpdate` may evaluate the thunk in two
+    * first callers at once — the losing DataFrame would otherwise stay
+    * cached with no owner). Duplicate build work in that window is
+    * wasted but bounded; correctness never depends on a single build. */
+  private def cachedDf(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     hookEviction(spark)
-    estCache.getOrElseUpdate((spark, dir), {
+    estCache.get((spark, key)) match {
+      case Some(df) => df
+      case None =>
+        val built = build
+        estCache.putIfAbsent((spark, key), built) match {
+          case None         => built
+          case Some(winner) => built.unpersist(blocking = false); winner
+        }
+    }
+  }
+
+  private[operators] def minhashEstimates(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, s"minhash:$dir") {
       import spark.implicits._
       val hv = shingleSets(spark, dir)
         .select($"doc_id", conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h32"))
@@ -164,8 +184,7 @@ object DedupOps {
       cand.join(sigA, "doc_a").join(sigB, "doc_b")
         .select($"doc_a", $"doc_b", (agreement / lit(16.0)).as("est_jaccard"))
         .persist()
-    })
-  }
+    }
 
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -259,21 +278,27 @@ object DedupOps {
     * [[dedupSimhashProbe]]. Single-pass: all 16 bit-sums as agg columns
     * of ONE groupBy(doc_id) over the token stream — no ×16 row explosion,
     * one shuffle keyed by doc_id (same shape as the MinHash signature
-    * agg). */
-  private def simhashSketch(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val hv = Tables.documents(spark, dir)
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
-      .filter($"w" =!= "")
-      .select($"doc_id", conv(substring(md5($"w"), 1, 4), 16, 10).cast("int").as("h"))
-    val bitSums = (0 until 16).map { j =>
-      sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"s$j")
+    * agg). Memoized + persisted per (session, dir) like the MinHash
+    * estimates: the probe query joins it to itself and the bucket query
+    * windows over it, so without the cache each caller re-ran the full
+    * token explode+agg. The cached output is one (long, long) row per
+    * document — tiny. */
+  private[operators] def simhashSketch(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, s"simhash:$dir") {
+      import spark.implicits._
+      val hv = Tables.documents(spark, dir)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("w"))
+        .filter($"w" =!= "")
+        .select($"doc_id", conv(substring(md5($"w"), 1, 4), 16, 10).cast("int").as("h"))
+      val bitSums = (0 until 16).map { j =>
+        sum(when(expr(s"(shiftright(h, $j) & 1) = 1"), 1).otherwise(-1)).as(s"s$j")
+      }
+      hv.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select($"doc_id",
+          (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+            .reduce(_ + _).as("simhash"))
+        .persist()
     }
-    hv.groupBy($"doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select($"doc_id",
-        (0 until 16).map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
-  }
 
   /** Multi-probe SimHash: near-dup candidate pairs at hamming distance
     * ≤ 1, found WITHOUT an all-pairs scan. Each document emits 17 probe
@@ -470,14 +495,13 @@ object DedupOps {
     * no broadcast of anything corpus-proportional, no cartesian. */
   def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    hookEviction(spark)
     // the finished pair set is memoized per (session, dir) like the
     // MinHash estimates: repeated invocations in one long-lived session
     // (the driver runs every query in one app) reuse the tiny cached
     // result instead of stacking a fresh pair of persisted shingle
     // intermediates per call — tok/pfx are eagerly materialized into the
     // result below and unpersisted before this block returns
-    val pairs = estCache.getOrElseUpdate((spark, s"ppjoin:$dir"), {
+    val pairs = cachedDf(spark, s"ppjoin:$dir") {
       // every join/group key is a 60-bit md5-derived long, not the 3-word
       // shingle string: the dfreq aggregate, the rank join, the prefix
       // self-join and both verify joins shuffle 8-byte keys instead of
@@ -521,7 +545,7 @@ object DedupOps {
       tok.unpersist(blocking = false)
       pfx.unpersist(blocking = false)
       out
-    })
+    }
     pairs.orderBy($"doc_a", $"doc_b")
   }
 
@@ -560,4 +584,23 @@ object DedupOps {
        |          JOIN sizes sb ON sb.doc_id = i.doc_b
        |WHERE 2 * i.n_common >= sa.sz + sb.sz - i.n_common
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Timed materialization of every memoized shared stage, for benchmark
+    * ledgers: builds (and caches) the MinHash estimates, the SimHash
+    * sketch, and the PPJoin pair set, returning (stage, seconds) per
+    * build. Running this BEFORE timing individual queries means no
+    * query's ledger line silently includes another family member's
+    * sketch build — the first-toucher-pays attribution noise that made
+    * unchanged queries appear to regress between rounds. */
+  def prewarmSharedStages(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      f
+      (name, (System.nanoTime() - t0) / 1e9)
+    }
+    Seq(
+      timed("minhash_estimates") { minhashEstimates(spark, dir).count(); () },
+      timed("simhash_sketch") { simhashSketch(spark, dir).count(); () },
+      timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () })
+  }
 }

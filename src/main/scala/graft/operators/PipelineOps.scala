@@ -534,28 +534,35 @@ object PipelineOps {
     * content cardinality, near-dup candidate pairs, language spread,
     * total characters. One (metric, value) row each, exact integers.
     *
-    * Each metric is a single aggregate (the near-dup count rides the
-    * session-cached MinHash estimates shared with the dedup family). At
-    * 100 TB the two DISTINCT counts are the expensive rows — production
-    * swaps them for the mergeable sketches already in this library
-    * (agg_approx_distinct / agg_hll_merge) when ±2% is acceptable; the
-    * report shape is unchanged. */
+    * The four documents-table metrics come out of ONE aggregate pass
+    * (the two DISTINCTs expand map-side but still share the single scan)
+    * and are unpivoted with `stack`; the near-dup count rides the
+    * session-cached MinHash estimates shared with the dedup family — so
+    * the whole report is one documents scan plus a cached-sketch lookup.
+    * At 100 TB the two DISTINCT counts are the expensive rows —
+    * production swaps them for the mergeable sketches already in this
+    * library (agg_approx_distinct / agg_hll_merge) when ±2% is
+    * acceptable; the report shape is unchanged. */
   def curationCorpusReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
-    def one(name: String, df: DataFrame): DataFrame =
-      df.select(lit(name).as("metric"), $"value")
-    val report =
-      one("chars_total", docs.agg(sum($"n_chars").cast("long").as("value")))
-        .union(one("docs_distinct_text",
-          docs.agg(countDistinct(md5($"text".cast("binary"))).as("value"))))
-        .union(one("docs_total", docs.agg(count(lit(1)).as("value"))))
-        .union(one("langs", docs.agg(countDistinct($"lang").as("value"))))
-        .union(one("near_dup_pairs",
-          DedupOps.minhashEstimates(spark, dir)
-            .filter($"est_jaccard" >= 0.5)
-            .agg(count(lit(1)).as("value"))))
-    report.orderBy($"metric")
+    val singles = docs
+      .agg(
+        sum($"n_chars").cast("long").as("chars_total"),
+        countDistinct(md5($"text".cast("binary"))).as("docs_distinct_text"),
+        count(lit(1)).as("docs_total"),
+        countDistinct($"lang").as("langs"))
+      .selectExpr(
+        """stack(4,
+          |  'chars_total', chars_total,
+          |  'docs_distinct_text', docs_distinct_text,
+          |  'docs_total', docs_total,
+          |  'langs', langs) AS (metric, value)""".stripMargin)
+    val nearDups = DedupOps.minhashEstimates(spark, dir)
+      .filter($"est_jaccard" >= 0.5)
+      .agg(count(lit(1)).as("value"))
+      .select(lit("near_dup_pairs").as("metric"), $"value")
+    singles.union(nearDups).orderBy($"metric")
   }
 
   lazy val curationCorpusReportSql: String =

@@ -223,7 +223,9 @@ object Relational {
     * moment sums (one partial+final agg pass, order-independent), then
     * an identical closed-form IEEE tree on both engines. Slope is
     * scale-invariant (both axes ×100); the intercept is de-scaled by
-    * the single final /100 division. */
+    * the single final /100 division. A `nullif` guards the denominator:
+    * a degenerate group whose x-values are all equal (n·sxx − sx² = 0)
+    * yields NULL slope/intercept on both engines instead of NaN/Inf. */
   def aggLinearRegression(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val D38 = DecimalType(38, 0)
@@ -237,19 +239,20 @@ object Relational {
         sum($"yc".cast(D38)).cast("double").as("sy"),
         sum(($"xc" * $"xc").cast(D38)).cast("double").as("sxx"),
         sum(($"xc" * $"yc").cast(D38)).cast("double").as("sxy"))
+      .withColumn("den", expr("nullif(n * sxx - sx * sx, cast(0 as double))"))
       .select($"l_returnflag", $"n",
-        (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
-          .as("slope"),
-        ((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") /
-            ($"n" * $"sxx" - $"sx" * $"sx")) * $"sx") / $"n") / 100.0)
-          .as("intercept"))
+        (($"n" * $"sxy" - $"sx" * $"sy") / $"den").as("slope"),
+        ((($"sy" - (($"n" * $"sxy" - $"sx" * $"sy") / $"den") * $"sx")
+          / $"n") / 100.0).as("intercept"))
       .orderBy($"l_returnflag")
   }
 
   val aggLinearRegressionSql: String =
     """SELECT l_returnflag, n,
-      |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
-      |  ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 100.0
+      |  (n * sxy - sx * sy) / nullif(n * sxx - sx * sx, CAST(0 AS DOUBLE))
+      |    AS slope,
+      |  ((sy - ((n * sxy - sx * sy)
+      |          / nullif(n * sxx - sx * sx, CAST(0 AS DOUBLE))) * sx) / n) / 100.0
       |    AS intercept
       |FROM (
       |  SELECT l_returnflag, count(*) AS n,

@@ -320,7 +320,11 @@ object TextOps {
     * exact integer arithmetic (`cnt · |vocab| < total` avoids division
     * entirely) with ONE final double division per doc — bit-identical on
     * both engines, same selectivity ordering as mean surprisal for a
-    * monotone frequency threshold.
+    * monotone frequency threshold. The cross-multiply is carried in
+    * DECIMAL(19,0)×DECIMAL(19,0) → DECIMAL(38,0): two BIGINT operands
+    * (cnt ~1e10, vocab ~1e9 at the 100 TB design point) would overflow
+    * 2^63, where non-ANSI Spark wraps silently while DuckDB promotes —
+    * the decimal product stays exact on both engines.
     *
     * Plan shape at 100 TB: the token stream is a narrow split/explode;
     * the unigram table is vocab-bounded (hash agg); the score join is a
@@ -340,7 +344,8 @@ object TextOps {
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        sum(when($"cnt" * $"vocab" < $"total", 1L).otherwise(0L)).as("n_rare"))
+        sum(when(expr("cast(cnt as decimal(19,0)) * cast(vocab as decimal(19,0))")
+            < $"total", 1L).otherwise(0L)).as("n_rare"))
       .select($"doc_id", $"n_tokens", $"n_rare",
         ($"n_rare".cast("double") / $"n_tokens".cast("double")).as("rare_ratio"))
       .orderBy($"doc_id")
@@ -358,9 +363,11 @@ object TextOps {
       |         CAST(count(*) AS BIGINT) AS vocab FROM uni)
       |SELECT t.doc_id,
       |  CAST(count(*) AS BIGINT) AS n_tokens,
-      |  CAST(sum(CASE WHEN u.cnt * c.vocab < c.total THEN 1 ELSE 0 END)
+      |  CAST(sum(CASE WHEN CAST(u.cnt AS DECIMAL(19,0)) * CAST(c.vocab AS DECIMAL(19,0))
+      |                     < c.total THEN 1 ELSE 0 END)
       |       AS BIGINT) AS n_rare,
-      |  CAST(sum(CASE WHEN u.cnt * c.vocab < c.total THEN 1 ELSE 0 END)
+      |  CAST(sum(CASE WHEN CAST(u.cnt AS DECIMAL(19,0)) * CAST(c.vocab AS DECIMAL(19,0))
+      |                     < c.total THEN 1 ELSE 0 END)
       |       AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rare_ratio
       |FROM tok t JOIN uni u USING (token), consts c
       |GROUP BY t.doc_id
@@ -376,13 +383,18 @@ object TextOps {
     * Generate per doc — no shuffle, no window; fan-out is bounded by
     * each doc's own length (n/24 chunks), so the op scales linearly on
     * partitions however the 100 TB corpus is laid out. The only sort is
-    * the presentation ORDER BY. */
-  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    * the presentation ORDER BY. Empty / whitespace-only documents are
+    * filtered out BEFORE the explode: they would otherwise all emit one
+    * sentinel chunk sharing `md5('')`, which downstream chunk-level
+    * dedup ([[dedupChunks]]) would collide into one giant phantom
+    * cluster. */
+  private def chunks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
       .select($"doc_id",
         expr("filter(split(lower(text), ' '), t -> t <> '')").as("w"))
       .select($"doc_id", $"w", size($"w").as("n"))
+      .filter($"n" > 0)
       .select($"doc_id", $"w",
         explode(expr("sequence(0L, (greatest(n - 32, 0) + 23) div 24)")).as("k"))
       .select($"doc_id",
@@ -392,25 +404,77 @@ object TextOps {
           .as("n_chunk_tokens"),
         expr("md5(concat_ws(' ', slice(w, cast(k * 24 + 1 as int), 32)))")
           .as("chunk_hash"))
-      .orderBy($"doc_id", $"chunk_idx")
   }
 
-  val textChunkOverlapSql: String =
-    """WITH ws AS (
+  def textChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunks(spark, dir).orderBy($"doc_id", $"chunk_idx")
+  }
+
+  /** Shared oracle CTE chain ending in
+    * `chunks(doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_hash)`
+    * — the SQL twin of [[chunks]], reused by the chunking query and the
+    * chunk-level dedup. */
+  private val chunksCte: String =
+    """ws AS (
       |  SELECT doc_id,
       |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
       |  FROM documents),
       |starts AS (
       |  SELECT doc_id, w,
       |         unnest(range(0, 1 + ((greatest(len(w) - 32, 0) + 23) // 24))) AS k
-      |  FROM ws)
-      |SELECT doc_id,
-      |  CAST(k AS INT) AS chunk_idx,
-      |  CAST(k * 24 AS BIGINT) AS chunk_start,
-      |  CAST(len(list_slice(w, k * 24 + 1, k * 24 + 32)) AS BIGINT)
-      |    AS n_chunk_tokens,
-      |  md5(array_to_string(list_slice(w, k * 24 + 1, k * 24 + 32), ' '))
-      |    AS chunk_hash
-      |FROM starts
-      |ORDER BY doc_id, chunk_idx""".stripMargin
+      |  FROM ws WHERE len(w) > 0),
+      |chunks AS (
+      |  SELECT doc_id,
+      |    CAST(k AS INT) AS chunk_idx,
+      |    CAST(k * 24 AS BIGINT) AS chunk_start,
+      |    CAST(len(list_slice(w, k * 24 + 1, k * 24 + 32)) AS BIGINT)
+      |      AS n_chunk_tokens,
+      |    md5(array_to_string(list_slice(w, k * 24 + 1, k * 24 + 32), ' '))
+      |      AS chunk_hash
+      |  FROM starts)""".stripMargin
+
+  val textChunkOverlapSql: String =
+    s"""WITH $chunksCte
+       |SELECT doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_hash
+       |FROM chunks
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Chunk-level deduplication (`dedup_chunks`) — closes the
+    * document→chunk dedup loop a training pipeline actually ships: the
+    * per-chunk content hashes from [[textChunkOverlap]] are grouped, and
+    * each distinct chunk keeps its EARLIEST occurrence (lexicographically
+    * smallest (doc_id, chunk_idx) — same keep-first discipline as
+    * `dedup_events`) with the copy count. Downstream packing drops every
+    * row where (doc_id, chunk_idx) ≠ (keep_doc_id, keep_chunk_idx).
+    *
+    * Plan shape: the chunker's narrow Generate feeds ONE hash aggregate
+    * keyed by the 32-hex chunk hash (struct-min picks the keeper — no
+    * per-corpus window sort), so the op is a single shuffle whose key
+    * cardinality is the distinct-chunk count. At 100 TB that is the same
+    * shape as exact document dedup — embarrassingly scalable. */
+  def dedupChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunks(spark, dir)
+      .groupBy($"chunk_hash")
+      .agg(
+        count(lit(1)).as("n_copies"),
+        min(struct($"doc_id", $"chunk_idx")).as("k"))
+      .select($"chunk_hash", $"k.doc_id".as("keep_doc_id"),
+        $"k.chunk_idx".as("keep_chunk_idx"), $"n_copies")
+      .orderBy($"chunk_hash")
+  }
+
+  val dedupChunksSql: String =
+    s"""WITH $chunksCte
+       |SELECT chunk_hash, keep_doc_id, keep_chunk_idx, n_copies FROM (
+       |  SELECT chunk_hash,
+       |    doc_id AS keep_doc_id,
+       |    chunk_idx AS keep_chunk_idx,
+       |    row_number() OVER (PARTITION BY chunk_hash
+       |                       ORDER BY doc_id, chunk_idx) AS rn,
+       |    CAST(count(*) OVER (PARTITION BY chunk_hash) AS BIGINT) AS n_copies
+       |  FROM chunks) t
+       |WHERE rn = 1
+       |ORDER BY chunk_hash""".stripMargin
 }

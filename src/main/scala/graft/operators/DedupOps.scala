@@ -371,38 +371,51 @@ object DedupOps {
     * cutoff 0.5. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // one materialization of the shingle set feeds four plan branches
-    // (df-cap, per-doc sizes, both sides of the intersection join) —
-    // without the persist Spark recomputes the explode+distinct 4×.
-    // Shingles are hashed to md5-derived 32-bit ints BEFORE the inverted
-    // index: 8-byte join/shuffle keys instead of ~30-byte strings. The
-    // oracle derives the identical ints, so a (≈n²/2³² vanishing) hash
-    // collision would affect both engines identically — parity holds by
-    // construction, not by luck.
-    val sh = shingleSets(spark, dir)
-      .select($"doc_id",
-        conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h"))
-      .persist()
-    // df cap and per-doc sizes are plain partial+final aggregates — NOT
-    // window functions, which would force two extra full shuffle+sorts of
-    // the widest intermediate in the pipeline just to attach whole-group
-    // counts. The capped-shingle semi join shares the `h` hash key with
-    // the intersection self-join, so the exchange is reused.
-    val capped = sh.join(
-      sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
-      Seq("h"), "left_semi")
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = capped.as("a").join(capped.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
-      .select($"doc_a", $"doc_b", jac.as("jaccard"))
-      .filter($"jaccard" >= 0.5)
-      .orderBy($"doc_a", $"doc_b")
+    // the finished pair set is memoized per (session, dir) like the
+    // PPJoin pairs: without it every call re-persisted a fresh shingle
+    // set and LEAKED it (no unpersist) — the same block-manager leak
+    // class the prefix-filter cache fix closed. The shingle intermediate
+    // is eagerly materialized into the tiny result and released before
+    // this block returns.
+    val pairs = cachedDf(spark, s"ngram:$dir") {
+      // one materialization of the shingle set feeds four plan branches
+      // (df-cap, per-doc sizes, both sides of the intersection join) —
+      // without the persist Spark recomputes the explode+distinct 4×.
+      // Shingles are hashed to md5-derived 32-bit ints BEFORE the
+      // inverted index: 8-byte join/shuffle keys instead of ~30-byte
+      // strings. The oracle derives the identical ints, so a (≈n²/2³²
+      // vanishing) hash collision would affect both engines identically
+      // — parity holds by construction, not by luck.
+      val sh = shingleSets(spark, dir)
+        .select($"doc_id",
+          conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h"))
+        .persist()
+      // df cap and per-doc sizes are plain partial+final aggregates — NOT
+      // window functions, which would force two extra full shuffle+sorts
+      // of the widest intermediate in the pipeline just to attach
+      // whole-group counts. The capped-shingle semi join shares the `h`
+      // hash key with the intersection self-join, so the exchange is
+      // reused.
+      val capped = sh.join(
+        sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
+        Seq("h"), "left_semi")
+      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+      val inter = capped.as("a").join(capped.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
+      val out = inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
+        .select($"doc_a", $"doc_b", jac.as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+        .persist()
+      out.count() // materialize so the shingle intermediate can go NOW
+      sh.unpersist(blocking = false)
+      out
+    }
+    pairs.orderBy($"doc_a", $"doc_b")
   }
 
   val dedupNgramJaccardSql: String =

@@ -198,6 +198,10 @@ object PipelineOps {
         s"dedupConnectedComponents: label propagation did not converge " +
           s"within $iter iterations (component diameter exceeds the cap); " +
           "refusing to return a partial fixpoint")
+    // the final labels are localCheckpoint'ed (materialized, lineage cut),
+    // so the edge cache can be released NOW — without this each call
+    // leaked one persisted edge set for the app lifetime
+    edges.unpersist(blocking = false)
     labels.select($"node".as("doc_id"), $"comp".as("comp_id")).orderBy($"doc_id")
   }
 

@@ -304,6 +304,9 @@ object SimilarityOps {
     val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
       .setInitMode("random")
       .setFeaturesCol("features").fit(features)
+    // features only feed the (just-completed) training iterations —
+    // release the cache instead of leaking one copy per call
+    features.unpersist(blocking = false)
     val centDf = model.clusterCenters.zipWithIndex
       .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("pivot_id", "c")
     val norm = (e0: String) =>

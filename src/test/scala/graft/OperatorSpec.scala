@@ -502,6 +502,30 @@ class OperatorSpec extends SparkTestBase {
       s"union-of-sketches estimate $merged != direct sketch estimate $direct")
   }
 
+  test("plan: curation_corpus_report reads documents ONCE for the four fused metrics") {
+    // warm the session-shared MinHash cache so the near-dup branch is an
+    // in-memory lookup, isolating the report's own scans
+    SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).collect()
+    val p = fmtPlan("curation_corpus_report")
+    assert(p.contains("InMemoryTableScan"),
+      s"near-dup metric should ride the cached MinHash estimates:\n$p")
+    // the explain inlines the cached sketch's own build plan under
+    // InMemoryRelation — the report's OWN tree is everything before it
+    val own = p.substring(0, p.indexOf("InMemoryRelation"))
+    val docScans = "Scan parquet".r.findAllIn(own).size
+    assert(docScans == 1,
+      s"expected ONE fused documents scan in the report's own tree, found $docScans:\n$p")
+  }
+
+  test("plan: dedup_chunks is one hash-aggregate shuffle, never a corpus window sort") {
+    val p = fmtPlan("dedup_chunks")
+    assert(!p.contains("Window"),
+      s"chunk dedup must use struct-min aggregation, not a window sort:\n$p")
+    val hashShuffles = "hashpartitioning".r.findAllIn(p).size
+    assert(hashShuffles == 1,
+      s"expected exactly one hash shuffle (the chunk_hash groupBy), found $hashShuffles:\n$p")
+  }
+
   test("plan: join_aqe_skew splits the skewed partition at runtime (skew=true)") {
     val df = SparkEntry.queries("join_aqe_skew")(spark, sfDir)
     df.collect() // AQE decisions only exist in the EXECUTED plan

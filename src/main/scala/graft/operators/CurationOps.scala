@@ -268,4 +268,43 @@ object CurationOps {
       |FROM b
       |GROUP BY bucket_ceil
       |ORDER BY bucket_ceil""".stripMargin
+
+  /** Deterministic train/val/test split assignment
+    * (`curation_train_val_test`) — the hold-out step every training
+    * pipeline ships: md5 over a SALTED doc key (`doc_id || ':split'`,
+    * so the split is independent of the md5 buckets `sample_hash_docs`
+    * already consumes) → bucket 0..99 → 90/5/5 train/val/test labels.
+    * The assignment is a pure function of doc_id: stable across runs,
+    * engines, cluster sizes, and table layout changes — re-partitioning
+    * the corpus can never move a document across the contamination
+    * boundary.
+    *
+    * Plan shape: one narrow projection over the scan (no shuffle but the
+    * presentation sort); at 100 TB the label costs one md5 per row and
+    * the split can be consumed as a pushed-down filter
+    * (`WHERE split = 'train'`). */
+  def curationTrainValTest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 8), 16, 10)
+          .cast("long") % 100).as("bucket"))
+      .select($"doc_id", $"bucket",
+        when($"bucket" < 90, "train")
+          .when($"bucket" < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy($"doc_id")
+  }
+
+  val curationTrainValTestSql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 90 THEN 'train'
+      |       WHEN bucket < 95 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 8))
+      |         AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }

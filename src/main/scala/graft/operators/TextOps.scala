@@ -477,4 +477,45 @@ object TextOps {
        |  FROM chunks) t
        |WHERE rn = 1
        |ORDER BY chunk_hash""".stripMargin
+
+  /** BPE merge-candidate statistics (`text_bpe_pairs`): the top-50
+    * adjacent character-pair frequencies over word-internal text — the
+    * first merge round of byte-pair-encoding tokenizer training, which
+    * at corpus scale is exactly this aggregate re-run per merge. Words
+    * are the same `[a-z0-9]+` regex tokens the token-count op uses;
+    * pairs are counted with multiplicity (BPE merges by total count,
+    * not document frequency).
+    *
+    * Plan shape: two narrow Generates (word explode, pair explode) into
+    * ONE hash aggregate whose key cardinality is bounded by the symbol
+    * alphabet squared (≤ ~1.3k for [a-z0-9]) — partial aggregation
+    * collapses each partition to that bound before the shuffle, so the
+    * op moves O(alphabet² × partitions), not O(corpus). Top-50 is a
+    * TakeOrdered over the bounded aggregate, ties broken by pair text. */
+  def textBpePairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n_pair"))
+      .orderBy($"n_pair".desc, $"pair")
+      .limit(50)
+  }
+
+  val textBpePairsSql: String =
+    """WITH words AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INT), 2) AS pair FROM (
+      |    SELECT w, unnest(range(1, length(w))) AS i
+      |    FROM words WHERE length(w) >= 2))
+      |SELECT pair, CAST(count(*) AS BIGINT) AS n_pair
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY n_pair DESC, pair
+      |LIMIT 50""".stripMargin
 }

@@ -765,6 +765,33 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.toSeq == Seq((1L, "a2", 3L), (2L, "b", 2L), (3L, "c", 4L)))
   }
 
+  test("curation_train_val_test: disjoint covering split near 90/5/5") {
+    val rows = SparkEntry.queries("curation_train_val_test")(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.length == total, "every document must receive exactly one label")
+    val byCount = rows.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    assert(byCount.keySet == Set("train", "val", "test"))
+    val trainFrac = byCount("train").toDouble / total
+    // md5 buckets at 500 docs: expect the 0.90 target within sampling noise
+    assert(math.abs(trainFrac - 0.9) < 0.06, s"train fraction off: $trainFrac")
+    // label is a pure function of doc_id: bucket must match the salted hash
+    rows.take(50).foreach { r =>
+      val expected = if (r.getLong(1) < 90) "train" else if (r.getLong(1) < 95) "val" else "test"
+      assert(r.getString(2) == expected, s"label/bucket mismatch: $r")
+    }
+  }
+
+  test("text_bpe_pairs: 50 rows, descending counts, pairs are word-internal bigrams") {
+    val rows = SparkEntry.queries("text_bpe_pairs")(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      "pair counts must be non-increasing")
+    rows.foreach { r =>
+      assert(r.getString(0).matches("[a-z0-9]{2}"), s"not a symbol bigram: $r")
+    }
+  }
+
   test("agg_linear_regression nulls slope/intercept for a constant-x group") {
     import spark.implicits._
     // a group whose x-values are all equal has n·sxx − sx² = 0: the OLS

@@ -81,4 +81,36 @@ class PropertySpec extends SparkTestBase {
     val bad = sigQuery.filter($"est_jaccard" > 1.0 || $"est_jaccard" < 0.0).count()
     assert(bad == 0, "estimator out of [0, 1]")
   }
+
+  test("chunking covers every token: sum of chunk sizes = n + 8·(chunks−1) per doc") {
+    import spark.implicits._
+    // stride 24 under size 32 ⇒ consecutive full chunks overlap by
+    // exactly 8 tokens, so token coverage is airtight: per doc,
+    // Σ n_chunk_tokens = n_tokens + 8·(n_chunks − 1). Any hole or
+    // misaligned stride breaks the identity for SOME document length —
+    // checked over the whole corpus, every length present.
+    val chunks = SparkEntry.queries("text_chunk_overlap")(spark, sfDir)
+      .groupBy($"doc_id")
+      .agg(sum($"n_chunk_tokens").as("covered"), count(lit(1)).as("n_chunks"))
+    val tokens = Tables.documents(spark, sfDir)
+      .select($"doc_id",
+        size(expr("filter(split(lower(text), ' '), t -> t <> '')"))
+          .cast("bigint").as("n_tokens"))
+    val broken = chunks.join(tokens, "doc_id")
+      .filter($"covered" =!= $"n_tokens" + lit(8) * ($"n_chunks" - 1))
+      .count()
+    assert(broken == 0, s"$broken documents violate the chunk-coverage identity")
+  }
+
+  test("dedup_chunks conserves mass: copy counts sum to the chunk total") {
+    import spark.implicits._
+    val total = SparkEntry.queries("text_chunk_overlap")(spark, sfDir).count()
+    val deduped = SparkEntry.queries("dedup_chunks")(spark, sfDir)
+    val massSum = deduped.agg(sum($"n_copies")).collect()(0).getLong(0)
+    assert(massSum == total,
+      s"n_copies sums to $massSum but the chunker emitted $total chunks")
+    // keepers must reference real chunks (no hash without an occurrence)
+    val keepers = deduped.count()
+    assert(keepers > 0 && keepers <= total)
+  }
 }

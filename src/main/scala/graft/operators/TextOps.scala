@@ -163,11 +163,12 @@ object TextOps {
     * ties rank by token text.
     *
     * Scale notes: the corpus-wide pass is ONE hash aggregation over the
-    * token stream (partial+final). The rank/cumsum window is global and
-    * single-partition by construction, but it runs over the POST-AGG
-    * vocabulary, which is bounded by distinct-token count, not corpus
-    * size — the standard vocab-build shape (a 100 TB corpus still has a
-    * ~1e5-1e6 vocabulary). */
+    * token stream (partial+final). The top-100 head is taken with a
+    * distributed TakeOrdered (per-partition top-k, merged) BEFORE the
+    * global rank/cumsum window, so the single-partition window only ever
+    * sees 100 rows — the prefix cumulative over the same total order is
+    * identical to windowing the full vocabulary, without sorting a
+    * web-scale (~1e9-token) vocab on one reducer. */
   def textVocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cnt = Tables.documents(spark, dir)
@@ -175,12 +176,12 @@ object TextOps {
       .filter($"token" =!= "")
       .groupBy($"token").agg(count(lit(1)).as("cnt"))
     val total = cnt.agg(sum($"cnt").as("total_cnt"))
+    val top = cnt.orderBy($"cnt".desc, $"token".asc).limit(100)
     val w = Window.orderBy($"cnt".desc, $"token".asc)
-    cnt
+    top
       .withColumn("rank", row_number().over(w))
       .withColumn("cum_cnt", sum($"cnt").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .filter($"rank" <= 100)
       .crossJoin(broadcast(total))
       .select($"token", $"cnt", $"rank", $"cum_cnt",
         ($"cum_cnt".cast("double") / $"total_cnt".cast("double")).as("cum_coverage"))

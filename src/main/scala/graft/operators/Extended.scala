@@ -71,6 +71,69 @@ object Extended {
       |  ON e.custkey = o.o_custkey AND e.ts >= o.o_orderdate
       |ORDER BY event_id""".stripMargin
 
+  /** As-of join WITH a staleness tolerance (`join_asof_tolerance`) — the
+    * sensor/market-data variant: a match older than 30 days is no match
+    * (a stale quote must not price today's trade). Same union+ordered-
+    * window composition as [[joinAsof]], additionally carrying the
+    * matched order's own timestamp forward; the tolerance is applied as
+    * a post-filter on the exact microsecond staleness, which is correct
+    * because the as-of match is the LATEST at-or-before row — if IT is
+    * too old, no in-tolerance match exists. Staleness arithmetic is
+    * exact integer microseconds on both engines (no interval types in
+    * the compared output).
+    *
+    * Scale shape: identical to the base as-of join — one hash-partitioned
+    * ordered window per key, no range join, no explosion; the tolerance
+    * adds two narrow column expressions. */
+  private val AsofTolUs = 30L * 86400L * 1000000L // 30 days in microseconds
+
+  def joinAsofTolerance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = Tables.orders(spark, dir)
+      .groupBy($"o_custkey", $"o_orderdate")
+      .agg(max($"o_orderkey").as("o_orderkey"))
+    val oTagged = orders.select(
+      $"o_custkey".as("k"), $"o_orderdate".cast("timestamp").as("t"),
+      lit(1).as("is_order"), $"o_orderkey",
+      lit(null).cast("bigint").as("event_id"))
+    val eTagged = Tables.events(spark, dir).select(
+      (pmod($"user_id", lit(100)) + 1).as("k"), $"ts".as("t"),
+      lit(0).as("is_order"), lit(null).cast("bigint").as("o_orderkey"),
+      $"event_id")
+    val w = Window.partitionBy($"k")
+      .orderBy($"t".asc, $"is_order".desc, $"event_id".asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    oTagged.unionByName(eTagged)
+      .withColumn("matched_orderkey", last($"o_orderkey", ignoreNulls = true).over(w))
+      .withColumn("matched_t",
+        last(when($"is_order" === 1, $"t"), ignoreNulls = true).over(w))
+      .filter($"is_order" === 0)
+      .withColumn("stale_us", expr("unix_micros(t) - unix_micros(matched_t)"))
+      .select($"event_id", $"k".as("custkey"),
+        expr("unix_micros(t)").as("ts_us"),
+        when($"stale_us" <= AsofTolUs, $"matched_orderkey").as("matched_orderkey"),
+        when($"stale_us" <= AsofTolUs, $"stale_us").as("staleness_us"))
+      .orderBy($"event_id")
+  }
+
+  lazy val joinAsofToleranceSql: String =
+    s"""WITH o AS (
+       |  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+       |  FROM orders GROUP BY o_custkey, o_orderdate),
+       |e AS (
+       |  SELECT event_id, user_id % 100 + 1 AS custkey, ts FROM events)
+       |SELECT e.event_id, e.custkey, CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+       |  CASE WHEN epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+       |            <= $AsofTolUs
+       |       THEN o.o_orderkey END AS matched_orderkey,
+       |  CASE WHEN epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+       |            <= $AsofTolUs
+       |       THEN CAST(epoch_us(e.ts) - epoch_us(CAST(o.o_orderdate AS TIMESTAMP))
+       |            AS BIGINT) END AS staleness_us
+       |FROM e ASOF LEFT JOIN o
+       |  ON e.custkey = o.o_custkey AND e.ts >= o.o_orderdate
+       |ORDER BY event_id""".stripMargin
+
   /** Left-semi join (EXISTS): customers with at least one large (>450k)
     * order. The large-order predicate keeps both semi and anti results
     * non-trivial at every scale factor (every customer has SOME order). */

@@ -400,6 +400,49 @@ class StreamingSpec extends SparkTestBase {
     assert(ids.head == 0L && ids.last == 999L, s"wrong id range: [${ids.head}, ${ids.last}]")
   }
 
+  test("stream-stream join state is PURGED as the watermark advances (bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the production-required property behind streaming_stream_join: the
+    // event-time bound + watermarks must let Spark EVICT buffered rows,
+    // or the join state grows with the stream and dies at scale. Proven
+    // from StreamingQueryProgress: numRowsRemoved > 0 on the
+    // symmetricHashJoin operator after the watermark sweeps past the
+    // buffered interval.
+    val base = 1700000000L
+    val imps = MemoryStream[(Int, Long)]
+    val clicks = MemoryStream[(Int, Long)]
+    val impDf = imps.toDF().toDF("ad_id", "s")
+      .select($"ad_id", timestamp_seconds($"s").as("imp_ts"))
+      .withWatermark("imp_ts", "1 minute")
+    val clkDf = clicks.toDF().toDF("c_ad_id", "cs")
+      .select($"c_ad_id", timestamp_seconds($"cs").as("click_ts"))
+      .withWatermark("click_ts", "1 minute")
+    val joined = impDf.join(clkDf,
+      expr("ad_id = c_ad_id AND click_ts >= imp_ts AND " +
+        "click_ts <= imp_ts + interval 60 seconds"))
+    val q = joined.select($"ad_id")
+      .writeStream.format("memory").queryName("ssj_purge").outputMode("append")
+      .start()
+    try {
+      imps.addData((1, base + 10), (2, base + 20))
+      clicks.addData((1, base + 40))
+      q.processAllAvailable()
+      // jump event time far ahead so the watermark passes every buffered row
+      imps.addData((9, base + 100000))
+      clicks.addData((9, base + 100010))
+      q.processAllAvailable()
+      // eviction runs against the NEW watermark on the following batch
+      imps.addData((10, base + 200000))
+      clicks.addData((10, base + 200010))
+      q.processAllAvailable()
+      val removed = q.recentProgress.flatMap(_.stateOperators)
+        .filter(_.operatorName == "symmetricHashJoin").map(_.numRowsRemoved).sum
+      assert(removed > 0,
+        "watermark never purged stream-stream join state — unbounded at scale")
+    } finally q.stop()
+  }
+
   test("chained windows execute TWO stateful aggregations in one streaming plan (SPARK-40925)") {
     // the streaming_chained_windows ORACLE pins the row semantics (tier-2
     // emits once per closed 200 s window); this pins the PLAN — both

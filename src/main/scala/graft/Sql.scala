@@ -410,8 +410,9 @@ object Sql {
   /** TPC-H Q22-style dormant high-balance accounts (adapted: the
     * custkey's last digit plays the phone country code, and "never
     * ordered" becomes "no order since 2000" — every customer in this
-    * dataset has SOME order): uncorrelated scalar subqueries set the
-    * balance bar, a correlated NOT EXISTS prunes recently-active
+    * dataset has SOME order): ONE uncorrelated one-row aggregate sets
+    * the balance bar (count and sum fused into a single customer scan,
+    * cross-joined), a correlated NOT EXISTS prunes recently-active
     * customers (→ left anti join on o_custkey with the date filter
     * pushed into the orders scan), and the survivors aggregate by
     * segment. The "above average" bar is stated in EXACT cross-multiplied
@@ -426,14 +427,13 @@ object Sql {
       |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
       |FROM (
       |  SELECT CAST(c_custkey % 10 AS INT) AS cntrycode, c_acctbal, c_custkey
-      |  FROM customer
+      |  FROM customer, (
+      |    SELECT count(*) AS bar_cnt,
+      |           sum(CAST(c_acctbal AS DECIMAL(12,2))) AS bar_tot
+      |    FROM customer
+      |    WHERE c_acctbal > 0.00 AND c_custkey % 10 IN (1, 3, 5, 7)) bar
       |  WHERE c_custkey % 10 IN (1, 3, 5, 7)
-      |    AND CAST(c_acctbal AS DECIMAL(12,2)) * (
-      |      SELECT count(*) FROM customer
-      |      WHERE c_acctbal > 0.00 AND c_custkey % 10 IN (1, 3, 5, 7))
-      |    > (
-      |      SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
-      |      WHERE c_acctbal > 0.00 AND c_custkey % 10 IN (1, 3, 5, 7))
+      |    AND CAST(c_acctbal AS DECIMAL(12,2)) * bar_cnt > bar_tot
       |    AND NOT EXISTS (
       |      SELECT * FROM orders
       |      WHERE o_custkey = c_custkey

@@ -39,17 +39,19 @@ object AnomalyOps {
     val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
       .setInitMode("random")
       .setFeaturesCol("features").fit(features)
-    // the cache existed for the training iterations; release it instead
-    // of leaking one copy per call — the downstream transform/stats pass
-    // recomputes the narrow parquet→Vector map once, which is cheaper
-    // than holding executor memory for the app lifetime
-    features.unpersist(blocking = false)
     val centers = model.clusterCenters
+    // assigned feeds TWO branches of the returned plan (the per-cluster
+    // stats aggregate and the probe side of the join); localCheckpoint
+    // materializes this tiny (id, cluster, dist) table eagerly so the
+    // features cache can be released NOW without the transform
+    // re-running per branch — no per-call leak, no double recompute
     val assigned = model.transform(features)
       .select($"vec_id", $"features", $"prediction")
       .as[(Long, Vector, Int)]
       .map { case (id, f, c) => (id, c, math.sqrt(Vectors.sqdist(f, centers(c)))) }
       .toDF("vec_id", "cluster", "dist")
+      .localCheckpoint()
+    features.unpersist(blocking = false)
     val stats = assigned.groupBy($"cluster")
       .agg(avg($"dist").as("mean_d"), stddev_samp($"dist").as("sd_d"))
     assigned.join(broadcast(stats), "cluster")

@@ -129,29 +129,40 @@ object DedupOps {
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           estCache.keys.filter(_._1 eq spark).foreach { k =>
             estCache.remove(k).foreach(df => df.unpersist(blocking = false))
+            buildLocks.remove(k)
           }
           estCacheHooked.remove(spark)
         }
       })
     }
 
-  /** Race-safe per-key memoization of a PERSISTED DataFrame. The build
-    * runs outside the map, then `putIfAbsent` decides the winner; a
-    * concurrent loser unpersists its own build immediately, so no
-    * persisted intermediate can leak in the block manager for the app
-    * lifetime (`TrieMap.getOrElseUpdate` may evaluate the thunk in two
-    * first callers at once — the losing DataFrame would otherwise stay
-    * cached with no owner). Duplicate build work in that window is
-    * wasted but bounded; correctness never depends on a single build. */
+  /** Race-safe per-key memoization of a PERSISTED DataFrame: the build
+    * is SERIALIZED per key under a double-checked lock, so exactly one
+    * caller ever constructs (and persists) it and concurrent first
+    * callers block for the finished result — which is what they want
+    * anyway. A lose-and-unpersist scheme would be wrong here, not just
+    * wasteful: Spark's CacheManager is keyed by the canonicalized PLAN,
+    * so two identical builds share one cache entry and the loser's
+    * unpersist would evict the winner's data too, leaving the memoized
+    * DataFrame silently uncached. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
+
   private def cachedDf(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     hookEviction(spark)
-    estCache.get((spark, key)) match {
+    val k = (spark, key)
+    estCache.get(k) match {
       case Some(df) => df
       case None =>
-        val built = build
-        estCache.putIfAbsent((spark, key), built) match {
-          case None         => built
-          case Some(winner) => built.unpersist(blocking = false); winner
+        val lock = buildLocks.computeIfAbsent(k, _ => new Object)
+        lock.synchronized {
+          estCache.get(k) match {
+            case Some(df) => df
+            case None =>
+              val built = build
+              estCache.put(k, built)
+              built
+          }
         }
     }
   }
@@ -390,30 +401,34 @@ object DedupOps {
         .select($"doc_id",
           conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h"))
         .persist()
-      // df cap and per-doc sizes are plain partial+final aggregates — NOT
-      // window functions, which would force two extra full shuffle+sorts
-      // of the widest intermediate in the pipeline just to attach
-      // whole-group counts. The capped-shingle semi join shares the `h`
-      // hash key with the intersection self-join, so the exchange is
-      // reused.
-      val capped = sh.join(
-        sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
-        Seq("h"), "left_semi")
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-      val inter = capped.as("a").join(capped.as("b"),
-          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
-      val out = inter
-        .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
-        .select($"doc_a", $"doc_b", jac.as("jaccard"))
-        .filter($"jaccard" >= 0.5)
-        .persist()
-      out.count() // materialize so the shingle intermediate can go NOW
-      sh.unpersist(blocking = false)
-      out
+      // the finally releases the shingle intermediate on every exit —
+      // after the eager materialize on success, and on a mid-build job
+      // failure, which would otherwise leave sh persisted with no owner
+      try {
+        // df cap and per-doc sizes are plain partial+final aggregates —
+        // NOT window functions, which would force two extra full
+        // shuffle+sorts of the widest intermediate in the pipeline just
+        // to attach whole-group counts. The capped-shingle semi join
+        // shares the `h` hash key with the intersection self-join, so
+        // the exchange is reused.
+        val capped = sh.join(
+          sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
+          Seq("h"), "left_semi")
+        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        val inter = capped.as("a").join(capped.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+        val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
+        val out = inter
+          .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
+          .select($"doc_a", $"doc_b", jac.as("jaccard"))
+          .filter($"jaccard" >= 0.5)
+          .persist()
+        out.count() // materialize so the shingle intermediate can go NOW
+        out
+      } finally sh.unpersist(blocking = false)
     }
     pairs.orderBy($"doc_a", $"doc_b")
   }
@@ -527,37 +542,44 @@ object DedupOps {
       val tok = shingleSets(spark, dir)
         .select($"doc_id", expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
         .persist()
-      val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
-      val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
-      val ranked = tok.join(dfreq, "h")
-        .select($"doc_id", $"h",
-          row_number().over(wDoc).cast("long").as("pos"),
-          count(lit(1)).over(Window.partitionBy($"doc_id")).as("len"))
-      val pfx = ranked.filter($"pos" <= $"len" - expr("(len + 1) div 2") + 1)
-        .persist()
-      val cand = pfx.as("a").join(pfx.as("b"),
-          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
-          $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&
-          lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
-            expr("(a.len + b.len + 2) div 3"))
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-      val common = cand
-        .join(tok.as("ta"), $"ta.doc_id" === $"doc_a")
-        .join(tok.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.h" === $"tb.h")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-      val out = common
-        .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
-        .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
-        .withColumn("union_n", $"sz_a" + $"sz_b" - $"n_common")
-        .filter($"n_common" * 2 >= $"union_n")
-        .select($"doc_a", $"doc_b", $"n_common", $"union_n",
-          ($"n_common".cast("double") / $"union_n".cast("double")).as("jaccard"))
-        .persist()
-      out.count() // materialize so the shingle intermediates can go NOW
-      tok.unpersist(blocking = false)
-      pfx.unpersist(blocking = false)
-      out
+      var pfx: DataFrame = null
+      // the finally releases both shingle intermediates on every exit —
+      // after the eager materialize on success, and on a mid-build job
+      // failure, which would otherwise leave them persisted with no owner
+      try {
+        val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
+        val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
+        val ranked = tok.join(dfreq, "h")
+          .select($"doc_id", $"h",
+            row_number().over(wDoc).cast("long").as("pos"),
+            count(lit(1)).over(Window.partitionBy($"doc_id")).as("len"))
+        pfx = ranked.filter($"pos" <= $"len" - expr("(len + 1) div 2") + 1)
+          .persist()
+        val cand = pfx.as("a").join(pfx.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&
+            lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
+              expr("(a.len + b.len + 2) div 3"))
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+        val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
+        val common = cand
+          .join(tok.as("ta"), $"ta.doc_id" === $"doc_a")
+          .join(tok.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.h" === $"tb.h")
+          .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
+        val out = common
+          .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
+          .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+          .withColumn("union_n", $"sz_a" + $"sz_b" - $"n_common")
+          .filter($"n_common" * 2 >= $"union_n")
+          .select($"doc_a", $"doc_b", $"n_common", $"union_n",
+            ($"n_common".cast("double") / $"union_n".cast("double")).as("jaccard"))
+          .persist()
+        out.count() // materialize so the shingle intermediates can go NOW
+        out
+      } finally {
+        tok.unpersist(blocking = false)
+        if (pfx != null) pfx.unpersist(blocking = false)
+      }
     }
     pairs.orderBy($"doc_a", $"doc_b")
   }
@@ -606,14 +628,20 @@ object DedupOps {
     * sketch build — the first-toucher-pays attribution noise that made
     * unchanged queries appear to regress between rounds. */
   def prewarmSharedStages(spark: SparkSession, dir: String): Seq[(String, Double)] = {
-    def timed(name: String)(f: => Unit): (String, Double) = {
+    // per-stage isolation: a stage that throws drops only ITS ledger
+    // line — earlier stages already built, cached, and timed must keep
+    // theirs, or the queries reusing their warm cache would report a
+    // total lower than the work actually done. A failed stage leaves no
+    // cache entry, so its cost lands on whichever query rebuilds it —
+    // correctly attributed either way.
+    def timed(name: String)(f: => Unit): Option[(String, Double)] = {
       val t0 = System.nanoTime()
-      f
-      (name, (System.nanoTime() - t0) / 1e9)
+      try { f; Some((name, (System.nanoTime() - t0) / 1e9)) }
+      catch { case _: Throwable => None }
     }
     Seq(
       timed("minhash_estimates") { minhashEstimates(spark, dir).count(); () },
       timed("simhash_sketch") { simhashSketch(spark, dir).count(); () },
-      timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () })
+      timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () }).flatten
   }
 }

@@ -165,44 +165,48 @@ object PipelineOps {
     // the standard trap of iterative DataFrame algorithms. On a cluster
     // with dynamic executors this would be a reliable checkpoint() to a
     // fault-tolerant dir instead.
-    var labels = edges.select($"src".as("node")).distinct()
-      .select($"node", $"node".as("comp")).localCheckpoint()
-    // convergence witness: labels only ever DECREASE, so the label sum is
-    // strictly monotone until the fixpoint — an unchanged sum ⇔ no label
-    // changed. One cheap scalar aggregate per iteration instead of a
-    // next-vs-previous join; decimal sum so id magnitude can never
-    // overflow the witness.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum($"comp".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .collect()(0).getDecimal(0)
-    var prevSum = labelSum(labels)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("node"))
-        .select(edges("src").as("node"), labels("comp").as("comp"))
-      val next = labels.union(neighborMin)
-        .groupBy($"node").agg(min($"comp").as("comp")).localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
-      iter += 1
-    }
-    // The oracle computes the true recursive-CTE fixpoint; returning an
-    // unconverged labeling would diverge from it SILENTLY (same row count,
-    // wrong components). Fail loudly instead — a graph with diameter > 20
-    // is a genuine input anomaly worth surfacing, not rounding away.
-    if (!converged)
-      throw new IllegalStateException(
-        s"dedupConnectedComponents: label propagation did not converge " +
-          s"within $iter iterations (component diameter exceeds the cap); " +
-          "refusing to return a partial fixpoint")
-    // the final labels are localCheckpoint'ed (materialized, lineage cut),
-    // so the edge cache can be released NOW — without this each call
-    // leaked one persisted edge set for the app lifetime
-    edges.unpersist(blocking = false)
-    labels.select($"node".as("doc_id"), $"comp".as("comp_id")).orderBy($"doc_id")
+    // the finally releases the edge cache on EVERY exit — normal return
+    // (labels are localCheckpoint'ed, so nothing downstream needs edges),
+    // the non-convergence throw, and a mid-loop job failure alike; a
+    // plain trailing unpersist would leak the persisted edge set whenever
+    // the fixpoint loop threw
+    try {
+      var labels = edges.select($"src".as("node")).distinct()
+        .select($"node", $"node".as("comp")).localCheckpoint()
+      // convergence witness: labels only ever DECREASE, so the label sum
+      // is strictly monotone until the fixpoint — an unchanged sum ⇔ no
+      // label changed. One cheap scalar aggregate per iteration instead
+      // of a next-vs-previous join; decimal sum so id magnitude can never
+      // overflow the witness.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum($"comp".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .collect()(0).getDecimal(0)
+      var prevSum = labelSum(labels)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 20) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("node"))
+          .select(edges("src").as("node"), labels("comp").as("comp"))
+        val next = labels.union(neighborMin)
+          .groupBy($"node").agg(min($"comp").as("comp")).localCheckpoint()
+        val nextSum = labelSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        labels = next
+        iter += 1
+      }
+      // The oracle computes the true recursive-CTE fixpoint; returning an
+      // unconverged labeling would diverge from it SILENTLY (same row
+      // count, wrong components). Fail loudly instead — a graph with
+      // diameter > 20 is a genuine input anomaly worth surfacing, not
+      // rounding away.
+      if (!converged)
+        throw new IllegalStateException(
+          s"dedupConnectedComponents: label propagation did not converge " +
+            s"within $iter iterations (component diameter exceeds the cap); " +
+            "refusing to return a partial fixpoint")
+      labels.select($"node".as("doc_id"), $"comp".as("comp_id")).orderBy($"doc_id")
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Data-quality gate: referential-integrity orphan counts (anti-joins

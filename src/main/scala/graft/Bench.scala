@@ -27,12 +27,10 @@ object Bench {
     // previously whichever dedup-family query ran first paid the whole
     // sketch build, so unchanged queries appeared to regress between
     // rounds whenever registration order shifted
-    // defensive: Bench must ALWAYS print its JSON line — if a shared
-    // build throws, skip the prewarm and let the affected queries fail
-    // individually into the "failed" map like any other query error
-    val shared =
-      try graft.operators.DedupOps.prewarmSharedStages(spark, sfDir)
-      catch { case _: Throwable => Seq.empty[(String, Double)] }
+    // prewarm handles its own per-stage failures (a failed stage drops
+    // only its ledger line); only a FATAL error reaches here, and then
+    // the JVM is not worth salvaging — let it die loudly
+    val shared = graft.operators.DedupOps.prewarmSharedStages(spark, sfDir)
     // noop-format write executes the FULL plan (final sorts/projections
     // included) — a count() would let Catalyst prune them. The "queries"
     // map holds ONLY successes (so a naive sum over it is correct); failed

@@ -129,8 +129,11 @@ object DedupOps {
             end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           estCache.keys.filter(_._1 eq spark).foreach { k =>
             estCache.remove(k).foreach(df => df.unpersist(blocking = false))
-            buildLocks.remove(k)
           }
+          // swept independently of estCache: a FAILED build leaves a lock
+          // entry with no cache entry, which would otherwise pin the
+          // stopped session in this static map for the JVM lifetime
+          buildLocks.keySet.removeIf(_._1 eq spark)
           estCacheHooked.remove(spark)
         }
       })
@@ -403,7 +406,11 @@ object DedupOps {
         .persist()
       // the finally releases the shingle intermediate on every exit —
       // after the eager materialize on success, and on a mid-build job
-      // failure, which would otherwise leave sh persisted with no owner
+      // failure, which would otherwise leave sh persisted with no owner;
+      // a partially-cached `out` (some partitions completed before the
+      // materialize failed) is released the same way
+      var out: DataFrame = null
+      var done = false
       try {
         // df cap and per-doc sizes are plain partial+final aggregates —
         // NOT window functions, which would force two extra full
@@ -420,15 +427,19 @@ object DedupOps {
           .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
           .agg(count(lit(1)).as("n_inter"))
         val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
-        val out = inter
+        out = inter
           .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
           .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
           .select($"doc_a", $"doc_b", jac.as("jaccard"))
           .filter($"jaccard" >= 0.5)
           .persist()
         out.count() // materialize so the shingle intermediate can go NOW
+        done = true
         out
-      } finally sh.unpersist(blocking = false)
+      } finally {
+        sh.unpersist(blocking = false)
+        if (!done && out != null) out.unpersist(blocking = false)
+      }
     }
     pairs.orderBy($"doc_a", $"doc_b")
   }
@@ -543,9 +554,12 @@ object DedupOps {
         .select($"doc_id", expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
         .persist()
       var pfx: DataFrame = null
+      var out: DataFrame = null
+      var done = false
       // the finally releases both shingle intermediates on every exit —
       // after the eager materialize on success, and on a mid-build job
-      // failure, which would otherwise leave them persisted with no owner
+      // failure, which would otherwise leave them persisted with no
+      // owner; a partially-cached `out` is released on failure too
       try {
         val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
         val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
@@ -566,7 +580,7 @@ object DedupOps {
           .join(tok.as("ta"), $"ta.doc_id" === $"doc_a")
           .join(tok.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.h" === $"tb.h")
           .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-        val out = common
+        out = common
           .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
           .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
           .withColumn("union_n", $"sz_a" + $"sz_b" - $"n_common")
@@ -575,10 +589,12 @@ object DedupOps {
             ($"n_common".cast("double") / $"union_n".cast("double")).as("jaccard"))
           .persist()
         out.count() // materialize so the shingle intermediates can go NOW
+        done = true
         out
       } finally {
         tok.unpersist(blocking = false)
         if (pfx != null) pfx.unpersist(blocking = false)
+        if (!done && out != null) out.unpersist(blocking = false)
       }
     }
     pairs.orderBy($"doc_a", $"doc_b")
@@ -637,7 +653,14 @@ object DedupOps {
     def timed(name: String)(f: => Unit): Option[(String, Double)] = {
       val t0 = System.nanoTime()
       try { f; Some((name, (System.nanoTime() - t0) / 1e9)) }
-      catch { case _: Throwable => None }
+      catch {
+        // NonFatal only: an OOM or interrupt must propagate, not launch
+        // further Spark jobs in a compromised JVM; the skip is logged so
+        // a missing ledger line is traceable
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[bench] shared stage $name failed: ${e.getMessage}")
+          None
+      }
     }
     Seq(
       timed("minhash_estimates") { minhashEstimates(spark, dir).count(); () },

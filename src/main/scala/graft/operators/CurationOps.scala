@@ -79,7 +79,11 @@ object CurationOps {
     * contract a mandatory broadcast would be sound.) */
   def contaminationNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = DedupOps.shingleSets(spark, dir)
+    // session-shared cached shingle set: this query reads it twice (the
+    // stand-in benchmark side and the corpus side), and the dedup family
+    // already built it — without the cache both branches re-ran the full
+    // explode+distinct
+    val sh = DedupOps.sharedShingles(spark, dir)
     val bench = sh.filter($"doc_id" % 97 === 0)
       .select($"sh").distinct().withColumn("hit", lit(1))
     sh.filter($"doc_id" % 97 =!= 0)
@@ -144,6 +148,54 @@ object CurationOps {
       |FROM cum
       |GROUP BY source, seq_id
       |ORDER BY source, seq_id""".stripMargin
+
+  /** Dedup-aware sequence packing (`pack_sequences_deduped`) — the full
+    * curate → dedup → pack training-data path as one query: the chunker's
+    * output is chunk-deduplicated (each distinct chunk keeps its earliest
+    * (doc_id, chunk_idx) occurrence, exactly `dedup_chunks`' keep rule),
+    * and the SURVIVING chunks are greedily packed into 2048-token
+    * training sequences per source — so duplicated boilerplate is paid
+    * for once in the training mix instead of once per copy.
+    *
+    * Plan shape: one hash aggregate keyed by chunk_hash (the dedup), one
+    * hash join to documents for the source column (doc_id-keyed, never
+    * corpus-proportional on the build side), one per-source window and
+    * one final aggregation — the same bounded-state shape as
+    * [[packSequences]], with the dedup folded in as a single extra
+    * shuffle whose key cardinality is the distinct-chunk count. */
+  def packSequencesDeduped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val keepers = TextOps.chunkKeepers(spark, dir)
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    // ROWS frame pinned for the same RANGE-vs-ROWS tie divergence noted
+    // in [[packSequences]]; (doc_id, chunk_idx) is unique over keepers,
+    // so the order below is total
+    val w = Window.partitionBy($"source").orderBy($"doc_id", $"chunk_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keepers.join(src, "doc_id")
+      .withColumn("cum", sum($"n_chunk_tokens").over(w))
+      .withColumn("seq_id", floor(($"cum" - $"n_chunk_tokens") / lit(2048.0)))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_chunks"), sum($"n_chunk_tokens").as("seq_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"seq_id")
+  }
+
+  val packSequencesDedupedSql: String =
+    s"""WITH ${TextOps.chunksCte},
+       |${TextOps.chunkKeepersCte},
+       |cum AS (
+       |  SELECT d.source, k.doc_id, k.chunk_idx, k.n_chunk_tokens,
+       |         sum(k.n_chunk_tokens) OVER (PARTITION BY d.source
+       |             ORDER BY k.doc_id, k.chunk_idx
+       |             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM keepers k JOIN documents d USING (doc_id))
+       |SELECT source, CAST(floor((cum - n_chunk_tokens) / 2048.0) AS BIGINT) AS seq_id,
+       |       count(*) AS n_chunks, CAST(sum(n_chunk_tokens) AS BIGINT) AS seq_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum
+       |GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
 
   /** Per-domain quota sampling: keep at most 10 documents per source,
     * chosen by md5(doc_id) rank — the domain-balancing pass that stops a

@@ -550,16 +550,39 @@ object PipelineOps {
     * At 100 TB the two DISTINCT counts are the expensive rows —
     * production swaps them for the mergeable sketches already in this
     * library (agg_approx_distinct / agg_hll_merge) when ±2% is
-    * acceptable; the report shape is unchanged. */
-  def curationCorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    * acceptable; the report shape is unchanged. That swap is
+    * [[curationCorpusReportSketch]], the flagged variant below. */
+  def curationCorpusReport(spark: SparkSession, dir: String): DataFrame =
+    corpusReport(spark, dir, useSketches = false)
+
+  /** The 100 TB form of the corpus report: identical shape and metric
+    * names, but the two exact DISTINCT rows come from DataSketches HLL
+    * (`hll_sketch_agg` → `hll_sketch_estimate`) instead of exact
+    * expansion. An exact DISTINCT over document hashes shuffles one row
+    * per distinct document; the sketch is a few KB per partition and
+    * merges associatively, so the whole report becomes one partial-agg
+    * pass however wide the corpus. No oracle (sketch estimates are
+    * engine-specific); OperatorSpec asserts shape parity with the exact
+    * report and ≤5% cardinality error. */
+  def curationCorpusReportSketch(spark: SparkSession, dir: String): DataFrame =
+    corpusReport(spark, dir, useSketches = true)
+
+  private def corpusReport(spark: SparkSession, dir: String,
+      useSketches: Boolean): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
+    val distinctText =
+      if (useSketches) hll_sketch_estimate(hll_sketch_agg(md5($"text".cast("binary"))))
+      else countDistinct(md5($"text".cast("binary")))
+    val distinctLang =
+      if (useSketches) hll_sketch_estimate(hll_sketch_agg($"lang"))
+      else countDistinct($"lang")
     val singles = docs
       .agg(
         sum($"n_chars").cast("long").as("chars_total"),
-        countDistinct(md5($"text".cast("binary"))).as("docs_distinct_text"),
+        distinctText.as("docs_distinct_text"),
         count(lit(1)).as("docs_total"),
-        countDistinct($"lang").as("langs"))
+        distinctLang.as("langs"))
       .selectExpr(
         """stack(4,
           |  'chars_total', chars_total,

@@ -416,7 +416,7 @@ object TextOps {
     * `chunks(doc_id, chunk_idx, chunk_start, n_chunk_tokens, chunk_hash)`
     * — the SQL twin of [[chunks]], reused by the chunking query and the
     * chunk-level dedup. */
-  private val chunksCte: String =
+  private[operators] val chunksCte: String =
     """ws AS (
       |  SELECT doc_id,
       |         list_filter(string_split(lower(text), ' '), t -> t <> '') AS w
@@ -465,6 +465,33 @@ object TextOps {
         $"k.chunk_idx".as("keep_chunk_idx"), $"n_copies")
       .orderBy($"chunk_hash")
   }
+
+  /** Keeper chunks — the rows [[dedupChunks]] retains — with their token
+    * counts: the input a dedup-aware packer consumes. Same single hash
+    * aggregate as `dedup_chunks`; `n_chunk_tokens` rides the min-struct
+    * (every copy of a hash has identical content, hence an identical
+    * token count, so the keeper's value IS the hash's value). */
+  private[operators] def chunkKeepers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    chunks(spark, dir)
+      .groupBy($"chunk_hash")
+      .agg(min(struct($"doc_id", $"chunk_idx", $"n_chunk_tokens")).as("k"))
+      .select($"k.doc_id".as("doc_id"), $"k.chunk_idx".as("chunk_idx"),
+        $"k.n_chunk_tokens".as("n_chunk_tokens"))
+  }
+
+  /** Oracle twin of [[chunkKeepers]] — appended after [[chunksCte]],
+    * ends in `keepers(doc_id, chunk_idx, n_chunk_tokens)`. Same
+    * no-leading-'|' contract as the other shared CTEs (outer templates
+    * stripMargin again). */
+  private[operators] val chunkKeepersCte: String =
+    """keepers AS (
+      |  SELECT doc_id, chunk_idx, n_chunk_tokens FROM (
+      |    SELECT doc_id, chunk_idx, n_chunk_tokens,
+      |           row_number() OVER (PARTITION BY chunk_hash
+      |                              ORDER BY doc_id, chunk_idx) AS rn
+      |    FROM chunks) t
+      |  WHERE rn = 1)""".stripMargin
 
   val dedupChunksSql: String =
     s"""WITH $chunksCte

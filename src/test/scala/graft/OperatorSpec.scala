@@ -659,6 +659,43 @@ class OperatorSpec extends SparkTestBase {
     assert(m("langs") >= 1 && m("chars_total") > 0)
   }
 
+  test("curation_corpus_report_sketch: exact shape, sketch rows within 5%") {
+    def asMap(key: String) = SparkEntry.queries(key)(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = asMap("curation_corpus_report")
+    val sk = asMap("curation_corpus_report_sketch")
+    assert(sk.keySet == exact.keySet, "sketch variant changed the report shape")
+    // the rows the swap does NOT touch stay exactly equal
+    Seq("chars_total", "docs_total", "near_dup_pairs").foreach { k =>
+      assert(sk(k) == exact(k), s"$k must be exact in both variants")
+    }
+    // the two DISTINCT→HLL rows carry the promised ≤5% cardinality error
+    Seq("docs_distinct_text", "langs").foreach { k =>
+      val err = math.abs(sk(k).toDouble - exact(k)) / math.max(exact(k), 1L)
+      assert(err <= 0.05, s"$k sketch error $err > 5% (${sk(k)} vs ${exact(k)})")
+    }
+  }
+
+  test("pack_sequences_deduped conserves keeper tokens and packs densely") {
+    val chunks = SparkEntry.queries("text_chunk_overlap")(spark, sfDir).collect()
+    // one token count per distinct chunk hash — the mass dedup retains
+    val keeperTokens = chunks.groupBy(_.getString(4))
+      .map(_._2.head.getLong(3)).sum
+    val out = SparkEntry.queries("pack_sequences_deduped")(spark, sfDir).collect()
+    val packed = out.map(_.getLong(3)).sum
+    assert(packed == keeperTokens,
+      s"packed mass $packed != keeper token mass $keeperTokens")
+    // dedup can only shrink the packed corpus vs packing every chunk copy
+    assert(packed <= chunks.map(_.getLong(3)).sum)
+    // per source the greedy packer emits sequence ids 0..n-1 with no holes
+    // (chunks are <=32 tokens, so no 2048-token bucket can be skipped)
+    out.groupBy(_.getString(0)).foreach { case (src, rows) =>
+      val ids = rows.map(_.getLong(1)).sorted
+      assert(ids.head == 0L && ids.last == ids.length - 1L,
+        s"source $src sequence ids are not dense: ${ids.mkString(",")}")
+    }
+  }
+
   test("dedup_prefix_filter finds EXACTLY the true Jaccard>=0.5 pairs (brute force)") {
     val spark0 = spark
     import spark0.implicits._

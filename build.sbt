@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): a full bench executes every query twice in one
+  // JVM (~350 plan+codegen cycles); at 8g the accumulated metadata drove
+  // GC pauses that tripled the latency-sensitive streaming micro-batch
+  // queries late in the run (measured: streaming family sum-of-min 46.6s
+  // at 8g vs 18.9s at 24g, headline 164.7s vs 125.0s at sf0.1). The box
+  // has 128 GiB; still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

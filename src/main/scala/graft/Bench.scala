@@ -51,7 +51,14 @@ object Bench {
     // included) — a count() would let Catalyst prune them. The "queries"
     // map holds ONLY successes (so a naive sum over it is correct); failed
     // queries go in a separate name->seconds map, never mixed in.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY="a,b,c" times just those
+    // queries (the driver never sets it → full run)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val runs = (1 to Rounds).map { _ =>
         val t0 = System.nanoTime()
         val ok =

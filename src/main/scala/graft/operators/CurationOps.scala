@@ -321,6 +321,79 @@ object CurationOps {
       |GROUP BY bucket_ceil
       |ORDER BY bucket_ceil""".stripMargin
 
+  /** Composite quality gate (`curation_quality_gate`) — the keep/drop
+    * verdict a curation pipeline attaches to every document before the
+    * training extract, with the FIRST failing rule as the audit reason:
+    * too_short (< 20 tokens), too_long (> 5000), repetitive (top token
+    * above 20% of mass), low_diversity (type/token ratio below 0.3),
+    * else ok. Every threshold is evaluated as an exact integer
+    * cross-multiply (`top_count·5 > n_tokens`, `n_distinct·10 <
+    * n_tokens·3`) — no doubles anywhere near the verdict, so the gate is
+    * bit-identical on any engine or partitioning. Documents with zero
+    * tokens survive the left join with zeroed stats and gate as
+    * too_short rather than vanishing.
+    *
+    * Plan shape: the same two chained hash aggregations as
+    * [[qualityRepetitionScore]] plus one doc_id-keyed join back to the
+    * corpus spine — at 100 TB the verdict is a narrow map over the
+    * aggregate, and downstream consumers read `keep` as a pushed-down
+    * filter. */
+  def curationQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    val stats = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max($"c").as("top_count"))
+    val reason =
+      when($"n_tokens" < 20, "too_short")
+        .when($"n_tokens" > 5000, "too_long")
+        .when($"top_count" * 5 > $"n_tokens", "repetitive")
+        .when($"n_distinct" * 10 < $"n_tokens" * 3, "low_diversity")
+        .otherwise("ok")
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(stats, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_tokens", lit(0L)).as("n_tokens"),
+        coalesce($"n_distinct", lit(0L)).as("n_distinct"),
+        coalesce($"top_count", lit(0L)).as("top_count"))
+      .withColumn("reason", reason)
+      .withColumn("keep", $"reason" === "ok")
+      .orderBy($"doc_id")
+  }
+
+  val curationQualityGateSql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, token, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct, max(c) AS top_count
+      |  FROM cnt GROUP BY doc_id),
+      |j AS (
+      |  SELECT d.doc_id,
+      |         coalesce(a.n_tokens, 0) AS n_tokens,
+      |         CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+      |         CAST(coalesce(a.top_count, 0) AS BIGINT) AS top_count
+      |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+      |v AS (
+      |  SELECT doc_id, n_tokens, n_distinct, top_count,
+      |         CASE WHEN n_tokens < 20 THEN 'too_short'
+      |              WHEN n_tokens > 5000 THEN 'too_long'
+      |              WHEN top_count * 5 > n_tokens THEN 'repetitive'
+      |              WHEN n_distinct * 10 < n_tokens * 3 THEN 'low_diversity'
+      |              ELSE 'ok' END AS reason
+      |  FROM j)
+      |SELECT doc_id, n_tokens, n_distinct, top_count, reason,
+      |       reason = 'ok' AS keep
+      |FROM v
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test split assignment
     * (`curation_train_val_test`) — the hold-out step every training
     * pipeline ships: md5 over a SALTED doc key (`doc_id || ':split'`,

@@ -494,6 +494,62 @@ object DedupOps {
        |WHERE CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DIRECTED shingle-containment near-dup pairs: every ordered pair
+    * (doc_a, doc_b) where ≥ 80% of doc_a's 3-gram shingles also occur in
+    * doc_b — the subsumption relation symmetric Jaccard misses. A short
+    * quote, a boilerplate header, or a truncated copy is CONTAINED in
+    * its source (containment ≈ 1) while its Jaccard stays far below any
+    * dedup cutoff; training pipelines drop the contained side, not the
+    * superset. Intersections are counted over the df≤50-capped inverted
+    * index (identical cap in the oracle — the bound that keeps the
+    * candidate join sub-quadratic on stop-shingles), sizes over the FULL
+    * shingle set; the keep filter is the exact integer cross-multiply
+    * `5·|A∩B| ≥ 4·|A|`, the division only decorates the output.
+    *
+    * Plan shape: same hash-partitioned inverted-index equi-join as
+    * [[dedupNgramJaccard]] minus the `<` pair ordering (both directions
+    * are meaningful here); every shuffle keys on the 8-byte shingle hash
+    * or doc_id. The shingle set itself comes from the session-shared
+    * [[sharedShingles]] cache — the md5 projection per consumer is the
+    * only recompute, so no per-query persist/unpersist churn. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = sharedShingles(spark, dir)
+      .select($"doc_id", conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h"))
+    val capped = sh.join(
+      sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
+      Seq("h"), "left_semi")
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = capped.as("a").join(capped.as("b"),
+        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter.join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
+      .filter($"n_inter" * 5 >= $"nsh_a" * 4)
+      .select($"doc_a", $"doc_b", $"n_inter", $"nsh_a",
+        ($"n_inter".cast("double") / $"nsh_a".cast("double")).as("containment"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val dedupContainmentSql: String =
+    s"""WITH $shinglesCte,
+       |shv AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h
+       |  FROM shingles),
+       |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
+       |capped AS (SELECT s.doc_id, s.h FROM shv s JOIN df USING (h) WHERE df.nd <= 50),
+       |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT i.doc_a, i.doc_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+       |       CAST(sa.nsh AS BIGINT) AS nsh_a,
+       |       CAST(i.n_inter AS DOUBLE) / CAST(sa.nsh AS DOUBLE) AS containment
+       |FROM inter i JOIN sized sa ON sa.doc_id = i.doc_a
+       |WHERE 5 * i.n_inter >= 4 * sa.nsh
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Embedding cosine near-duplicate pairs (exact, cutoff 0.4) with the
     * fixed-point quantization from [[SimilarityOps]].
     *

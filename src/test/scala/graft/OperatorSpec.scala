@@ -696,6 +696,58 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_containment finds EXACTLY the df-capped >=0.8 directed pairs (brute force)") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{split, lower, when, size, expr}
+    val sets = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .select($"doc_id",
+        when(size($"ws") >= 3,
+          expr("array_distinct(transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"))
+          .otherwise(expr("array()")).as("shs"))
+      .as[(Long, Seq[String])].collect().map { case (id, s) => id -> s.toSet }
+    // same df<=50 cap the query applies to the intersection side
+    val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+    val kept = (sh: String) => df(sh) <= 50
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b && sa.nonEmpty
+      inter = (sa.filter(kept) & sb.filter(kept)).size
+      if 5 * inter >= 4 * sa.size
+    } yield (a, b)).toSet
+    val got = SparkEntry.queries("dedup_containment")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"missing: ${expected -- got}, spurious: ${got -- expected}")
+  }
+
+  test("curation_quality_gate covers every document and keep mirrors reason") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val rows = SparkEntry.queries("curation_quality_gate")(spark, sfDir).collect()
+    assert(rows.length == docs, "gate must emit a verdict for EVERY document")
+    rows.foreach { r =>
+      val (nTok, reason, keep) = (r.getLong(1), r.getString(4), r.getBoolean(5))
+      assert(keep == (reason == "ok"), s"keep/reason mismatch: $r")
+      if (nTok == 0L) assert(reason == "too_short",
+        s"zero-token doc must gate as too_short: $r")
+      if (reason == "ok")
+        assert(nTok >= 20 && nTok <= 5000, s"kept doc outside length bounds: $r")
+    }
+  }
+
+  test("plan: dedup family reuses the session-shared shingle cache") {
+    // building any shingle consumer populates the shared cache ...
+    SparkEntry.queries("dedup_minhash_lsh")(spark, sfDir).collect()
+    // ... and every later consumer's plan must read the InMemoryRelation
+    // instead of re-running the documents explode+distinct
+    Seq("contamination_ngram_overlap", "dedup_containment").foreach { q =>
+      val p = fmtPlan(q)
+      assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+        s"$q does not read the shared shingle cache:\n$p")
+    }
+  }
+
   test("dedup_prefix_filter finds EXACTLY the true Jaccard>=0.5 pairs (brute force)") {
     val spark0 = spark
     import spark0.implicits._

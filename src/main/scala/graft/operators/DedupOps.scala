@@ -79,6 +79,60 @@ object DedupOps {
       |GROUP BY md5(lower(text))
       |ORDER BY keep_id""".stripMargin
 
+  /** Incremental (cross-snapshot) dedup — the shape production pipelines
+    * actually run: a NEW crawl batch is deduplicated against the hash
+    * registry of the ALREADY-INGESTED corpus, then within itself. Docs
+    * with `doc_id % 10 < 7` stand in for the existing corpus; the rest
+    * are the incoming batch. Every batch document gets a verdict:
+    * `dup_of_corpus` (its normalized content hash is already registered),
+    * `dup_in_batch` (an earlier batch doc — lower doc_id — has the same
+    * hash), or `new`.
+    *
+    * Plan shape: one narrow md5 projection, one distinct over the
+    * existing side (the registry production PERSISTS as a bucketed table
+    * — a few dozen bytes per distinct document, not the corpus), one
+    * first-in-batch hash aggregate, and two hash-partitioned joins keyed
+    * on the content hash. Nothing is corpus-proportional on a broadcast
+    * side and nothing compares texts — at 100 TB the batch join touches
+    * only hashes. */
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", md5(lower($"text")).as("content_hash"))
+    val existing = docs.filter($"doc_id" % 10 < 7)
+      .select($"content_hash").distinct()
+      .withColumn("in_corpus", lit(1))
+    val batch = docs.filter($"doc_id" % 10 >= 7)
+    val firstInBatch = batch.groupBy($"content_hash")
+      .agg(min($"doc_id").as("first_id"))
+    batch
+      .join(existing, Seq("content_hash"), "left")
+      .join(firstInBatch, "content_hash")
+      .select($"doc_id", $"content_hash",
+        when($"in_corpus".isNotNull, "dup_of_corpus")
+          .when($"doc_id" =!= $"first_id", "dup_in_batch")
+          .otherwise("new").as("status"))
+      .orderBy($"doc_id")
+  }
+
+  val dedupIncrementalSql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id, md5(lower(text)) AS content_hash FROM documents),
+      |existing AS (
+      |  SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 10 < 7),
+      |batch AS (SELECT * FROM hashed WHERE doc_id % 10 >= 7),
+      |first_in_batch AS (
+      |  SELECT content_hash, min(doc_id) AS first_id
+      |  FROM batch GROUP BY content_hash)
+      |SELECT b.doc_id, b.content_hash,
+      |       CASE WHEN e.content_hash IS NOT NULL THEN 'dup_of_corpus'
+      |            WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+      |            ELSE 'new' END AS status
+      |FROM batch b
+      |LEFT JOIN existing e ON e.content_hash = b.content_hash
+      |JOIN first_in_batch f ON f.content_hash = b.content_hash
+      |ORDER BY b.doc_id""".stripMargin
+
   /** Universal-hash parameters for the 16 MinHash permutations, derived
     * seedlessly from md5 on the driver and embedded as literals on both
     * engines. `a` is 28-bit odd, `b` 30-bit odd, so `a*h32 + b < 2^61`

@@ -722,6 +722,24 @@ class OperatorSpec extends SparkTestBase {
       s"missing: ${expected -- got}, spurious: ${got -- expected}")
   }
 
+  test("dedup_incremental verdicts match a brute-force registry check") {
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "md5(lower(text)) AS h")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val existing = docs.filter(_._1 % 10 < 7).map(_._2).toSet
+    val batch = docs.filter(_._1 % 10 >= 7)
+    val firstId = batch.groupBy(_._2).map { case (h, xs) => h -> xs.map(_._1).min }
+    val expected = batch.map { case (id, h) =>
+      id -> (if (existing(h)) "dup_of_corpus"
+             else if (firstId(h) != id) "dup_in_batch"
+             else "new")
+    }.toMap
+    val got = SparkEntry.queries("dedup_incremental")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == expected,
+      s"mismatches: ${(expected.toSet diff got.toSet).take(5)} ...")
+  }
+
   test("curation_quality_gate covers every document and keep mirrors reason") {
     val docs = Tables.documents(spark, sfDir).count()
     val rows = SparkEntry.queries("curation_quality_gate")(spark, sfDir).collect()

@@ -568,6 +568,75 @@ object StreamingOps {
       |GROUP BY n.n_name
       |ORDER BY n.n_name""".stripMargin
 
+  /** REAL streaming incremental dedup — the continuous-ingest form of
+    * the batch `dedup_incremental` query: a stream of incoming documents
+    * (the `doc_id % 10 >= 7` batch among the first 100 corpus ids, fed
+    * in doc_id order across two micro-batches on a single input
+    * partition) is first deduplicated WITHIN the stream on content hash
+    * (state-backed `dropDuplicates` — keep first arrival, which with the
+    * ordered single-partition feed is the lowest doc_id), then each
+    * surviving first occurrence verdicts against the STATIC registry of
+    * the already-ingested corpus via a stream-static left join
+    * (`dup_of_corpus` / `new`).
+    *
+    * Batch 2 re-feeds the first document's hash under a sentinel id
+    * (+1000000): the dedup state must drop it ACROSS the micro-batch
+    * boundary, so the sentinel never reaches the output — that absence
+    * is asserted by the oracle (which contains no sentinel row) and
+    * proves the cross-batch state carry, the property a restart-safe
+    * ingest pipeline actually relies on. At scale the registry is the
+    * per-snapshot hash table production maintains; the stream side only
+    * ever shuffles 8-byte-keyed hashes into bounded dedup state. */
+  def streamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val registry = graft.Tables.documents(s, dir)
+      .filter($"doc_id" % 10 < 7)
+      .select(md5(lower($"text")).as("content_hash")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val incoming = graft.Tables.documents(s, dir)
+      .filter($"doc_id" % 10 >= 7 && $"doc_id" < 100)
+      .select($"doc_id", md5(lower($"text")).as("content_hash"))
+      .orderBy($"doc_id")
+      .as[(Long, String)].collect()
+    val in = MemoryStream[(Long, String)](numPartitions = 1)
+    val name = "graft_sid_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDF().toDF("doc_id", "content_hash")
+      .dropDuplicates("content_hash")
+      .join(registry, Seq("content_hash"), "left")
+      .select($"doc_id", $"content_hash",
+        when($"in_corpus".isNotNull, "dup_of_corpus").otherwise("new").as("status"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      val (first, second) = incoming.splitAt(incoming.length / 2)
+      in.addData(first.toSeq: _*)
+      q.processAllAvailable()
+      // cross-batch duplicate: same hash as the first doc, sentinel id —
+      // must be swallowed by the dedup STATE, not re-emitted
+      in.addData((second :+ (first.head._1 + 1000000L, first.head._2)).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).orderBy($"doc_id")
+  }
+
+  val streamingIncrementalDedupSql: String =
+    """WITH hashed AS (
+      |  SELECT doc_id, md5(lower(text)) AS content_hash FROM documents),
+      |registry AS (
+      |  SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 10 < 7),
+      |batch AS (
+      |  SELECT * FROM hashed WHERE doc_id % 10 >= 7 AND doc_id < 100),
+      |firsts AS (
+      |  SELECT content_hash, min(doc_id) AS doc_id
+      |  FROM batch GROUP BY content_hash)
+      |SELECT f.doc_id, f.content_hash,
+      |       CASE WHEN r.content_hash IS NOT NULL THEN 'dup_of_corpus'
+      |            ELSE 'new' END AS status
+      |FROM firsts f LEFT JOIN registry r USING (content_hash)
+      |ORDER BY f.doc_id""".stripMargin
+
   /** Driver-contract wrapper for REAL streaming session windows:
     * `session_window` (30 s gap) per user with a 10 s watermark in append
     * mode — sessions merge across micro-batches (user 1's third event

@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   * MemoryStream, stateful concat prefixes, file roundtrip. */
 class StreamingSpec extends SparkTestBase {
 
+  test("streaming_incremental_dedup swallows the re-fed hash across batches") {
+    val out = SparkEntry.queries("streaming_incremental_dedup")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // the batch-2 sentinel (first doc's hash under doc_id+1000000) must be
+    // absorbed by the dedup STATE carried across the micro-batch boundary
+    assert(out.forall(_.getLong(0) < 1000000L), "sentinel escaped the dedup state")
+    // and the surviving stream is hash-unique (within-stream dedup held)
+    val hashes = out.map(_.getString(1))
+    assert(hashes.distinct.length == hashes.length, "duplicate hash in output")
+    assert(out.map(_.getString(2)).forall(Set("dup_of_corpus", "new")))
+  }
+
   test("event-time tumbling window maxBy over a MemoryStream (W1)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

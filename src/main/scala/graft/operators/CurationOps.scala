@@ -85,9 +85,9 @@ object CurationOps {
     // explode+distinct
     val sh = DedupOps.sharedShingles(spark, dir)
     val bench = sh.filter($"doc_id" % 97 === 0)
-      .select($"sh").distinct().withColumn("hit", lit(1))
+      .select($"m").distinct().withColumn("hit", lit(1))
     sh.filter($"doc_id" % 97 =!= 0)
-      .join(bench, Seq("sh"), "left")
+      .join(bench, Seq("m"), "left")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_contaminated"))
       .select($"doc_id", $"n_shingles", $"n_contaminated",
@@ -98,11 +98,11 @@ object CurationOps {
   val contaminationNgramOverlapSql: String =
     ("""WITH """ + DedupOps.shinglesCte + """,
       |bench AS (
-      |  SELECT DISTINCT sh FROM shingles WHERE doc_id % 97 = 0)
+      |  SELECT DISTINCT m FROM shingles WHERE doc_id % 97 = 0)
       |SELECT s.doc_id, count(*) AS n_shingles,
-      |       count(b.sh) AS n_contaminated,
-      |       CAST(count(b.sh) AS DOUBLE) / count(*) AS contamination
-      |FROM shingles s LEFT JOIN bench b ON s.sh = b.sh
+      |       count(b.m) AS n_contaminated,
+      |       CAST(count(b.m) AS DOUBLE) / count(*) AS contamination
+      |FROM shingles s LEFT JOIN bench b ON s.m = b.m
       |WHERE s.doc_id % 97 <> 0
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""").stripMargin

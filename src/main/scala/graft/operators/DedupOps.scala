@@ -32,9 +32,17 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Word 3-gram shingle set per document, computed with array higher-order
-    * functions (narrow, no window shuffle): split → slide(3) → explode →
-    * distinct. */
+  /** Word 3-gram shingle set per document, keyed by the 16-byte binary
+    * md5 of the shingle (narrow HOFs: split → slide(3) → explode → md5 →
+    * distinct). Hashing BEFORE the distinct is the scale move: the
+    * distinct is the biggest shuffle of the whole dedup family, and it
+    * now moves fixed 16-byte keys instead of ~25-byte shingle strings —
+    * and md5 runs once per corpus shingle, not once per consumer (four
+    * consumers derive their narrower 32/60-bit join keys from `m` with a
+    * codegen'd substring, no re-hash). Parity under (astronomically
+    * unlikely) md5 collisions holds BY CONSTRUCTION: the oracle CTE
+    * distincts on the same md5, so both engines would merge the same
+    * pair. */
   private[operators] def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)
@@ -43,20 +51,22 @@ object DedupOps {
         explode(when(size($"ws") >= 3,
           expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
           .otherwise(expr("array()"))).as("sh"))
+      .select($"doc_id", unhex(md5($"sh")).as("m"))
       .distinct()
   }
 
-  /** Shared oracle CTE producing the same shingle set (window-lead
-    * formulation — identical output, DuckDB-idiomatic). NOTE: no line may
-    * begin with '|' — this CTE is embedded in outer templates that call
-    * stripMargin again. */
+  /** Shared oracle CTE producing the same shingle-hash set (window-lead
+    * formulation — identical multiset, DuckDB-idiomatic; `m` is the
+    * 32-hex md5 string, value-equivalent to Spark's 16-byte `unhex`
+    * form). NOTE: no line may begin with '|' — this CTE is embedded in
+    * outer templates that call stripMargin again. */
   private[operators] val shinglesCte: String =
     """words AS (
       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w,
       |         generate_subscripts(string_split(lower(text), ' '), 1) AS pos
       |  FROM documents),
       |shingles AS (
-      |  SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT DISTINCT doc_id, md5(sh) AS m FROM (
       |    SELECT doc_id, w || ' ' || lead(w,1) OVER (PARTITION BY doc_id ORDER BY pos) ||
       |           ' ' || lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS sh,
       |           lead(w,2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
@@ -253,8 +263,10 @@ object DedupOps {
   private[operators] def minhashEstimates(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"minhash:$dir") {
       import spark.implicits._
+      // hex() yields uppercase, conv() is case-insensitive — same h32 the
+      // oracle derives from its lowercase md5 string
       val hv = sharedShingles(spark, dir)
-        .select($"doc_id", conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h32"))
+        .select($"doc_id", conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h32"))
       val minCols = (0 until 16).map { i =>
         min(expr(s"(${minhashA(i)}L * h32 + ${minhashB(i)}L) % ${MinhashPrime}L")).as(s"mh$i")
       }
@@ -296,7 +308,7 @@ object DedupOps {
     s"""WITH $shinglesCte,
        |params(i, a, b) AS (SELECT * FROM (VALUES $params)),
        |hv AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h32
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h32
        |  FROM shingles),
        |sigs AS (
        |  SELECT doc_id, p.i, min((p.a * h32 + p.b) % $MinhashPrime) AS mh
@@ -483,7 +495,7 @@ object DedupOps {
       // — parity holds by construction, not by luck.
       val sh = sharedShingles(spark, dir)
         .select($"doc_id",
-          conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h"))
+          conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
         .persist()
       // the finally releases the shingle intermediate on every exit —
       // after the eager materialize on success, and on a mid-build job
@@ -532,7 +544,7 @@ object DedupOps {
   val dedupNgramJaccardSql: String =
     s"""WITH $shinglesCte,
        |shv AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
        |  FROM shingles),
        |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
        |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
@@ -569,7 +581,7 @@ object DedupOps {
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val sh = sharedShingles(spark, dir)
-      .select($"doc_id", conv(substring(md5($"sh"), 1, 8), 16, 10).cast("long").as("h"))
+      .select($"doc_id", conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
     val capped = sh.join(
       sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
       Seq("h"), "left_semi")
@@ -588,7 +600,7 @@ object DedupOps {
   val dedupContainmentSql: String =
     s"""WITH $shinglesCte,
        |shv AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT) AS h
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
        |  FROM shingles),
        |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
        |capped AS (SELECT s.doc_id, s.h FROM shv s JOIN df USING (h) WHERE df.nd <= 50),
@@ -692,7 +704,7 @@ object DedupOps {
       // sides) and pfx two (the self-join) — persist both or the md5
       // projection over the cached [[sharedShingles]] re-runs per consumer
       val tok = sharedShingles(spark, dir)
-        .select($"doc_id", expr("cast(conv(substr(md5(sh), 1, 15), 16, 10) as bigint)").as("h"))
+        .select($"doc_id", expr("cast(conv(substr(hex(m), 1, 15), 16, 10) as bigint)").as("h"))
         .persist()
       var pfx: DataFrame = null
       var out: DataFrame = null
@@ -747,7 +759,7 @@ object DedupOps {
     s"""WITH $shinglesCte,
        |tok AS (
        |  SELECT doc_id,
-       |         CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+       |         CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
        |  FROM shingles),
        |dfreq AS (SELECT h, count(*) AS df FROM tok GROUP BY h),
        |ranked AS (

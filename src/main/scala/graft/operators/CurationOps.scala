@@ -394,6 +394,86 @@ object CurationOps {
       |FROM v
       |ORDER BY doc_id""".stripMargin
 
+  /** The full curation pipeline as ONE declarative plan
+    * (`curation_training_extract`): quality-gate the corpus (keep only
+    * `reason = 'ok'` documents), exact-dedup the keepers (earliest
+    * doc_id per normalized content hash), restrict to the deterministic
+    * `train` split, and greedily pack the survivors into 2048-token
+    * sequences per source — i.e. gate → dedup → split → pack, the
+    * end-to-end path a training-data extract actually runs, expressed as
+    * a single Catalyst plan so the optimizer can pipeline the stages
+    * (the gate's token aggregate feeds the packer's weights without a
+    * second tokenize pass).
+    *
+    * Plan shape at 100 TB: two chained token aggregations (gate), one
+    * content-hash keeper aggregate + semi join (dedup), one narrow
+    * md5-bucket filter (split — pushable), one per-source window and a
+    * final aggregation (pack). Every shuffle keys on doc_id, the content
+    * hash, or source; nothing broadcasts a corpus-proportional side. */
+  def curationTrainingExtract(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = curationQualityGate(spark, dir)
+      .filter($"keep").select($"doc_id", $"n_tokens")
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"source", md5(lower($"text")).as("content_hash"))
+    val gated = kept.join(docs, "doc_id")
+    // keep-earliest among the GATED docs (dedup after gating, so a
+    // dropped low-id copy cannot shadow a kept duplicate)
+    val keepers = gated.groupBy($"content_hash").agg(min($"doc_id").as("doc_id"))
+    val trainBucket =
+      (conv(substring(md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 8), 16, 10)
+        .cast("long") % 100) < 90
+    val train = gated
+      .join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
+      .filter(trainBucket)
+    val w = Window.partitionBy($"source").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    train
+      .withColumn("cum", sum($"n_tokens").over(w))
+      .withColumn("seq_id", floor(($"cum" - $"n_tokens") / lit(2048.0)))
+      .groupBy($"source", $"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
+        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      .orderBy($"source", $"seq_id")
+  }
+
+  val curationTrainingExtractSql: String =
+    """WITH cnt AS (
+      |  SELECT doc_id, token, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct, max(c) AS top_count
+      |  FROM cnt GROUP BY doc_id),
+      |kept AS (
+      |  SELECT doc_id, n_tokens FROM agg
+      |  WHERE n_tokens >= 20 AND n_tokens <= 5000
+      |    AND top_count * 5 <= n_tokens
+      |    AND n_distinct * 10 >= n_tokens * 3),
+      |gated AS (
+      |  SELECT k.doc_id, k.n_tokens, d.source, md5(lower(d.text)) AS content_hash
+      |  FROM kept k JOIN documents d USING (doc_id)),
+      |keepers AS (
+      |  SELECT min(doc_id) AS doc_id FROM gated GROUP BY content_hash),
+      |train AS (
+      |  SELECT g.source, g.doc_id, g.n_tokens
+      |  FROM gated g JOIN keepers USING (doc_id)
+      |  WHERE CAST(concat('0x', substr(md5(CAST(g.doc_id AS VARCHAR) || ':split'), 1, 8))
+      |             AS BIGINT) % 100 < 90),
+      |cum AS (
+      |  SELECT source, doc_id, n_tokens,
+      |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                             ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM train)
+      |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+      |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+      |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM cum
+      |GROUP BY source, seq_id
+      |ORDER BY source, seq_id""".stripMargin
+
   /** Deterministic train/val/test split assignment
     * (`curation_train_val_test`) — the hold-out step every training
     * pipeline ships: md5 over a SALTED doc key (`doc_id || ':split'`,

@@ -722,6 +722,27 @@ class OperatorSpec extends SparkTestBase {
       s"missing: ${expected -- got}, spurious: ${got -- expected}")
   }
 
+  test("curation_training_extract conserves the gated-deduped-train token mass") {
+    val gate = SparkEntry.queries("curation_quality_gate")(spark, sfDir).collect()
+      .filter(_.getBoolean(5)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "md5(lower(text)) AS h").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // keep-earliest per hash among GATED docs, then the train bucket
+    val keepers = gate.keys.groupBy(docs).values.map(_.min).toSet
+    val split = SparkEntry.queries("curation_train_val_test")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expectedMass = gate.collect {
+      case (id, n) if keepers(id) && split(id) == "train" => n
+    }.sum
+    val out = SparkEntry.queries("curation_training_extract")(spark, sfDir).collect()
+    assert(out.map(_.getLong(3)).sum == expectedMass,
+      "packed token mass != gated∩deduped∩train mass")
+    assert(out.map(_.getLong(2)).sum == gate.count {
+      case (id, _) => keepers(id) && split(id) == "train" },
+      "packed doc count != survivor count")
+  }
+
   test("dedup_incremental verdicts match a brute-force registry check") {
     val docs = Tables.documents(spark, sfDir)
       .selectExpr("doc_id", "md5(lower(text)) AS h")

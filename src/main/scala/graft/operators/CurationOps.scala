@@ -338,16 +338,27 @@ object CurationOps {
     * corpus spine — at 100 TB the verdict is a narrow map over the
     * aggregate, and downstream consumers read `keep` as a pushed-down
     * filter. */
-  def curationQualityGate(spark: SparkSession, dir: String): DataFrame = {
+  /** The gate's per-document token statistics — shared by
+    * [[curationQualityGate]] (which left-joins them to the corpus spine
+    * so zero-token docs still get a verdict) and
+    * [[curationTrainingExtract]] (which filters the keep thresholds
+    * directly on the aggregate, spine-free, since kept docs always have
+    * stats). */
+  private def tokenGateStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
+    Tables.documents(spark, dir)
       .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
       .filter($"token" =!= "")
-    val stats = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
       .groupBy($"doc_id")
       .agg(sum($"c").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max($"c").as("top_count"))
+  }
+
+  def curationQualityGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stats = tokenGateStats(spark, dir)
     val reason =
       when($"n_tokens" < 20, "too_short")
         .when($"n_tokens" > 5000, "too_long")
@@ -406,26 +417,40 @@ object CurationOps {
     * second tokenize pass).
     *
     * Plan shape at 100 TB: two chained token aggregations (gate), one
-    * content-hash keeper aggregate + semi join (dedup), one narrow
-    * md5-bucket filter (split — pushable), one per-source window and a
-    * final aggregation (pack). Every shuffle keys on doc_id, the content
-    * hash, or source; nothing broadcasts a corpus-proportional side. */
+    * min-over-content-hash window (dedup — a window, not a groupBy +
+    * semi join back, which would make Catalyst expand the gate subtree
+    * twice), one narrow md5-bucket filter (split), one per-source window
+    * and a final aggregation (pack). Every shuffle keys on doc_id, the
+    * content hash, or source; nothing broadcasts a corpus-proportional
+    * side; documents is scanned exactly twice (token stream + spine),
+    * plan-asserted in OperatorSpec. */
   def curationTrainingExtract(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val kept = curationQualityGate(spark, dir)
-      .filter($"keep").select($"doc_id", $"n_tokens")
+    // the oracle's `kept` CTE verbatim: keep thresholds directly on the
+    // token aggregate — no corpus-spine left join (kept docs always have
+    // stats), so the whole extract scans documents exactly twice
+    val kept = tokenGateStats(spark, dir)
+      .filter($"n_tokens" >= 20 && $"n_tokens" <= 5000 &&
+        $"top_count" * 5 <= $"n_tokens" &&
+        $"n_distinct" * 10 >= $"n_tokens" * 3)
+      .select($"doc_id", $"n_tokens")
     val docs = Tables.documents(spark, dir)
       .select($"doc_id", $"source", md5(lower($"text")).as("content_hash"))
     val gated = kept.join(docs, "doc_id")
     // keep-earliest among the GATED docs (dedup after gating, so a
-    // dropped low-id copy cannot shadow a kept duplicate)
-    val keepers = gated.groupBy($"content_hash").agg(min($"doc_id").as("doc_id"))
+    // dropped low-id copy cannot shadow a kept duplicate). Expressed as
+    // a min-over-hash WINDOW rather than a groupBy + semi join back:
+    // the self-join form makes Catalyst expand the whole gate subtree
+    // TWICE (verified in the physical plan — six scans instead of two);
+    // the window is one extra content_hash shuffle over a single
+    // instance of the gated stream.
     val trainBucket =
       (conv(substring(md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 8), 16, 10)
         .cast("long") % 100) < 90
     val train = gated
-      .join(keepers.select($"doc_id"), Seq("doc_id"), "left_semi")
-      .filter(trainBucket)
+      .withColumn("keep_id",
+        min($"doc_id").over(Window.partitionBy($"content_hash")))
+      .filter($"doc_id" === $"keep_id" && trainBucket)
     val w = Window.partitionBy($"source").orderBy($"doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     train

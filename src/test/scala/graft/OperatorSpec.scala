@@ -722,6 +722,16 @@ class OperatorSpec extends SparkTestBase {
       s"missing: ${expected -- got}, spurious: ${got -- expected}")
   }
 
+  test("plan: curation_training_extract scans documents exactly twice") {
+    // token stream + corpus spine; the keeper window must NOT duplicate
+    // the gate subtree the way a groupBy + semi join back would
+    // count detail headers "(n) Scan parquet" — the formatted plan lists
+    // each scan once in the tree and once in the detail section
+    val p = fmtPlan("curation_training_extract")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 documents scans, found $scans:\n$p")
+  }
+
   test("curation_training_extract conserves the gated-deduped-train token mass") {
     val gate = SparkEntry.queries("curation_quality_gate")(spark, sfDir).collect()
       .filter(_.getBoolean(5)).map(r => r.getLong(0) -> r.getLong(1)).toMap

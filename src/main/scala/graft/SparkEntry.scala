@@ -212,6 +212,14 @@ object SparkEntry {
     "curation_quality_gate"    -> (CurationOps.curationQualityGate(_, _)),
     // flagship end-to-end: gate -> dedup -> train split -> pack, one plan
     "curation_training_extract" -> (CurationOps.curationTrainingExtract(_, _)),
+    // per-(lang, source) release summary: counts, exact p50/p95, shares
+    "curation_dataset_card"    -> (CurationOps.datasetCard(_, _)),
+    // alpha=0.5 temperature-resampled language mixture weights
+    "curation_lang_temperature" -> (CurationOps.langTemperatureMixture(_, _)),
+    // Gopher-style duplicate-10-gram fraction (sub-document repetition)
+    "text_dup_ngram_fraction"  -> (TextOps.textDupNgramFraction(_, _)),
+    // CCNet-style unigram-LM mean log-prob quality signal
+    "text_lm_logprob"          -> (TextOps.textLmLogprob(_, _)),
     // directed shingle containment (subsumption pairs Jaccard misses)
     "dedup_containment"        -> (DedupOps.dedupContainment(_, _)),
     // new-batch-vs-corpus hash-registry dedup (the incremental shape)
@@ -410,6 +418,10 @@ object SparkEntry {
     "curation_train_val_test"  -> CurationOps.curationTrainValTestSql,
     "curation_quality_gate"    -> CurationOps.curationQualityGateSql,
     "curation_training_extract" -> CurationOps.curationTrainingExtractSql,
+    "curation_dataset_card"    -> CurationOps.datasetCardSql,
+    "curation_lang_temperature" -> CurationOps.langTemperatureMixtureSql,
+    "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
+    "text_lm_logprob"          -> TextOps.textLmLogprobSql,
     "text_bpe_pairs"           -> TextOps.textBpePairsSql,
     "curation_corpus_report"   -> PipelineOps.curationCorpusReportSql,
     "text_vocab_coverage"      -> TextOps.textVocabCoverageSql,

@@ -537,4 +537,105 @@ object CurationOps {
       |         AS BIGINT) % 100 AS bucket
       |  FROM documents)
       |ORDER BY doc_id""".stripMargin
+
+  /** Dataset card (`curation_dataset_card`): the per-(lang, source) summary
+    * table a corpus release ships — document/token/char totals, exact
+    * p50/p95 document length, chars-per-token, and each cell's share of
+    * the corpus token mass. One scan, one (lang, source) hash aggregation
+    * (bounded cardinality: |langs|×|sources|), and the corpus total
+    * derived from the GROUPED side so ReuseExchange keeps it to one scan
+    * (same trick as [[domainMixture]]). Exact `percentile` (not the
+    * sketch) is affordable here because each group buffers only its own
+    * doc-length multiset — at 100 TB that is per-(lang,source) doc counts,
+    * not the corpus; swap to `approx_percentile` only if a single cell
+    * holds billions of docs. All doubles are single divisions/interpolations
+    * of exact BIGINT aggregates — bit-equal across engines. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .select($"lang", $"source",
+        size(split($"text", " ")).cast("bigint").as("n_tok"),
+        length($"text").cast("bigint").as("n_chars"))
+    val grouped = perDoc.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("n_tokens"),
+        sum($"n_chars").as("sum_chars"),
+        expr("percentile(n_tok, array(0.5D, 0.95D))").as("tok_p"))
+    val total = grouped.agg(sum($"n_tokens").as("total_tokens"))
+    grouped.crossJoin(broadcast(total))
+      .select($"lang", $"source", $"n_docs", $"n_tokens", $"sum_chars",
+        $"tok_p".getItem(0).as("tok_p50"),
+        $"tok_p".getItem(1).as("tok_p95"),
+        ($"sum_chars".cast("double") / $"n_tokens".cast("double")).as("chars_per_token"),
+        ($"n_tokens".cast("double") / $"total_tokens".cast("double")).as("token_share"))
+      .orderBy($"lang", $"source")
+  }
+
+  val datasetCardSql: String =
+    """WITH perdoc AS (
+      |  SELECT lang, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    CAST(length(text) AS BIGINT) AS n_chars
+      |  FROM documents),
+      |grouped AS (
+      |  SELECT lang, source, count(*) AS n_docs,
+      |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |    quantile_cont(n_tok, 0.5) AS tok_p50,
+      |    quantile_cont(n_tok, 0.95) AS tok_p95
+      |  FROM perdoc GROUP BY lang, source),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM grouped)
+      |SELECT lang, source, n_docs, n_tokens, sum_chars, tok_p50, tok_p95,
+      |  CAST(sum_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS chars_per_token,
+      |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(total_tokens AS DOUBLE) FROM tot)
+      |    AS token_share
+      |FROM grouped
+      |ORDER BY lang, source""".stripMargin
+
+  /** Temperature-resampled language mixture (`curation_lang_temperature`):
+    * the α=0.5 exponentiated-smoothing reweighting multilingual training
+    * runs use to keep low-resource languages from being drowned out
+    * (q_l ∝ p_l^α). α is fixed at 0.5 so the exponentiation is `sqrt` —
+    * IEEE-correctly-rounded in every engine, unlike `pow(x, 0.3)` which
+    * is only 1-ulp-accurate and not bit-stable across libm
+    * implementations. To keep the output bit-equal we also avoid
+    * cross-group float sums (partition-order-dependent): each emitted
+    * weight is a closed form over exact BIGINT counts —
+    * `sample_weight = sqrt(total/n_l) = p_l^{-1/2}` (the unnormalized
+    * temperature weight) and `upsample_vs_largest = sqrt(n_max/n_l)`
+    * (how much more often language l is sampled than the largest one,
+    * under q). One bounded-cardinality aggregation; the total and max
+    * are derived from the grouped side (ReuseExchange → one scan). */
+  def langTemperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grouped = Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).cast("bigint").as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val tot = grouped.agg(sum($"n_tokens").as("total_tokens"),
+      max($"n_tokens").as("max_tokens"))
+    grouped.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs", $"n_tokens",
+        ($"n_tokens".cast("double") / $"total_tokens".cast("double")).as("token_share"),
+        sqrt($"total_tokens".cast("double") / $"n_tokens".cast("double")).as("sample_weight"),
+        sqrt($"max_tokens".cast("double") / $"n_tokens".cast("double")).as("upsample_vs_largest"))
+      .orderBy($"lang")
+  }
+
+  val langTemperatureMixtureSql: String =
+    """WITH grouped AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |               CAST(max(n_tokens) AS BIGINT) AS max_tokens FROM grouped)
+      |SELECT lang, n_docs, n_tokens,
+      |  CAST(n_tokens AS DOUBLE) / (SELECT CAST(total_tokens AS DOUBLE) FROM tot)
+      |    AS token_share,
+      |  sqrt((SELECT CAST(total_tokens AS DOUBLE) FROM tot) / CAST(n_tokens AS DOUBLE))
+      |    AS sample_weight,
+      |  sqrt((SELECT CAST(max_tokens AS DOUBLE) FROM tot) / CAST(n_tokens AS DOUBLE))
+      |    AS upsample_vs_largest
+      |FROM grouped
+      |ORDER BY lang""".stripMargin
 }

@@ -546,4 +546,137 @@ object TextOps {
       |GROUP BY pair
       |ORDER BY n_pair DESC, pair
       |LIMIT 50""".stripMargin
+
+  /** Duplicate-10-gram fraction (`text_dup_ngram_fraction`) — the
+    * Gopher/MassiveText repetition filter at corpus granularity: for each
+    * document, the fraction of its rolling 10-token windows whose content
+    * also occurs in at least one OTHER document. High values mark
+    * boilerplate and templated spam that exact- and chunk-dedup both miss
+    * (the duplication is sub-document and unaligned).
+    *
+    * Plan shape: windows are generated by a narrow
+    * `transform(sequence(...))` + explode and hashed to 16-byte md5 keys
+    * immediately, so everything downstream shuffles fixed-width hashes,
+    * never window text (the same pre-hash trick the shingle stage uses).
+    * Then one count-distinct-docs aggregation keyed by gram hash, an
+    * equi-join of the window stream against the ≥2-doc gram set (both
+    * sides hash-partitioned on the gram — co-located), and one doc_id
+    * aggregation. The final fraction is an exact BIGINT ratio. Documents
+    * with fewer than 10 tokens have no windows and report 0 — the
+    * left join from `documents` keeps them in the output, and the
+    * `size(ts) >= 10` filter keeps `sequence(1, size-9)` from generating
+    * a DESCENDING sequence (Spark infers step -1 when start > stop). */
+  def textDupNgramFraction(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("ts"))
+      .filter(size($"ts") >= 10)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ts) - 9), i -> md5(concat_ws(' ', slice(ts, i, 10))))"))
+        .as("gram"))
+    val dupGrams = wins.groupBy($"gram")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2)
+      .select($"gram", lit(1L).as("is_dup"))
+    val perDoc = wins.join(dupGrams, Seq("gram"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce($"is_dup", lit(0L))).as("n_dup"))
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_dup", lit(0L)).as("n_dup_windows"),
+        when(coalesce($"n_windows", lit(0L)) > 0,
+          coalesce($"n_dup", lit(0L)).cast("double") / $"n_windows".cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+      .orderBy($"doc_id")
+  }
+
+  val textDupNgramFractionSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |wins AS (
+      |  SELECT doc_id, md5(array_to_string(ts[CAST(i AS INT):CAST(i + 9 AS INT)], ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8)) AS i
+      |        FROM toks WHERE len(ts) >= 10)),
+      |dup AS (
+      |  SELECT gram FROM wins GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+      |perdoc AS (
+      |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+      |  FROM wins w LEFT JOIN dup d USING (gram)
+      |  GROUP BY w.doc_id)
+      |SELECT doc_id,
+      |  COALESCE(n_windows, 0) AS n_windows,
+      |  COALESCE(n_dup, 0) AS n_dup_windows,
+      |  CASE WHEN COALESCE(n_windows, 0) > 0
+      |       THEN CAST(n_dup AS DOUBLE) / CAST(n_windows AS DOUBLE)
+      |       ELSE 0.0 END AS dup_frac
+      |FROM documents LEFT JOIN perdoc USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Unigram-LM document scoring (`text_lm_logprob`) — the CCNet-style
+    * quality signal: train a unigram language model on the corpus itself
+    * (token counts / total), then score each document by its mean token
+    * log-probability. Low scores mark gibberish and OCR noise; anomalously
+    * high scores mark boilerplate. At 100 TB the "model" is the vocab
+    * count table — orders of magnitude smaller than the corpus — so the
+    * scoring join broadcasts (left to AQE here; the vocab side is built
+    * from the same token stream and ReuseExchange shares the scan).
+    *
+    * Determinism across engines: a per-doc float sum over tokens in
+    * partition order would be order-dependent, so both engines fold the
+    * per-(doc, token) terms in SORTED token order — Spark via
+    * `sort_array(collect_list(struct(...)))` + the `aggregate` HOF,
+    * DuckDB via `list(... ORDER BY token)` + `list_reduce` with a
+    * prepended 0.0 init (a sequential left fold, same association as
+    * Spark's). `ln` is only 1-ulp-accurate (not bit-stable across libm
+    * builds), so the mean is rounded to 6 decimals — ~1e-14 accumulated
+    * divergence vs a 5e-7 rounding quantum. The collect_list is per
+    * (doc, DISTINCT token), bounded by document vocabulary, not corpus. */
+  def textLmLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum($"c").as("n_total"))
+    val docTok = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("k"))
+    docTok.join(vocab, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_tokens"),
+        sort_array(collect_list(struct($"token", $"k", $"c"))).as("xs"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"n_tokens",
+        round(
+          aggregate($"xs", lit(0.0), (acc, x) =>
+            acc + x.getField("k").cast("double") *
+              log(x.getField("c").cast("double") / $"n_total".cast("double")))
+            / $"n_tokens".cast("double"), 6).as("avg_logprob"))
+      .orderBy($"doc_id")
+  }
+
+  val textLmLogprobSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, token FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> ''),
+      |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_tokens,
+      |    list(CAST(k AS DOUBLE) *
+      |           ln(CAST(c AS DOUBLE) / (SELECT CAST(n_total AS DOUBLE) FROM tot))
+      |         ORDER BY token) AS terms
+      |  FROM (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS k
+      |        FROM tok GROUP BY doc_id, token) dt
+      |  JOIN vocab USING (token)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms), (a, b) -> a + b)
+      |        / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
+      |FROM perdoc
+      |ORDER BY doc_id""".stripMargin
 }

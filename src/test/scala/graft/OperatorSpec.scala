@@ -930,6 +930,70 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("curation_dataset_card: shares sum to 1, quantiles ordered, totals conserve") {
+    val rows = SparkEntry.queries("curation_dataset_card")(spark, sfDir).collect()
+    val shareSum = rows.map(_.getDouble(8)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"token shares must sum to 1: $shareSum")
+    rows.foreach { r =>
+      assert(r.getDouble(5) <= r.getDouble(6), s"p50 > p95: $r")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, s"empty cell emitted: $r")
+    }
+    // cells partition the corpus: doc total matches the table count
+    val totalDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == totalDocs)
+  }
+
+  test("curation_lang_temperature: alpha=0.5 weights favor low-resource langs") {
+    val rows = SparkEntry.queries("curation_lang_temperature")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9, "token shares must sum to 1")
+    rows.foreach { case (lang, nTok, share, w, up) =>
+      // closed forms: w = share^{-1/2}; up >= 1 with equality on the largest
+      assert(math.abs(w - 1.0 / math.sqrt(share)) < 1e-9, s"$lang weight off")
+      assert(up >= 1.0 - 1e-12, s"$lang upsample < 1")
+    }
+    // sample_weight strictly decreases as token count grows (low-resource boost)
+    val byTok = rows.sortBy(_._2)
+    byTok.map(_._4).zip(byTok.tail.map(_._4)).foreach { case (a, b) =>
+      assert(a >= b, "weights must be non-increasing in corpus size")
+    }
+    assert(byTok.last._5 == 1.0, "largest language must have upsample factor 1")
+  }
+
+  test("text_dup_ngram_fraction: fractions bounded, short docs report zero windows") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("text_dup_ngram_fraction")(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == graft.Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val (nw, nd, f) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd <= nw, s"dup windows exceed windows: $r")
+      assert(f >= 0.0 && f <= 1.0, s"fraction out of range: $r")
+      if (nw == 0) assert(f == 0.0, s"zero-window doc must score 0: $r")
+    }
+    // window count is a pure function of token count: n_tok - 9 when >= 10
+    val expect = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        greatest(size(split(lower(col("text")), " ")) - 9, lit(0)).cast("long").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach(r => assert(r.getLong(1) == expect(r.getLong(0)),
+      s"window count mismatch for ${r.getLong(0)}"))
+  }
+
+  test("text_lm_logprob: scores are negative log-likelihoods with exact token mass") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_lm_logprob")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) < 0.0, s"unigram log-prob must be negative: $r")
+      assert(r.getLong(1) > 0, s"scored doc with zero tokens: $r")
+    }
+    // n_tokens conserves the corpus non-empty-token mass
+    val corpusTokens = graft.Tables.documents(spark, sfDir)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "").count()
+    assert(rows.map(_.getLong(1)).sum == corpusTokens)
+  }
+
   test("agg_linear_regression nulls slope/intercept for a constant-x group") {
     import spark.implicits._
     // a group whose x-values are all equal has n·sxx − sx² = 0: the OLS

@@ -157,6 +157,8 @@ object SparkEntry {
     "text_token_counts"        -> (TextOps.textTokenCounts(_, _)),
     "text_language_id"         -> (TextOps.textLanguageId(_, _)),
     "text_quality_score"       -> (TextOps.textQualityScore(_, _)),
+    // trained-classifier application: logistic-regression quality filter
+    "text_quality_logreg"      -> (TextOps.textQualityLogreg(_, _)),
     "text_token_count"         -> (TextOps.textTokenCount(_, _)),
     "text_fingerprint"         -> (TextOps.textFingerprint(_, _)),
     "text_bigram_collocations" -> (TextOps.textBigramCollocations(_, _)),
@@ -174,6 +176,9 @@ object SparkEntry {
     // counterpart over the same shingle sets)
     "dedup_prefix_filter"      -> (DedupOps.dedupPrefixFilter(_, _)),
     "dedup_embedding_cosine"   -> (DedupOps.dedupEmbeddingCosine(_, _)),
+    // SemDeDup: within-cluster semantic near-dup drop (linear-cost
+    // counterpart of the exact O(n²) embedding-cosine baseline)
+    "dedup_semantic"           -> (DedupOps.dedupSemantic(_, _)),
     "dedup_edit_distance"      -> (DedupOps.dedupEditDistance(_, _)),
     "dedup_connected_components" -> (PipelineOps.dedupConnectedComponents(_, _)),
     // keep/drop decision per near-dup cluster (canonical representative)
@@ -184,6 +189,9 @@ object SparkEntry {
     "similarity_topk"          -> (SimilarityOps.similarityTopk(_, _)),
     "similarity_ann_lsh"       -> (SimilarityOps.similarityAnnLsh(_, _)),
     "similarity_ivf"           -> (SimilarityOps.similarityIvf(_, _)),
+    // IVF-PQ: same candidate lists, ADC re-rank on product-quantization
+    // codes (the memory-scale ANN variant)
+    "similarity_ivfpq"         -> (SimilarityOps.similarityIvfPq(_, _)),
     // no oracle: model-based (k-means quantizer), like anomaly_kmeans —
     // the test suite asserts a recall floor vs similarity_topk instead
     "similarity_ivf_trained"   -> (SimilarityOps.similarityIvfTrained(_, _)),
@@ -376,6 +384,7 @@ object SparkEntry {
     "text_token_counts"        -> TextOps.textTokenCountsSql,
     "text_language_id"         -> TextOps.textLanguageIdSql,
     "text_quality_score"       -> TextOps.textQualityScoreSql,
+    "text_quality_logreg"      -> TextOps.textQualityLogregSql,
     "text_token_count"         -> TextOps.textTokenCountSql,
     "text_fingerprint"         -> TextOps.textFingerprintSql,
     "text_bigram_collocations" -> TextOps.textBigramCollocationsSql,
@@ -393,6 +402,7 @@ object SparkEntry {
     "dedup_incremental"        -> DedupOps.dedupIncrementalSql,
     "dedup_prefix_filter"      -> DedupOps.dedupPrefixFilterSql,
     "dedup_embedding_cosine"   -> DedupOps.dedupEmbeddingCosineSql,
+    "dedup_semantic"           -> DedupOps.dedupSemanticSql,
     "dedup_edit_distance"      -> DedupOps.dedupEditDistanceSql,
     "dedup_connected_components" -> PipelineOps.dedupConnectedComponentsSql,
     "dedup_canonical_pick"     -> PipelineOps.dedupCanonicalPickSql,
@@ -400,6 +410,7 @@ object SparkEntry {
     "similarity_topk"          -> SimilarityOps.similarityTopkSql,
     "similarity_ann_lsh"       -> SimilarityOps.similarityAnnLshSql,
     "similarity_ivf"           -> SimilarityOps.similarityIvfSql,
+    "similarity_ivfpq"         -> SimilarityOps.similarityIvfPqSql,
     "text_tfidf_topterms"      -> PipelineOps.textTfidfTopTermsSql,
     "text_normalize"           -> PipelineOps.textNormalizeSql,
     "sample_hash_docs"         -> PipelineOps.sampleHashDocsSql,

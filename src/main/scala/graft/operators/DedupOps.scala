@@ -661,6 +661,74 @@ object DedupOps {
        |WHERE ${SimilarityOps.cosineSql("a", "b")} >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** SemDeDup (`dedup_semantic`): semantic deduplication by clustering
+    * embeddings and deduplicating only WITHIN clusters (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", arXiv:2303.09540). Clusters reuse the IVF coarse
+    * quantizer's deterministic pivots (vec_id ≡ 7 mod 64): each vector
+    * goes to its max-cosine pivot, and a vector is `dropped` when a
+    * smaller-id vector in the SAME cluster has cosine ≥ 0.4 (the paper's
+    * keep-one-per-near-dup-group rule with doc-id as the canonical
+    * order), `kept` otherwise.
+    *
+    * This is the linear-cost counterpart of [[dedupEmbeddingCosine]]'s
+    * exact O(n²): pivot DENSITY is constant (every 64th vector), so the
+    * cluster count scales with the corpus while expected cluster size
+    * stays ~64 — the within-cluster pairwise join does ~64²/2 × n/64 =
+    * O(32·n) cosine evaluations, hash-partitioned by cluster_id. The
+    * trade is recall: only same-cluster pairs are seen (the suite
+    * measures recall against the exact baseline). Assignment is the same
+    * max_by partial aggregation as [[SimilarityOps.similarityIvf]] — no
+    * corpus-wide window sort; the pivot side is the one bounded-density
+    * broadcast. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = SimilarityOps.quantized(spark, dir)
+    val piv = n.filter(pmod($"vec_id", lit(64)) === 7)
+      .select($"vec_id".as("pivot_id"), $"q".as("pq"), $"n2".as("pn2"))
+    val assign = n.crossJoin(broadcast(piv))
+      .select($"vec_id", $"pivot_id",
+        SimilarityOps.cosine("q", "pq", "n2", "pn2").as("pcos"))
+      .groupBy($"vec_id")
+      .agg(max_by($"pivot_id", struct($"pcos", -$"pivot_id")).as("cluster_id"))
+    val withVec = assign.join(n, "vec_id")
+    val aSide = withVec.select($"cluster_id", $"vec_id".as("vec_a"),
+      $"q".as("qa"), $"n2".as("n2a"))
+    val bSide = withVec.select($"cluster_id", $"vec_id".as("vec_b"),
+      $"q".as("qb"), $"n2".as("n2b"))
+    val dups = aSide.join(bSide, Seq("cluster_id"))
+      .filter($"vec_a" < $"vec_b")
+      .filter(SimilarityOps.cosine("qa", "qb", "n2a", "n2b") >= 0.4)
+      .select($"vec_b".as("vec_id")).distinct()
+    withVec.join(dups.withColumn("dup", lit(1)), Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"cluster_id",
+        when($"dup".isNotNull, "dropped").otherwise("kept").as("status"))
+      .orderBy($"vec_id")
+  }
+
+  val dedupSemanticSql: String =
+    s"""WITH ${SimilarityOps.quantizedCte},
+       |piv AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 64 = 7),
+       |pscore AS (
+       |  SELECT v.vec_id, p.vec_id AS pivot_id, ${SimilarityOps.cosineSql("v", "p")} AS pcos
+       |  FROM n v CROSS JOIN piv p),
+       |assign AS (
+       |  SELECT vec_id, pivot_id AS cluster_id FROM (
+       |    SELECT vec_id, pivot_id, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY pcos DESC, pivot_id) AS rk
+       |    FROM pscore) t WHERE rk = 1),
+       |dups AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assign a JOIN assign b
+       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |  JOIN n na ON na.vec_id = a.vec_id
+       |  JOIN n nb ON nb.vec_id = b.vec_id
+       |  WHERE ${SimilarityOps.cosineSql("na", "nb")} >= 0.4)
+       |SELECT a.vec_id, a.cluster_id,
+       |  CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
+       |FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
+
   /** EXACT Jaccard similarity join (threshold 0.5) via PPJoin-style
     * prefix filtering — the exact counterpart of the MinHash+LSH
     * approximation, over the SAME 3-gram shingle sets: where

@@ -190,36 +190,37 @@ object SimilarityOps {
     * is the chosen point. A production IVF trains centroids with k-means
     * ([[AnomalyOps]] has the loop) and probes fewer, tighter lists;
     * fixed pivots keep the oracle exact. */
-  def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared IVF candidate generation (query_id, neighbor_id): deterministic
+    * pivots (vec_id ≡ 7 mod 64 — pivot COUNT scales with the corpus, so
+    * inverted-list size stays ~64 and the within-list work stays linear
+    * overall), max-cosine assignment via one partial+final aggregation (a
+    * window would sort-shuffle the whole corpus; max_by only shuffles
+    * partials), queries probing their top-`nprobe` pivots' lists through a
+    * plain hash equi-join on pivot_id. Reused by [[similarityIvf]] (exact
+    * re-rank) and [[similarityIvfPq]] (ADC re-rank). */
+  private[operators] def ivfCandidates(
+      spark: SparkSession, dir: String, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     val n = quantized(spark, dir)
     val piv = n.filter(pmod($"vec_id", lit(64)) === 7)
       .select($"vec_id".as("pivot_id"), $"q".as("pq"), $"n2".as("pn2"))
     val pscore = n.crossJoin(broadcast(piv))
       .select($"vec_id", $"pivot_id", cosine("q", "pq", "n2", "pn2").as("pcos"))
-    // assignment = argmax via one partial+final aggregation (a window
-    // would sort-shuffle the whole corpus; max_by only shuffles partials)
     val assign = pscore.groupBy($"vec_id")
       .agg(max_by($"pivot_id", struct($"pcos", -$"pivot_id")).as("pivot_id"))
     val wProbe = Window.partitionBy($"vec_id").orderBy($"pcos".desc, $"pivot_id".asc)
     val probes = pscore.filter(isQuery($"vec_id"))
-      .withColumn("rk", row_number().over(wProbe)).filter($"rk" <= 4)
+      .withColumn("rk", row_number().over(wProbe)).filter($"rk" <= nprobe)
       .select($"vec_id".as("query_id"), $"pivot_id")
-    val cand = probes.join(assign, "pivot_id")
+    probes.join(assign, "pivot_id")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))
-    val scored = cand
-      .join(n.select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2")), "query_id")
-      .join(n.select($"vec_id".as("neighbor_id"), $"q", $"n2"), "neighbor_id")
-      .select($"query_id", $"neighbor_id", cosine("qq", "q", "qn2", "n2").as("cos_sim"))
-    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
-    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
-      .orderBy($"query_id", $"rk")
   }
 
-  lazy val similarityIvfSql: String =
-    s"""WITH $quantizedCte,
-       |piv AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 64 = 7),
+  /** Oracle-side counterpart of [[ivfCandidates]]: CTEs `piv`/`pscore`/
+    * `assign`/`probes`/`cand`, shared by the IVF and IVF-PQ oracles. */
+  private lazy val ivfCandSql: String =
+    s"""piv AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 64 = 7),
        |pscore AS (
        |  SELECT v.vec_id, p.vec_id AS pivot_id, ${cosineSql("v", "p")} AS pcos
        |  FROM n v CROSS JOIN piv p),
@@ -236,7 +237,23 @@ object SimilarityOps {
        |cand AS (
        |  SELECT pr.query_id, a.vec_id AS neighbor_id
        |  FROM probes pr JOIN assign a USING (pivot_id)
-       |  WHERE a.vec_id <> pr.query_id),
+       |  WHERE a.vec_id <> pr.query_id)""".stripMargin
+
+  def similarityIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = quantized(spark, dir)
+    val scored = ivfCandidates(spark, dir)
+      .join(n.select($"vec_id".as("query_id"), $"q".as("qq"), $"n2".as("qn2")), "query_id")
+      .join(n.select($"vec_id".as("neighbor_id"), $"q", $"n2"), "neighbor_id")
+      .select($"query_id", $"neighbor_id", cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+    val w = Window.partitionBy($"query_id").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .orderBy($"query_id", $"rk")
+  }
+
+  lazy val similarityIvfSql: String =
+    s"""WITH $quantizedCte,
+       |$ivfCandSql,
        |scored AS (
        |  SELECT c.query_id, c.neighbor_id, ${cosineSql("a", "b")} AS cos_sim
        |  FROM cand c JOIN n a ON a.vec_id = c.query_id
@@ -435,4 +452,141 @@ object SimilarityOps {
        |               / CAST(127 AS DOUBLE)))) / 1000000.0 AS max_abs_err
        |FROM qq
        |ORDER BY vec_id""".stripMargin
+
+  /** Product-quantization geometry: 64 dims split into [[PqM]] = 8
+    * subspaces of [[PqSubDim]] = 8 dims; 16 codewords per subspace drawn
+    * deterministically from the corpus (vec_id ≡ 5 mod 32, vec_id < 512 —
+    * a BOUNDED codebook at any corpus size, unlike the pivot set which
+    * deliberately scales). Each vector compresses to 8 one-byte codes. */
+  private[operators] val PqM = 8
+  private[operators] val PqSubDim = 8
+
+  /** Per-subspace views of the quantized vectors: one (id, m, sub) row per
+    * vector × subspace, `sub` the m-th 8-dim slice — a narrow Generate. */
+  private def pqSubspaces(df: DataFrame, idCol: String): DataFrame = {
+    val subs = (0 until PqM).map { m =>
+      struct(lit(m).as("m"),
+        expr(s"slice(q, ${m * PqSubDim + 1}, $PqSubDim)").as("sub"))
+    }
+    df.select(col(idCol), explode(array(subs: _*)).as("s"))
+      .select(col(idCol), col("s.m").as("m"), col("s.sub").as("sub"))
+  }
+
+  /** IVF-PQ ANN (`similarity_ivfpq`) — the memory-scale variant of
+    * [[similarityIvf]]: same coarse quantizer and candidate lists, but the
+    * re-rank runs on Product-Quantization codes (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011) instead of the
+    * raw vectors. Each corpus vector is encoded once to 8 subspace codes
+    * (argmin L2 to 16 codewords per subspace); a query builds an 8×16
+    * distance table of exact subspace dot products (ADC), and a neighbor's
+    * approximate cosine is 8 table lookups — no full-vector math on the
+    * candidate path.
+    *
+    * Scale shape: the codebook (128 tiny rows) is the ONE genuinely
+    * bounded broadcast; encoding is a narrow per-(vec, subspace) HOF
+    * argmin against the broadcast codeword arrays — no corpus-width
+    * shuffle, no n×K expansion (the 16 candidate distances live inside
+    * one `array_min(transform(...))` per row, and the winning struct
+    * carries the codeword norm so reconstruction needs no second join).
+    * At 100 TB the codes table is n×8 skinny integer rows (~1/32 of the
+    * float corpus), and the ADC join touches only IVF candidates.
+    *
+    * Determinism: codewords ride the same ⌊x·10⁶⌋ fixed-point grid, so
+    * distances, codes, and ADC dots are exact BIGINTs on both engines
+    * (|sub·cw| ≤ 8·10¹², sums < 2⁵³ — exact in doubles too); the only
+    * float ops are the final division and sqrt, identical IEEE trees.
+    * Tie-breaks are total orders: (d2, code_id) for encoding,
+    * (approx_cos desc, neighbor_id) for ranking. */
+  def similarityIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = quantized(spark, dir)
+    val cwBase = n.filter(pmod($"vec_id", lit(32)) === 5 && $"vec_id" < 512)
+      .select((($"vec_id" - 5) / 32).cast("int").as("code_id"), $"q")
+    // per-subspace codeword array, code_id-sorted for a deterministic fold
+    val cwArr = pqSubspaces(cwBase, "code_id")
+      .groupBy($"m")
+      .agg(sort_array(collect_list(struct($"code_id", $"sub".as("cw")))).as("cws"))
+    // encode: per (vec, subspace) row, argmin-L2 codeword via a single
+    // array_min over (d2, code_id, cn2) structs — struct ordering IS the
+    // (d2, code_id) tie-break, and cn2 (codeword self-dot) rides along so
+    // the reconstructed norm needs no codebook re-join
+    val minCode = expr(
+      """array_min(transform(cws, c -> named_struct(
+        |  'd2', aggregate(zip_with(sub, c.cw, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v),
+        |  'code_id', c.code_id,
+        |  'cn2', aggregate(zip_with(c.cw, c.cw, (x, y) -> x * y), 0L, (a, v) -> a + v))))""".stripMargin)
+    val codes = pqSubspaces(n.select($"vec_id", $"q"), "vec_id")
+      .join(broadcast(cwArr), Seq("m"))
+      .select($"vec_id", $"m", minCode.as("s"))
+      .select($"vec_id", $"m", $"s.code_id".as("code_id"), $"s.cn2".as("cn2"))
+    // ||reconstruction||² per vector: sum of the 8 winning codeword norms
+    val recon = codes.groupBy($"vec_id").agg(sum($"cn2").cast("double").as("rn2"))
+    // ADC distance table: queries only (1% of corpus) × 8 subspaces × 16
+    // codewords of exact partial dots
+    val cwFlat = cwArr.select($"m", explode($"cws").as("c"))
+      .select($"m", $"c.code_id".as("code_id"), $"c.cw".as("cw"))
+    val dtab = pqSubspaces(
+        n.filter(isQuery($"vec_id")).select($"vec_id".as("query_id"), $"q"), "query_id")
+      .join(broadcast(cwFlat), Seq("m"))
+      .select($"query_id", $"m", $"code_id",
+        expr("aggregate(zip_with(sub, cw, (x, c) -> x * c), 0L, (a, v) -> a + v)").as("pdot"))
+    val scored = ivfCandidates(spark, dir)
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(dtab, Seq("query_id", "m", "code_id"))
+      .groupBy($"query_id", $"neighbor_id")
+      .agg(sum($"pdot").as("adc_dot"))
+      .join(n.select($"vec_id".as("query_id"), $"n2".as("qn2")), "query_id")
+      .join(recon.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .select($"query_id", $"neighbor_id",
+        ($"adc_dot".cast("double") / (sqrt($"qn2") * sqrt($"rn2"))).as("approx_cos"))
+    val w = Window.partitionBy($"query_id").orderBy($"approx_cos".desc, $"neighbor_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .orderBy($"query_id", $"rk")
+  }
+
+  lazy val similarityIvfPqSql: String =
+    s"""WITH $quantizedCte,
+       |cwb AS (
+       |  SELECT CAST((vec_id - 5) // 32 AS INT) AS code_id, q
+       |  FROM n WHERE vec_id % 32 = 5 AND vec_id < 512),
+       |ms AS (SELECT unnest(range($PqM)) AS m),
+       |cw AS (
+       |  SELECT code_id, m, list_slice(q, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS cw
+       |  FROM cwb CROSS JOIN ms),
+       |subs AS (
+       |  SELECT vec_id, m, list_slice(q, m*$PqSubDim+1, m*$PqSubDim+$PqSubDim) AS sub
+       |  FROM n CROSS JOIN ms),
+       |enc AS (
+       |  SELECT s.vec_id, s.m, c.code_id,
+       |    list_sum(list_transform(list_zip(s.sub, c.cw), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d2
+       |  FROM subs s JOIN cw c ON c.m = s.m),
+       |codes AS (
+       |  SELECT vec_id, m, code_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, code_id) AS rk
+       |    FROM enc) t
+       |  WHERE rk = 1),
+       |cwn AS (SELECT code_id, m, list_sum(list_transform(cw, x -> x*x)) AS cn2 FROM cw),
+       |recon AS (
+       |  SELECT c.vec_id, CAST(sum(w.cn2) AS DOUBLE) AS rn2
+       |  FROM codes c JOIN cwn w ON w.m = c.m AND w.code_id = c.code_id GROUP BY c.vec_id),
+       |dtab AS (
+       |  SELECT s.vec_id AS query_id, s.m, c.code_id,
+       |    list_sum(list_transform(list_zip(s.sub, c.cw), p -> p[1]*p[2])) AS pdot
+       |  FROM subs s JOIN cw c ON c.m = s.m WHERE s.vec_id % 100 = 0),
+       |$ivfCandSql,
+       |scored AS (
+       |  SELECT cd.query_id, cd.neighbor_id,
+       |    CAST(sum(dt.pdot) AS DOUBLE) / (sqrt(qn.n2) * sqrt(r.rn2)) AS approx_cos
+       |  FROM cand cd
+       |  JOIN codes co ON co.vec_id = cd.neighbor_id
+       |  JOIN dtab dt ON dt.query_id = cd.query_id AND dt.m = co.m AND dt.code_id = co.code_id
+       |  JOIN n qn ON qn.vec_id = cd.query_id
+       |  JOIN recon r ON r.vec_id = cd.neighbor_id
+       |  GROUP BY cd.query_id, cd.neighbor_id, qn.n2, r.rn2)
+       |SELECT query_id, neighbor_id, approx_cos, rk FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY approx_cos DESC, neighbor_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 3
+       |ORDER BY query_id, rk""".stripMargin
 }

@@ -133,6 +133,73 @@ object TextOps {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality CLASSIFIER application (`text_quality_logreg`) — the
+    * fasttext-style trained-filter shape (CCNet, Wenzek et al. 2020;
+    * GPT-3's LR quality filter, Brown et al. 2020 App. A): a logistic
+    * regression over per-document features scored at corpus scale. The
+    * weights are fixed literals standing in for an offline-trained model —
+    * what a production pipeline ships to the cluster; the interesting part
+    * at 100 TB is the APPLICATION: one narrow, shuffle-free projection per
+    * document (all features derive from the doc's own tokens), fully
+    * codegen, filter-pushable on the resulting label.
+    *
+    * Features: log token count, stopword ratio, type-token ratio,
+    * average token length. Determinism: all features are exact
+    * integer-derived doubles with identical expression trees on both
+    * engines; ln/exp are the only transcendental steps (≤1 ulp apart), so
+    * the sigmoid is rounded to 1e-6 like `text_lm_logprob` — measured at
+    * sf0.01 the closest rounded probability sits 2e-6 from the 0.5
+    * decision boundary, two full rounding steps clear. */
+  def textQualityLogreg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").as("len_chars"),
+        size(split($"text", " ")).cast("bigint").as("n_tokens"),
+        size(array_distinct(split(lower($"text"), " "))).cast("bigint").as("n_types"),
+        size(filter(split(lower($"text"), " "),
+          t => t.isInCollection(stop))).cast("bigint").as("n_stop"))
+      .select($"doc_id", $"n_tokens",
+        (($"len_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("avg_token_len"),
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        ($"n_types".cast("double") / $"n_tokens").as("ttr"))
+      .withColumn("z",
+        lit(-4.0) + lit(0.8) * log($"n_tokens".cast("double"))
+          + lit(6.0) * $"stop_ratio" + lit(1.5) * $"ttr" - lit(0.1) * $"avg_token_len")
+      .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio", $"ttr",
+        round(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("prob_keep"))
+      .withColumn("label", when($"prob_keep" >= 0.5, "keep").otherwise("drop"))
+      .orderBy($"doc_id")
+  }
+
+  val textQualityLogregSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    length(text) AS len_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_types,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, n_tokens,
+      |    CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+      |    CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+      |    CAST(n_types AS DOUBLE) / n_tokens AS ttr
+      |  FROM f),
+      |z AS (
+      |  SELECT doc_id, n_tokens, avg_token_len, stop_ratio, ttr,
+      |    -4.0 + 0.8 * ln(CAST(n_tokens AS DOUBLE)) + 6.0 * stop_ratio
+      |      + 1.5 * ttr - 0.1 * avg_token_len AS z
+      |  FROM g)
+      |SELECT doc_id, n_tokens, avg_token_len, stop_ratio, ttr,
+      |  round(1.0 / (1.0 + exp(-z)), 6) AS prob_keep,
+      |  CASE WHEN round(1.0 / (1.0 + exp(-z)), 6) >= 0.5
+      |       THEN 'keep' ELSE 'drop' END AS label
+      |FROM z
+      |ORDER BY doc_id""".stripMargin
+
   /** Token counting two ways (`text_token_count`): whitespace split vs a
     * BPE-ish word regex — the difference exposes punctuation/whitespace
     * irregularities that matter for LLM token budgeting. */

@@ -198,6 +198,80 @@ class OperatorSpec extends SparkTestBase {
       s"recall@3 at nprobe 8 below 0.90: ${recalls.last._2}")
   }
 
+  test("similarity_ivfpq: ADC scores are true cosines vs the reconstruction, bounded error") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val pq = SparkEntry.queries("similarity_ivfpq")(spark, sfDir).collect()
+    // structure: every query ranks exactly 3 neighbors 1..3
+    val byQuery = pq.groupBy(_.getLong(0))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(3)).sorted.sameElements(Array(1, 2, 3)),
+        s"query $q ranks ${rows.length} neighbors")
+    }
+    // adc_dot = q · reconstruction EXACTLY, rn2 = |reconstruction|², so
+    // approx_cos is a genuine cosine — Cauchy-Schwarz bounds it to [-1,1]
+    pq.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0, s"approx_cos out of [-1,1]: $c")
+    }
+    // quantization error vs the TRUE cosine stays modest even on random
+    // vectors (16 codewords × 8-dim subspaces, PQ's worst case): mean
+    // |approx - exact| measured 0.13 at sf0.001/sf0.01 — pin < 0.25
+    graft.functions.FixedPointDotProduct.register(spark)
+    val n = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as bigint))").as("q"))
+      .withColumn("n2", expr("cast(graft_dot(q, q) as double)"))
+    val exact = SparkEntry.queries("similarity_ivfpq")(spark, sfDir)
+      .join(n.select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")), "query_id")
+      .join(n.select(col("vec_id").as("neighbor_id"), col("q"), col("n2")), "neighbor_id")
+      .select(col("approx_cos"),
+        (expr("cast(graft_dot(qq, q) as double)") / (expr("sqrt(qn2)") * expr("sqrt(n2)"))).as("true_cos"))
+      .collect()
+    val meanErr = exact.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / exact.length
+    info(f"mean |ADC - exact| cosine error = $meanErr%.3f over ${exact.length} pairs")
+    assert(meanErr < 0.25, s"ADC error too large: $meanErr")
+  }
+
+  test("dedup_semantic: drops are witnessed by the exact baseline, rows conserved") {
+    val sem = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
+    val total = Tables.embeddings(spark, sfDir).count()
+    assert(sem.length == total, s"row conservation broken: ${sem.length} vs $total")
+    val dropped = sem.filter(_.getString(2) == "dropped").map(_.getLong(0)).toSet
+    assert(dropped.nonEmpty, "SemDeDup dropped nothing — threshold dead")
+    // every drop must have a smaller-id ≥0.4-cosine partner, i.e. appear
+    // as vec_b of an exact all-pairs baseline pair (no false drops)
+    val exactB = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
+      .collect().map(_.getLong(1)).toSet
+    assert(dropped.subsetOf(exactB),
+      s"drops without exact witness: ${dropped.diff(exactB)}")
+    // recall vs the exact baseline is the SemDeDup trade (same-cluster
+    // pairs only); near-UNIFORM embeddings are the worst case — random
+    // assignment would catch ~1/8 (8 clusters), measured 0.27 at
+    // sf0.001 because near-dups share pivot affinity. Pin clearly above
+    // random, below the measurement.
+    val recall = dropped.size.toDouble / exactB.size
+    info(f"SemDeDup drop recall vs exact baseline = $recall%.2f " +
+      s"(${dropped.size} of ${exactB.size} droppable)")
+    assert(recall >= 0.18, s"within-cluster recall collapsed to random: $recall")
+  }
+
+  test("text_quality_logreg: probabilities, label consistency, non-trivial split") {
+    val rows = SparkEntry.queries("text_quality_logreg")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (stopR, ttr, prob, label) =
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getString(6))
+      assert(prob > 0.0 && prob < 1.0, s"prob out of (0,1): $prob")
+      assert(stopR >= 0.0 && stopR <= 1.0, s"stop_ratio out of [0,1]: $stopR")
+      assert(ttr > 0.0 && ttr <= 1.0, s"ttr out of (0,1]: $ttr")
+      assert(label == (if (prob >= 0.5) "keep" else "drop"),
+        s"label inconsistent with prob $prob: $label")
+    }
+    val keeps = rows.count(_.getString(6) == "keep")
+    info(s"logreg keeps $keeps of ${rows.length}")
+    assert(keeps > 0 && keeps < rows.length,
+      s"degenerate classifier split: $keeps of ${rows.length}")
+  }
+
   test("text_tfidf_topterms: exactly ranks 1..3 per document") {
     val rows = SparkEntry.queries("text_tfidf_topterms")(spark, sfDir).collect()
     rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>

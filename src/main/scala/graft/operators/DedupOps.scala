@@ -215,7 +215,7 @@ object DedupOps {
   private val buildLocks =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Object]()
 
-  private def cachedDf(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+  private[operators] def cachedDf(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     hookEviction(spark)
     val k = (spark, key)
     estCache.get(k) match {
@@ -671,16 +671,20 @@ object DedupOps {
     * keep-one-per-near-dup-group rule with doc-id as the canonical
     * order), `kept` otherwise.
     *
-    * This is the linear-cost counterpart of [[dedupEmbeddingCosine]]'s
-    * exact O(n²): pivot DENSITY is constant (every 64th vector), so the
+    * This collapses [[dedupEmbeddingCosine]]'s exact O(n²) SCORING to
+    * O(32·n): pivot DENSITY is constant (every 64th vector), so the
     * cluster count scales with the corpus while expected cluster size
     * stays ~64 — the within-cluster pairwise join does ~64²/2 × n/64 =
     * O(32·n) cosine evaluations, hash-partitioned by cluster_id. The
     * trade is recall: only same-cluster pairs are seen (the suite
     * measures recall against the exact baseline). Assignment is the same
     * max_by partial aggregation as [[SimilarityOps.similarityIvf]] — no
-    * corpus-wide window sort; the pivot side is the one bounded-density
-    * broadcast. */
+    * corpus-wide window sort — but note it prices at n·(n/64) dot
+    * products with these density pivots (and the pivot broadcast grows
+    * with the corpus): exact-oracle work at test scale, while at real
+    * 100 TB scale the coarse step is the TRAINED fixed-K quantizer
+    * ([[SimilarityOps.similarityIvfTrained]], K·n assignment, bounded
+    * broadcast), exactly as the SemDeDup paper runs k-means. */
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = SimilarityOps.quantized(spark, dir)
@@ -894,6 +898,8 @@ object DedupOps {
       timed("minhash_estimates") { minhashEstimates(spark, dir).count(); () },
       timed("simhash_sketch") { simhashSketch(spark, dir).count(); () },
       timed("ngram_pairs") { dedupNgramJaccard(spark, dir).count(); () },
-      timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () }).flatten
+      timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () },
+      timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
+      timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () }).flatten
   }
 }

@@ -688,13 +688,10 @@ object DedupOps {
   def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = SimilarityOps.quantized(spark, dir)
-    val piv = n.filter(pmod($"vec_id", lit(64)) === 7)
-      .select($"vec_id".as("pivot_id"), $"q".as("pq"), $"n2".as("pn2"))
-    val assign = n.crossJoin(broadcast(piv))
-      .select($"vec_id", $"pivot_id",
-        SimilarityOps.cosine("q", "pq", "n2", "pn2").as("pcos"))
-      .groupBy($"vec_id")
-      .agg(max_by($"pivot_id", struct($"pcos", -$"pivot_id")).as("cluster_id"))
+    // cluster id IS the IVF coarse cell — ride the memoized assignment
+    // shared with the IVF/IVF-PQ candidate generation
+    val assign = SimilarityOps.ivfAssign(spark, dir)
+      .withColumnRenamed("pivot_id", "cluster_id")
     val withVec = assign.join(n, "vec_id")
     val aSide = withVec.select($"cluster_id", $"vec_id".as("vec_a"),
       $"q".as("qa"), $"n2".as("n2a"))
@@ -900,6 +897,7 @@ object DedupOps {
       timed("ngram_pairs") { dedupNgramJaccard(spark, dir).count(); () },
       timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () },
       timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
+      timed("ivf_assign") { SimilarityOps.ivfAssign(spark, dir).count(); () },
       timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () }).flatten
   }
 }

@@ -37,7 +37,7 @@ object SimilarityOps {
     * re-scanned the corpus 11×). At 100 TB the quantized table is the
     * corpus itself, so it persists MEMORY_AND_DISK (spills, never
     * recomputes) and is released by the app-end eviction backstop. */
-  private[operators] def quantized(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def quantized(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.FixedPointDotProduct.register(spark)
     DedupOps.cachedDf(spark, s"quantized:$dir") {
       import spark.implicits._
@@ -217,22 +217,43 @@ object SimilarityOps {
     * real 100 TB scale the right coarse quantizer is the TRAINED fixed-K
     * centroid set ([[similarityIvfTrained]]), which prices assignment at
     * K·n; the untrained variant exists for oracle exactness. */
-  private[operators] def ivfCandidates(
+  /** Deterministic pivot set (vec_id ≡ 7 mod 64) over the shared
+    * quantized stage. */
+  private def ivfPivots(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantized(spark, dir).filter(pmod($"vec_id", lit(64)) === 7)
+      .select($"vec_id".as("pivot_id"), $"q".as("pq"), $"n2".as("pn2"))
+  }
+
+  /** Memoized max-cosine pivot assignment `(vec_id, pivot_id)` — the
+    * coarse-quantizer cell of every corpus vector, shared by
+    * [[ivfCandidates]] (inverted lists) and
+    * [[DedupOps.dedupSemantic]] (cluster ids). n skinny rows, persisted;
+    * the scoring crossJoin behind it runs once per (session, dir). */
+  private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"ivfassign:$dir") {
+      import spark.implicits._
+      quantized(spark, dir).crossJoin(broadcast(ivfPivots(spark, dir)))
+        .select($"vec_id", $"pivot_id", cosine("q", "pq", "n2", "pn2").as("pcos"))
+        .groupBy($"vec_id")
+        .agg(max_by($"pivot_id", struct($"pcos", -$"pivot_id")).as("pivot_id"))
+        .persist()
+    }
+
+  private[graft] def ivfCandidates(
       spark: SparkSession, dir: String, nprobe: Int = 4): DataFrame = DedupOps.cachedDf(
       spark, s"ivfcand:$dir:$nprobe") {
     import spark.implicits._
-    val n = quantized(spark, dir)
-    val piv = n.filter(pmod($"vec_id", lit(64)) === 7)
-      .select($"vec_id".as("pivot_id"), $"q".as("pq"), $"n2".as("pn2"))
-    val pscore = n.crossJoin(broadcast(piv))
+    // probe ranking scores only the QUERY rows (1% of the corpus) against
+    // the pivots — the full-corpus scoring lives once behind [[ivfAssign]]
+    val qscore = quantized(spark, dir).filter(isQuery($"vec_id"))
+      .crossJoin(broadcast(ivfPivots(spark, dir)))
       .select($"vec_id", $"pivot_id", cosine("q", "pq", "n2", "pn2").as("pcos"))
-    val assign = pscore.groupBy($"vec_id")
-      .agg(max_by($"pivot_id", struct($"pcos", -$"pivot_id")).as("pivot_id"))
     val wProbe = Window.partitionBy($"vec_id").orderBy($"pcos".desc, $"pivot_id".asc)
-    val probes = pscore.filter(isQuery($"vec_id"))
+    val probes = qscore
       .withColumn("rk", row_number().over(wProbe)).filter($"rk" <= nprobe)
       .select($"vec_id".as("query_id"), $"pivot_id")
-    probes.join(assign, "pivot_id")
+    probes.join(ivfAssign(spark, dir), "pivot_id")
       .filter($"query_id" =!= $"vec_id")
       .select($"query_id", $"vec_id".as("neighbor_id"))
       .persist()

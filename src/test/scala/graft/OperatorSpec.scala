@@ -1086,6 +1086,31 @@ class OperatorSpec extends SparkTestBase {
     assert(math.abs(rows("B").getDouble(2) - 10.0) < 1e-9)
     assert(math.abs(rows("B").getDouble(3)) < 1e-9)
   }
+
+  test("plan: similarity_ivfpq reads the corpus once, everything else off the shared cache") {
+    // warm the shared quantized/candidate stages, then assert the
+    // query's own plan re-scans embeddings parquet at most once (the
+    // query-side scan) and rides InMemoryTableScan for the rest — before
+    // the shared stage this plan re-scanned the corpus 11x
+    SparkEntry.queries("similarity_ivf")(spark, sfDir).collect()
+    val p = fmtPlan("similarity_ivfpq")
+    assert(p.contains("InMemoryTableScan"),
+      s"ivfpq must ride the cached quantized stage:\n$p")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans <= 1, s"expected at most 1 embeddings parquet scan, found $scans:\n$p")
+  }
+
+  test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
+    import graft.operators.SimilarityOps
+    // same SESSION object back both times — the cache key is (session,
+    // dir), so a second call must not rebuild (reference equality is the
+    // strongest no-rebuild witness: not even a new DataFrame wrapper)
+    assert(SimilarityOps.quantized(spark, sfDir) eq SimilarityOps.quantized(spark, sfDir))
+    assert(SimilarityOps.ivfCandidates(spark, sfDir) eq SimilarityOps.ivfCandidates(spark, sfDir))
+    // distinct nprobe = distinct cache entries (different candidate sets)
+    assert(!(SimilarityOps.ivfCandidates(spark, sfDir, nprobe = 2) eq
+      SimilarityOps.ivfCandidates(spark, sfDir)))
+  }
 }
 
 /** JVM-static fault flag for the write-stage retry test (local mode =

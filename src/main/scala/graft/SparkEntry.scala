@@ -159,6 +159,9 @@ object SparkEntry {
     "text_quality_score"       -> (TextOps.textQualityScore(_, _)),
     // trained-classifier application: logistic-regression quality filter
     "text_quality_logreg"      -> (TextOps.textQualityLogreg(_, _)),
+    // no oracle: distributed GD training loop (model-based, like
+    // anomaly_kmeans) — suite asserts monotone loss + teacher recovery
+    "text_logreg_train"        -> (TextOps.textLogregTrain(_, _)),
     "text_token_count"         -> (TextOps.textTokenCount(_, _)),
     "text_fingerprint"         -> (TextOps.textFingerprint(_, _)),
     "text_bigram_collocations" -> (TextOps.textBigramCollocations(_, _)),

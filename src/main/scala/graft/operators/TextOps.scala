@@ -746,4 +746,78 @@ object TextOps {
       |        / CAST(n_tokens AS DOUBLE), 6) AS avg_logprob
       |FROM perdoc
       |ORDER BY doc_id""".stripMargin
+
+  /** Distributed logistic-regression TRAINING (`text_logreg_train`) — the
+    * training-side counterpart of [[textQualityLogreg]] (which APPLIES
+    * fixed shipped weights). Full-batch gradient descent where each
+    * iteration is exactly ONE partial+final aggregation over the corpus:
+    * the current weight vector is embedded as literals, executors compute
+    * per-row sigmoid/gradient/loss contributions, and the driver receives
+    * seven doubles (4+1 gradient sums, loss, accuracy) to take one step.
+    * The model is 5 doubles — driver-resident by design, like the 1-row
+    * convergence witness in the connected-components loop; the per-pass
+    * data motion is a single scalar-aggregate row per partition.
+    *
+    * Labels are distilled from the shipped teacher weights (teacher z ≥ 0
+    * ⇔ prob ≥ 0.5), so the trained model must recover the teacher's
+    * decision boundary over the SAME features — asserted by the suite
+    * (monotone loss, ≥0.9 final accuracy). Features are standardized
+    * (one extra aggregation) so lr=1.0 is stable; log-loss uses the
+    * softplus form `max(z,0) − z·y + log1p(exp(−|z|))`, which never
+    * overflows. 20 passes over a persisted narrow projection; at 100 TB
+    * the same shape runs on a sample or switches to mini-batches — the
+    * per-iteration plan (scan cache → partial agg → 1-row final) is the
+    * scale-safe part, and pass count is the dial.
+    *
+    * No oracle: sigmoid/ln are transcendental (engine ulp drift) and the
+    * iterate depends on float summation order; invariants live in the
+    * suite instead (like `anomaly_kmeans`). */
+  def textLogregTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stop = Seq("the", "a", "of", "and", "to")
+    val raw = Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").as("len_chars"),
+        size(split($"text", " ")).cast("bigint").as("n_tokens"),
+        size(array_distinct(split(lower($"text"), " "))).cast("bigint").as("n_types"),
+        size(filter(split(lower($"text"), " "),
+          t => t.isInCollection(stop))).cast("bigint").as("n_stop"))
+      .select($"doc_id",
+        log($"n_tokens".cast("double")).as("f1"),
+        ($"n_stop".cast("double") / $"n_tokens").as("f2"),
+        ($"n_types".cast("double") / $"n_tokens").as("f3"),
+        (($"len_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("f4"))
+      // teacher decision: shipped z ≥ 0 (same boundary the applier rounds)
+      .withColumn("y",
+        when(lit(-4.0) + lit(0.8) * $"f1" + lit(6.0) * $"f2" + lit(1.5) * $"f3"
+          - lit(0.1) * $"f4" >= 0, 1.0).otherwise(0.0))
+    val st = raw.select(
+      (1 to 4).flatMap(i => Seq(
+        avg(col(s"f$i")).as(s"m$i"),
+        coalesce(nullif(stddev_pop(col(s"f$i")), lit(0.0)), lit(1.0)).as(s"s$i"))): _*)
+      .head()
+    val feats = raw.select(($"doc_id" +: $"y" +: (1 to 4).map(i =>
+        ((col(s"f$i") - st.getDouble(2 * i - 2)) / st.getDouble(2 * i - 1)).as(s"x$i"))): _*)
+      .persist()
+    try {
+      feats.count()
+      var w = Array.fill(5)(0.0) // bias, x1..x4
+      val lr = 1.0
+      val ledger = (1 to 20).map { it =>
+        val z = lit(w(0)) + (1 to 4).map(i => lit(w(i)) * col(s"x$i")).reduce(_ + _)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val r = feats.select(
+          (avg(p - $"y") +: (1 to 4).map(i => avg((p - $"y") * col(s"x$i")))) ++ Seq(
+            avg(greatest(z, lit(0.0)) - z * $"y" + log1p(exp(-abs(z)))),
+            avg(when((z >= 0) === ($"y" === 1.0), 1.0).otherwise(0.0))): _*).head()
+        val loss = r.getDouble(5)
+        val acc = r.getDouble(6)
+        for (i <- 0 to 4) w(i) -= lr * r.getDouble(i)
+        (it, loss, acc, w(0), w(1), w(2), w(3), w(4))
+      }
+      spark.createDataFrame(ledger).toDF("iter", "log_loss", "accuracy",
+        "w_bias", "w_log_tokens", "w_stop_ratio", "w_ttr", "w_avg_token_len")
+        .orderBy($"iter")
+    } finally feats.unpersist(blocking = false)
+  }
 }

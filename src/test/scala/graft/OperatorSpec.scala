@@ -1100,6 +1100,21 @@ class OperatorSpec extends SparkTestBase {
     assert(scans <= 1, s"expected at most 1 embeddings parquet scan, found $scans:\n$p")
   }
 
+  test("text_logreg_train: monotone loss, teacher boundary recovered") {
+    val rows = SparkEntry.queries("text_logreg_train")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val losses = rows.map(_.getDouble(1))
+    losses.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a + 1e-9, s"log-loss must not increase: $a -> $b")
+    }
+    val finalAcc = rows.last.getDouble(2)
+    assert(finalAcc >= 0.9,
+      s"trained model should recover the teacher labels, accuracy = $finalAcc")
+    // weights and stats stay finite through all 20 steps
+    rows.foreach(r => (1 to 7).foreach(i =>
+      assert(!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite, s"non-finite at $r")))
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

@@ -210,6 +210,8 @@ object SparkEntry {
     // corpus curation: repetition, contamination, packing, quotas, PII
     "quality_repetition_score" -> (CurationOps.qualityRepetitionScore(_, _)),
     "contamination_ngram_overlap" -> (CurationOps.contaminationNgramOverlap(_, _)),
+    // the drop decision the contamination report drives (exact-integer 5%)
+    "curation_decontaminate"   -> (CurationOps.curationDecontaminate(_, _)),
     "pack_sequences"           -> (CurationOps.packSequences(_, _)),
     // curate → dedup → pack closed loop: packs only dedup_chunks keepers
     "pack_sequences_deduped"   -> (CurationOps.packSequencesDeduped(_, _)),
@@ -423,6 +425,7 @@ object SparkEntry {
     "sort_zorder_events"       -> PipelineOps.sortZorderEventsSql,
     "quality_repetition_score" -> CurationOps.qualityRepetitionScoreSql,
     "contamination_ngram_overlap" -> CurationOps.contaminationNgramOverlapSql,
+    "curation_decontaminate"   -> CurationOps.curationDecontaminateSql,
     "pack_sequences"           -> CurationOps.packSequencesSql,
     "pack_sequences_deduped"   -> CurationOps.packSequencesDedupedSql,
     "sample_domain_quota"      -> CurationOps.sampleDomainQuotaSql,

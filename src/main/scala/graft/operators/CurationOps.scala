@@ -107,6 +107,39 @@ object CurationOps {
       |GROUP BY s.doc_id
       |ORDER BY s.doc_id""").stripMargin
 
+  /** Decontamination DECISION (`curation_decontaminate`) — the action the
+    * [[contaminationNgramOverlap]] report exists to drive: a corpus
+    * document is `dropped` when ≥5% of its 3-gram shingles appear in the
+    * benchmark stand-in (the GPT-3/PaLM "dirty document" rule with the
+    * threshold stated over exact integers — `20·n_contaminated ≥
+    * n_shingles` — so the cutoff never rides a float compare). Composes
+    * the report query unchanged, so the whole decision is one extra
+    * codegen'd CASE over the same shared-shingle join; pipelines filter
+    * `decision = 'kept'` before the training extract. */
+  def curationDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    contaminationNgramOverlap(spark, dir)
+      .select($"doc_id", $"n_shingles", $"n_contaminated",
+        when(lit(20) * $"n_contaminated" >= $"n_shingles", "dropped")
+          .otherwise("kept").as("decision"))
+      .orderBy($"doc_id")
+  }
+
+  val curationDecontaminateSql: String =
+    ("""WITH """ + DedupOps.shinglesCte + """,
+      |bench AS (
+      |  SELECT DISTINCT m FROM shingles WHERE doc_id % 97 = 0),
+      |rep AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles, count(b.m) AS n_contaminated
+      |  FROM shingles s LEFT JOIN bench b ON s.m = b.m
+      |  WHERE s.doc_id % 97 <> 0
+      |  GROUP BY s.doc_id)
+      |SELECT doc_id, n_shingles, n_contaminated,
+      |       CASE WHEN 20 * n_contaminated >= n_shingles
+      |            THEN 'dropped' ELSE 'kept' END AS decision
+      |FROM rep
+      |ORDER BY doc_id""").stripMargin
+
   /** Sequence packing: greedily pack documents into fixed 2048-token
     * training sequences by cumulative token count, independently per
     * source. The window is partitioned by source (bounded per-partition

@@ -1100,6 +1100,20 @@ class OperatorSpec extends SparkTestBase {
     assert(scans <= 1, s"expected at most 1 embeddings parquet scan, found $scans:\n$p")
   }
 
+  test("curation_decontaminate: exact-integer cutoff, non-trivial split, report-consistent") {
+    val rows = SparkEntry.queries("curation_decontaminate")(spark, sfDir).collect()
+    val dropped = rows.count(_.getString(3) == "dropped")
+    assert(dropped > 0 && dropped < rows.length,
+      s"cutoff should split the corpus non-trivially, dropped=$dropped/${rows.length}")
+    rows.foreach { r =>
+      val expect = if (20 * r.getLong(2) >= r.getLong(1)) "dropped" else "kept"
+      assert(r.getString(3) == expect, s"decision mismatch at $r")
+    }
+    // decisions cover exactly the report's documents (benchmark excluded)
+    val report = SparkEntry.queries("contamination_ngram_overlap")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == report.map(_.getLong(0)).toSet)
+  }
+
   test("text_logreg_train: monotone loss, teacher boundary recovered") {
     val rows = SparkEntry.queries("text_logreg_train")(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -25,27 +25,54 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which vanilla Spark rejects
-    * (`PARQUET_TYPE_ILLEGAL`). Read it as a nanos-epoch long
-    * (`spark.sql.legacy.parquet.nanosAsLong`, session-settable) and
-    * convert to a microsecond `TimestampType` with integer division —
-    * `DIV 1000`, never a double divide: ns epochs (~1.7e18) exceed the
-    * 53-bit double mantissa. This matches DuckDB's silent ns→µs
-    * truncation, keeping oracle parity.
+  /** `events.ts` has shipped as two different physical types across
+    * driver testdata generations, so the reader adapts to the schema it
+    * finds rather than assuming one:
     *
-    * SESSION-WIDE EFFECT (deliberate): the flag stays set for the life of
-    * the session, so any later parquet read of a TIMESTAMP(NANOS) column
-    * also yields LongType. It cannot be safely set/restored around this
-    * call — the conf is consulted lazily at physical-plan/execution time,
-    * long after this method returns, so a restore would race the read it
-    * scopes. No other catalog table carries nanos, and every `events`
-    * consumer goes through this method, which immediately normalizes the
-    * long to a microsecond TimestampType — the flag is therefore
-    * observable only as a no-op to the rest of the catalog. */
+    *  - TIMESTAMP(NANOS), which vanilla Spark rejects
+    *    (`PARQUET_TYPE_ILLEGAL`). We read it as a nanos-epoch long
+    *    (`spark.sql.legacy.parquet.nanosAsLong`, session-settable) and
+    *    convert to a microsecond `TimestampType` with integer division —
+    *    `DIV 1000`, never a double divide: ns epochs (~1.7e18) exceed the
+    *    53-bit double mantissa. This matches DuckDB's silent ns→µs
+    *    truncation, keeping oracle parity.
+    *  - TIMESTAMP(MICROS) without UTC adjustment, which Spark infers as
+    *    `TIMESTAMP_NTZ`. Every graft session pins
+    *    `spark.sql.session.timeZone=UTC`, so the NTZ→LTZ cast below is
+    *    instant-preserving and matches DuckDB's naive read of the same
+    *    column.
+    *
+    * Either way the catalog hands consumers one canonical shape: `ts` as
+    * a microsecond `TimestampType`.
+    *
+    * SESSION-WIDE EFFECT (deliberate): the nanosAsLong flag stays set for
+    * the life of the session, so any later parquet read of a
+    * TIMESTAMP(NANOS) column also yields LongType. It cannot be safely
+    * set/restored around this call — the conf is consulted lazily at
+    * physical-plan/execution time, long after this method returns, so a
+    * restore would race the read it scopes. No other catalog table
+    * carries nanos, and every `events` consumer goes through this
+    * method, which immediately normalizes to TimestampType — the flag is
+    * therefore observable only as a no-op to the rest of the catalog. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    normalizeEventTs(table(s, d, "events"))
+  }
+
+  /** Normalize an events-shaped frame's `ts` to microsecond
+    * `TimestampType`, whatever physical type the parquet carried (see
+    * [[events]]). Works on streaming frames too — the branch is decided
+    * from the static schema, not the data. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampType    => df
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"unsupported events.ts parquet type: $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

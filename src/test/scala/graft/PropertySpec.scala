@@ -113,4 +113,27 @@ class PropertySpec extends SparkTestBase {
     val keepers = deduped.count()
     assert(keepers > 0 && keepers <= total)
   }
+
+  test("normalizeEventTs is generation-invariant: nanos-long, micros-NTZ and LTZ agree") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType, LongType}
+    // the driver has shipped events.ts as TIMESTAMP(NANOS) (read as a
+    // nanos long) and as TIMESTAMP(MICROS) NTZ across testdata
+    // generations; the catalog must hand every consumer the same
+    // microsecond TimestampType instants either way
+    val microsEpoch = Seq(0L, 1_700_000_000_000_000L, 1_700_000_123_456_789L)
+    val asLong = microsEpoch.map(_ * 1000L).toDF("ts") // nanos-long generation
+    val asNtz  = microsEpoch.toDF("us")
+      .select(expr("timestamp_micros(us)").cast(TimestampNTZType).as("ts"))
+    val asLtz  = microsEpoch.toDF("us").select(expr("timestamp_micros(us)").as("ts"))
+    assert(asLong.schema("ts").dataType == LongType)
+    assert(asNtz.schema("ts").dataType == TimestampNTZType)
+    val normalized = Seq(asLong, asNtz, asLtz).map(Tables.normalizeEventTs)
+    for (df <- normalized)
+      assert(df.schema("ts").dataType == TimestampType)
+    val vals = normalized.map(
+      _.select(unix_micros($"ts")).as[Long].collect().toSeq.sorted)
+    assert(vals.forall(_ == microsEpoch.sorted),
+      s"generations disagree after normalization: $vals")
+  }
 }

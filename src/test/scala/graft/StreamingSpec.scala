@@ -76,18 +76,15 @@ class StreamingSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft_events_stream")
     Files.copy(java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       dir.resolve("events.parquet"))
-    // raw file carries TIMESTAMP(NANOS): stream it as a nanos long and
-    // convert exactly like Tables.events does for batch
+    // stream with whatever raw ts type the file carries (nanos-long or
+    // micros NTZ, generation-dependent) and normalize exactly like
+    // Tables.events does for batch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val rawSchema = org.apache.spark.sql.types.StructType(batch.schema.map {
-      case f if f.name == "ts" =>
-        f.copy(dataType = org.apache.spark.sql.types.LongType)
-      case f => f
-    })
-    val streamed = spark.readStream
-      .schema(rawSchema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val rawSchema = spark.read.parquet(dir.toString).schema
+    val streamed = Tables.normalizeEventTs(
+      spark.readStream
+        .schema(rawSchema)
+        .parquet(dir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window($"ts", "1 hour"))
       .agg(count(lit(1)).as("n"))

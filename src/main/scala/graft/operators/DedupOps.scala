@@ -692,7 +692,12 @@ object DedupOps {
     // shared with the IVF/IVF-PQ candidate generation
     val assign = SimilarityOps.ivfAssign(spark, dir)
       .withColumnRenamed("pivot_id", "cluster_id")
-    val withVec = assign.join(n, "vec_id")
+    // persisted: feeds four plan branches (both self-join sides, the dup
+    // set, and the final status join) — without the cache the
+    // assign⋈quantized shuffle join would recompute per branch
+    val withVec = cachedDf(spark, s"semvec:$dir") {
+      assign.join(n, "vec_id").persist()
+    }
     val aSide = withVec.select($"cluster_id", $"vec_id".as("vec_a"),
       $"q".as("qa"), $"n2".as("n2a"))
     val bSide = withVec.select($"cluster_id", $"vec_id".as("vec_b"),
@@ -709,23 +714,15 @@ object DedupOps {
 
   val dedupSemanticSql: String =
     s"""WITH ${SimilarityOps.quantizedCte},
-       |piv AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 64 = 7),
-       |pscore AS (
-       |  SELECT v.vec_id, p.vec_id AS pivot_id, ${SimilarityOps.cosineSql("v", "p")} AS pcos
-       |  FROM n v CROSS JOIN piv p),
-       |assign AS (
-       |  SELECT vec_id, pivot_id AS cluster_id FROM (
-       |    SELECT vec_id, pivot_id, row_number() OVER (
-       |      PARTITION BY vec_id ORDER BY pcos DESC, pivot_id) AS rk
-       |    FROM pscore) t WHERE rk = 1),
+       |${SimilarityOps.assignCte},
        |dups AS (
        |  SELECT DISTINCT b.vec_id
        |  FROM assign a JOIN assign b
-       |    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+       |    ON a.pivot_id = b.pivot_id AND a.vec_id < b.vec_id
        |  JOIN n na ON na.vec_id = a.vec_id
        |  JOIN n nb ON nb.vec_id = b.vec_id
        |  WHERE ${SimilarityOps.cosineSql("na", "nb")} >= 0.4)
-       |SELECT a.vec_id, a.cluster_id,
+       |SELECT a.vec_id, a.pivot_id AS cluster_id,
        |  CASE WHEN d.vec_id IS NOT NULL THEN 'dropped' ELSE 'kept' END AS status
        |FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
        |ORDER BY a.vec_id""".stripMargin
@@ -896,6 +893,7 @@ object DedupOps {
       timed("simhash_sketch") { simhashSketch(spark, dir).count(); () },
       timed("ngram_pairs") { dedupNgramJaccard(spark, dir).count(); () },
       timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () },
+      timed("dup_windows") { TextOps.dupWindows(spark, dir).count(); () },
       timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
       timed("ivf_assign") { SimilarityOps.ivfAssign(spark, dir).count(); () },
       timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () }).flatten

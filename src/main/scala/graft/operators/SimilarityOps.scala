@@ -261,7 +261,15 @@ object SimilarityOps {
 
   /** Oracle-side counterpart of [[ivfCandidates]]: CTEs `piv`/`pscore`/
     * `assign`/`probes`/`cand`, shared by the IVF and IVF-PQ oracles. */
-  private lazy val ivfCandSql: String =
+  /** Shared pivot-assignment CTE prefix (piv → pscore → assign) — the
+    * ONE oracle-side statement of the pivot rule (pivot density
+    * `vec_id % 64 = 7`, max-cosine assignment, smallest-pivot-id
+    * tie-break), reused by [[ivfCandSql]] and
+    * `DedupOps.dedupSemanticSql` exactly as the Spark side shares the
+    * memoized [[ivfAssign]] stage. Keeping one copy means a change to
+    * the pivot rule cannot silently diverge between the IVF oracles and
+    * the semantic-dedup oracle. */
+  private[operators] lazy val assignCte: String =
     s"""piv AS (SELECT vec_id, q, n2 FROM n WHERE vec_id % 64 = 7),
        |pscore AS (
        |  SELECT v.vec_id, p.vec_id AS pivot_id, ${cosineSql("v", "p")} AS pcos
@@ -270,7 +278,10 @@ object SimilarityOps {
        |  SELECT vec_id, pivot_id FROM (
        |    SELECT vec_id, pivot_id, row_number() OVER (
        |      PARTITION BY vec_id ORDER BY pcos DESC, pivot_id) AS rk
-       |    FROM pscore) t WHERE rk = 1),
+       |    FROM pscore) t WHERE rk = 1)""".stripMargin
+
+  private lazy val ivfCandSql: String =
+    s"""$assignCte,
        |probes AS (
        |  SELECT vec_id AS query_id, pivot_id FROM (
        |    SELECT vec_id, pivot_id, row_number() OVER (

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -103,13 +103,12 @@ object TextOps {
     * expression trees in both engines (bit-equal results). */
   def textQualityScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stop = Seq("the", "a", "of", "and", "to")
     Tables.documents(spark, dir)
       .select($"doc_id", $"text",
         length($"text").as("len_chars"),
         size(split($"text", " ")).cast("bigint").as("n_tokens"),
         size(filter(split(lower($"text"), " "),
-          t => t.isInCollection(stop))).cast("bigint").as("n_stop"))
+          t => t.isInCollection(StopWords))).cast("bigint").as("n_stop"))
       .select($"doc_id", $"len_chars", $"n_tokens",
         (($"len_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("avg_token_len"),
         ($"n_stop".cast("double") / $"n_tokens").as("stopword_ratio"))
@@ -133,6 +132,50 @@ object TextOps {
       |  FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Stop-word list shared by every quality feature (scoring plus the
+    * logreg applier/trainer) — one constant so the feature definition
+    * cannot drift between call sites. */
+  private[operators] val StopWords = Seq("the", "a", "of", "and", "to")
+
+  /** Teacher logistic-regression weights — order: bias, log token count,
+    * stopword ratio, type-token ratio, average token length. The single
+    * source of truth for [[textQualityLogreg]] (application) and
+    * [[textLogregTrain]] (label distillation): the trainer's documented
+    * invariant is that it recovers THIS boundary over the SAME features,
+    * so both must read the same constants. */
+  private[operators] val TeacherWeights = Array(-4.0, 0.8, 6.0, 1.5, -0.1)
+
+  /** Narrow per-document quality-feature projection shared by the logreg
+    * applier and trainer: `f_log_tokens`, `stop_ratio`, `ttr` (type-token
+    * ratio), `avg_token_len`, plus `doc_id`/`n_tokens` for downstream
+    * output. Shuffle-free, fully codegen — the 100 TB-friendly half of
+    * both queries. */
+  private def qualityFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id",
+        length($"text").as("len_chars"),
+        size(split($"text", " ")).cast("bigint").as("n_tokens"),
+        size(array_distinct(split(lower($"text"), " "))).cast("bigint").as("n_types"),
+        size(filter(split(lower($"text"), " "),
+          t => t.isInCollection(StopWords))).cast("bigint").as("n_stop"))
+      .select($"doc_id", $"n_tokens",
+        log($"n_tokens".cast("double")).as("f_log_tokens"),
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        ($"n_types".cast("double") / $"n_tokens").as("ttr"),
+        (($"len_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("avg_token_len"))
+  }
+
+  /** Teacher decision function over [[qualityFeatures]] columns.
+    * `+ lit(-0.1)·x` is IEEE-identical to the oracle's `- 0.1·x`, so the
+    * constant-array form does not move the hash compare. */
+  private def teacherZ: Column =
+    lit(TeacherWeights(0)) +
+      lit(TeacherWeights(1)) * col("f_log_tokens") +
+      lit(TeacherWeights(2)) * col("stop_ratio") +
+      lit(TeacherWeights(3)) * col("ttr") +
+      lit(TeacherWeights(4)) * col("avg_token_len")
+
   /** Quality CLASSIFIER application (`text_quality_logreg`) — the
     * fasttext-style trained-filter shape (CCNet, Wenzek et al. 2020;
     * GPT-3's LR quality filter, Brown et al. 2020 App. A): a logistic
@@ -152,21 +195,8 @@ object TextOps {
     * decision boundary, two full rounding steps clear. */
   def textQualityLogreg(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stop = Seq("the", "a", "of", "and", "to")
-    Tables.documents(spark, dir)
-      .select($"doc_id",
-        length($"text").as("len_chars"),
-        size(split($"text", " ")).cast("bigint").as("n_tokens"),
-        size(array_distinct(split(lower($"text"), " "))).cast("bigint").as("n_types"),
-        size(filter(split(lower($"text"), " "),
-          t => t.isInCollection(stop))).cast("bigint").as("n_stop"))
-      .select($"doc_id", $"n_tokens",
-        (($"len_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("avg_token_len"),
-        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
-        ($"n_types".cast("double") / $"n_tokens").as("ttr"))
-      .withColumn("z",
-        lit(-4.0) + lit(0.8) * log($"n_tokens".cast("double"))
-          + lit(6.0) * $"stop_ratio" + lit(1.5) * $"ttr" - lit(0.1) * $"avg_token_len")
+    qualityFeatures(spark, dir)
+      .withColumn("z", teacherZ)
       .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio", $"ttr",
         round(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("prob_keep"))
       .withColumn("label", when($"prob_keep" >= 0.5, "keep").otherwise("drop"))
@@ -633,14 +663,28 @@ object TextOps {
     * left join from `documents` keeps them in the output, and the
     * `size(ts) >= 10` filter keeps `sequence(1, size-9)` from generating
     * a DESCENDING sequence (Spark infers step -1 when start > stop). */
+  /** Memoized, persisted 10-token rolling-window hash stream shared by
+    * the two aggregations inside [[textDupNgramFraction]] (the dup-gram
+    * set and the per-window join). The window explode is ~n_tokens rows
+    * per document — the dominant stage of the query — so it must run
+    * once per (session, dir), not once per consumer; same lifecycle as
+    * the shingle/sketch stages (app-end eviction backstop). */
+  private[operators] def dupWindows(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    DedupOps.cachedDf(spark, s"dupwins:$dir") {
+      Tables.documents(spark, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("ts"))
+        .filter(size($"ts") >= 10)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(ts) - 9), i -> md5(concat_ws(' ', slice(ts, i, 10))))"))
+          .as("gram"))
+        .persist()
+    }
+  }
+
   def textDupNgramFraction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val wins = Tables.documents(spark, dir)
-      .select($"doc_id", split(lower($"text"), " ").as("ts"))
-      .filter(size($"ts") >= 10)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, size(ts) - 9), i -> md5(concat_ws(' ', slice(ts, i, 10))))"))
-        .as("gram"))
+    val wins = dupWindows(spark, dir)
     val dupGrams = wins.groupBy($"gram")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2)
@@ -774,23 +818,13 @@ object TextOps {
     * suite instead (like `anomaly_kmeans`). */
   def textLogregTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val stop = Seq("the", "a", "of", "and", "to")
-    val raw = Tables.documents(spark, dir)
-      .select($"doc_id",
-        length($"text").as("len_chars"),
-        size(split($"text", " ")).cast("bigint").as("n_tokens"),
-        size(array_distinct(split(lower($"text"), " "))).cast("bigint").as("n_types"),
-        size(filter(split(lower($"text"), " "),
-          t => t.isInCollection(stop))).cast("bigint").as("n_stop"))
-      .select($"doc_id",
-        log($"n_tokens".cast("double")).as("f1"),
-        ($"n_stop".cast("double") / $"n_tokens").as("f2"),
-        ($"n_types".cast("double") / $"n_tokens").as("f3"),
-        (($"len_chars" - ($"n_tokens" - 1)).cast("double") / $"n_tokens").as("f4"))
-      // teacher decision: shipped z ≥ 0 (same boundary the applier rounds)
-      .withColumn("y",
-        when(lit(-4.0) + lit(0.8) * $"f1" + lit(6.0) * $"f2" + lit(1.5) * $"f3"
-          - lit(0.1) * $"f4" >= 0, 1.0).otherwise(0.0))
+    // teacher decision: shipped z ≥ 0 (same boundary the applier rounds),
+    // computed from the SAME shared projection and weight constants
+    val raw = qualityFeatures(spark, dir)
+      .withColumn("y", when(teacherZ >= 0, 1.0).otherwise(0.0))
+      .select($"doc_id", $"y",
+        $"f_log_tokens".as("f1"), $"stop_ratio".as("f2"),
+        $"ttr".as("f3"), $"avg_token_len".as("f4"))
     val st = raw.select(
       (1 to 4).flatMap(i => Seq(
         avg(col(s"f$i")).as(s"m$i"),

@@ -614,8 +614,13 @@ object StreamingOps {
       in.addData(first.toSeq: _*)
       q.processAllAvailable()
       // cross-batch duplicate: same hash as the first doc, sentinel id —
-      // must be swallowed by the dedup STATE, not re-emitted
-      in.addData((second :+ (first.head._1 + 1000000L, first.head._2)).toSeq: _*)
+      // must be swallowed by the dedup STATE, not re-emitted. If a
+      // testdata generation leaves the first half empty (fewer than 2
+      // matching docs), degrade to a sentinel-free run instead of
+      // crashing the stream on first.head
+      val sentinel = first.headOption
+        .map { case (id, hash) => (id + 1000000L, hash) }.toSeq
+      in.addData((second ++ sentinel).toSeq: _*)
       q.processAllAvailable()
     } finally q.stop()
     s.table(name).orderBy($"doc_id")

@@ -21,7 +21,11 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // the bench contract is local[32]: default to it rather than a
+    // conservative 4 so an env-less driver run measures the same
+    // parallelism as the committed ledger (a 4-thread run reads ~2x
+    // slower on identical code and poisons round-over-round comparisons)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

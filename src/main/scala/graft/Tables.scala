@@ -67,7 +67,21 @@ object Tables {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types._
     df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case LongType =>
+        // A long ts is assumed to be a NANOS epoch (~1.7e18 for current
+        // dates); if a future generation ships micros-as-long (~1.7e15)
+        // the DIV 1000 would silently land every row near 1970 and
+        // produce wrong-but-plausible windows. One codegen'd branch per
+        // row turns that silent corruption into a loud error, matching
+        // the loud IllegalStateException of the unknown-type branch.
+        // Epoch 0 passes (a legitimate origin value the tests exercise).
+        df.withColumn("ts", expr(
+          """timestamp_micros(CASE
+            |  WHEN ts IS NULL THEN NULL
+            |  WHEN ts = 0 OR abs(ts) >= 100000000000000000 THEN ts DIV 1000
+            |  ELSE raise_error(concat('events.ts long value ', CAST(ts AS STRING),
+            |    ' is not nanos-magnitude; did the testdata switch to micros-as-long?'))
+            |END)""".stripMargin))
       case TimestampType    => df
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case other =>

@@ -259,8 +259,6 @@ object SimilarityOps {
       .persist()
   }
 
-  /** Oracle-side counterpart of [[ivfCandidates]]: CTEs `piv`/`pscore`/
-    * `assign`/`probes`/`cand`, shared by the IVF and IVF-PQ oracles. */
   /** Shared pivot-assignment CTE prefix (piv → pscore → assign) — the
     * ONE oracle-side statement of the pivot rule (pivot density
     * `vec_id % 64 = 7`, max-cosine assignment, smallest-pivot-id
@@ -280,6 +278,8 @@ object SimilarityOps {
        |      PARTITION BY vec_id ORDER BY pcos DESC, pivot_id) AS rk
        |    FROM pscore) t WHERE rk = 1)""".stripMargin
 
+  /** Oracle-side counterpart of [[ivfCandidates]]: [[assignCte]] plus
+    * the `probes`/`cand` CTEs, shared by the IVF and IVF-PQ oracles. */
   private lazy val ivfCandSql: String =
     s"""$assignCte,
        |probes AS (

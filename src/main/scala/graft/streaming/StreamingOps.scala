@@ -584,7 +584,11 @@ object StreamingOps {
     * boundary, so the sentinel never reaches the output — that absence
     * is asserted by the oracle (which contains no sentinel row) and
     * proves the cross-batch state carry, the property a restart-safe
-    * ingest pipeline actually relies on. At scale the registry is the
+    * ingest pipeline actually relies on. If a testdata generation leaves
+    * fewer than 2 matching documents the run degrades to sentinel-free
+    * (logged to stderr) — the oracle still matches, but the cross-batch
+    * property goes unexercised for that generation rather than crashing
+    * the stream. At scale the registry is the
     * per-snapshot hash table production maintains; the stream side only
     * ever shuffles 8-byte-keyed hashes into bounded dedup state. */
   def streamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -620,6 +624,10 @@ object StreamingOps {
       // crashing the stream on first.head
       val sentinel = first.headOption
         .map { case (id, hash) => (id + 1000000L, hash) }.toSeq
+      if (sentinel.isEmpty)
+        System.err.println("[streaming_incremental_dedup] <2 matching docs in " +
+          "this testdata generation: sentinel-free run, cross-batch state " +
+          "carry NOT exercised")
       in.addData((second ++ sentinel).toSeq: _*)
       q.processAllAvailable()
     } finally q.stop()

@@ -212,6 +212,7 @@ object SparkEntry {
     "contamination_ngram_overlap" -> (CurationOps.contaminationNgramOverlap(_, _)),
     // the drop decision the contamination report drives (exact-integer 5%)
     "curation_decontaminate"   -> (CurationOps.curationDecontaminate(_, _)),
+    "curation_contamination_by_source" -> (CurationOps.contaminationBySource(_, _)),
     "pack_sequences"           -> (CurationOps.packSequences(_, _)),
     // curate → dedup → pack closed loop: packs only dedup_chunks keepers
     "pack_sequences_deduped"   -> (CurationOps.packSequencesDeduped(_, _)),
@@ -426,6 +427,7 @@ object SparkEntry {
     "quality_repetition_score" -> CurationOps.qualityRepetitionScoreSql,
     "contamination_ngram_overlap" -> CurationOps.contaminationNgramOverlapSql,
     "curation_decontaminate"   -> CurationOps.curationDecontaminateSql,
+    "curation_contamination_by_source" -> CurationOps.contaminationBySourceSql,
     "pack_sequences"           -> CurationOps.packSequencesSql,
     "pack_sequences_deduped"   -> CurationOps.packSequencesDedupedSql,
     "sample_domain_quota"      -> CurationOps.sampleDomainQuotaSql,

@@ -140,6 +140,59 @@ object CurationOps {
       |FROM rep
       |ORDER BY doc_id""").stripMargin
 
+  /** Contamination rollup by ingest source
+    * (`curation_contamination_by_source`) — the triage view a curation
+    * team actually acts on: per `documents.source`, how many documents
+    * the decontamination rule drops and what fraction of the source's
+    * shingles hit the benchmark set. A scrape with a high rate gets its
+    * pipeline fixed; per-document rows can't show that.
+    *
+    * Shape: composes the per-document report unchanged (same shared
+    * cached shingle stage), joins the doc-level `source` label on
+    * doc_id (hash-partitioned equi-join — doc-count-proportional, never
+    * shingle-proportional), then one tiny groupBy over the handful of
+    * sources. All ratios are exact-integer divisions, bit-stable across
+    * engines. Benchmark stand-in documents (doc_id % 97 = 0) are not in
+    * the report, so each source counts only its scoreable documents. */
+  def contaminationBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dec = curationDecontaminate(spark, dir)
+    val src = Tables.documents(spark, dir).select($"doc_id", $"source")
+    dec.join(src, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"decision" === "dropped", 1L).otherwise(0L)).as("n_dropped"),
+        sum($"n_contaminated").as("n_contaminated_shingles"),
+        sum($"n_shingles").as("n_shingles"))
+      .select($"source", $"n_docs", $"n_dropped",
+        ($"n_dropped".cast("double") / $"n_docs").as("drop_rate"),
+        ($"n_contaminated_shingles".cast("double") / $"n_shingles")
+          .as("shingle_rate"))
+      .orderBy($"source")
+  }
+
+  val contaminationBySourceSql: String =
+    ("""WITH """ + DedupOps.shinglesCte + """,
+      |bench AS (
+      |  SELECT DISTINCT m FROM shingles WHERE doc_id % 97 = 0),
+      |rep AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles, count(b.m) AS n_contaminated
+      |  FROM shingles s LEFT JOIN bench b ON s.m = b.m
+      |  WHERE s.doc_id % 97 <> 0
+      |  GROUP BY s.doc_id)
+      |SELECT d.source,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN 20 * r.n_contaminated >= r.n_shingles
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(CAST(sum(CASE WHEN 20 * r.n_contaminated >= r.n_shingles
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS DOUBLE)
+      |    / count(*) AS drop_rate,
+      |  CAST(CAST(sum(r.n_contaminated) AS BIGINT) AS DOUBLE)
+      |    / CAST(sum(r.n_shingles) AS BIGINT) AS shingle_rate
+      |FROM rep r JOIN documents d USING (doc_id)
+      |GROUP BY d.source
+      |ORDER BY d.source""").stripMargin
+
   /** Sequence packing: greedily pack documents into fixed 2048-token
     * training sequences by cumulative token count, independently per
     * source. The window is partitioned by source (bounded per-partition

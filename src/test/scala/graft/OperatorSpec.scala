@@ -1114,6 +1114,23 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).toSet == report.map(_.getLong(0)).toSet)
   }
 
+  test("curation_contamination_by_source: rollup conserves the per-doc report") {
+    val perDoc = SparkEntry.queries("curation_decontaminate")(spark, sfDir).collect()
+    val bySrc = SparkEntry.queries("curation_contamination_by_source")(spark, sfDir).collect()
+    // the rollup must account for every scoreable document exactly once
+    assert(bySrc.map(_.getLong(1)).sum == perDoc.length,
+      s"per-source n_docs must sum to the report's ${perDoc.length} docs")
+    assert(bySrc.map(_.getLong(2)).sum ==
+      perDoc.count(_.getString(3) == "dropped"),
+      "per-source n_dropped must sum to the report's dropped count")
+    bySrc.foreach { r =>
+      val (n, dropped, rate) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && dropped >= 0 && dropped <= n)
+      assert(math.abs(rate - dropped.toDouble / n) == 0.0,
+        s"drop_rate must be the exact integer ratio at ${r.getString(0)}")
+    }
+  }
+
   test("text_logreg_train: monotone loss, teacher boundary recovered") {
     val rows = SparkEntry.queries("text_logreg_train")(spark, sfDir).collect()
     assert(rows.length == 20)

@@ -33,4 +33,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // at 8g vs 18.9s at 24g, headline 164.7s vs 125.0s at sf0.1). The box
   // has 128 GiB; still env-overridable.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // Commit + pre-fault the whole heap at JVM start (untimed): the shared
+  // sandbox intermittently serves page faults 10-20x slow (measured r10:
+  // identical bench runs 58s vs 255s minutes apart, with task GC time
+  // 100x apart — allocation-heavy stages crawl while a no-alloc register
+  // loop stays at 0.62s). Pre-touching moves every heap first-touch
+  // fault to startup, outside the timed window.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )

@@ -47,6 +47,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   private val Rounds = 2
 
+  private final case class QRes(name: String, sec: Double, ok: Boolean,
+    runs: Seq[Double], t0: Double, gcDelta: Long, peakMem: Long,
+    taskRunMs: Long, taskCpuMs: Long, taskGcMs: Long, retried: Boolean)
+
   /** Fixed single-threaded xorshift loop — pure register arithmetic, no
     * allocation, so its wall time moves ONLY with host CPU contention
     * (and frequency), never with JVM heap state. ~0.25 s on a quiet
@@ -74,22 +78,70 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed two-stage shuffle job: covers the exchange write/read path and
+    * multi-stage scheduling, the machinery the pure range-sum skips. */
+  private def sentinelShuffle(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(4000000L).selectExpr("id % 997 AS k")
+      .groupBy("k").count().selectExpr("sum(count)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Fixed fresh-allocation touch (~512 MB in 8 MB chunks, every page
+    * written): measured r10, the sandbox's degraded mode serves page
+    * faults / memory stalls slowly while leaving register arithmetic
+    * untouched — this sentinel inflates exactly then. With AlwaysPreTouch
+    * heap pages are pre-faulted, so a clean value here plus a slow query
+    * means the slowness is NOT host memory pressure. */
+  private def sentinelAlloc(): Double = {
+    val t0 = System.nanoTime()
+    var keep = 0L
+    var i = 0
+    while (i < 64) {
+      val a = new Array[Byte](8 * 1024 * 1024)
+      var j = 0
+      while (j < a.length) { a(j) = 1; j += 4096 }
+      keep += a(0)
+      i += 1
+    }
+    require(keep != -1L)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def sentinels(spark: SparkSession): String = {
+    val c = sentinelCpu(); val a = sentinelAlloc()
+    val s = sentinelSpark(spark); val sh = sentinelShuffle(spark)
+    s"""{"cpu":$c,"alloc":$a,"spark":$s,"shuffle":$sh}"""
+  }
+
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
       .asScala.map(_.getCollectionTime).sum
   }
 
-  /** Max task peakExecutionMemory observed since the last reset. Task-end
-    * events arrive on the async listener bus, so a query's number can
-    * absorb a straggler event from its predecessor — documented as
-    * approximate in the ledger contract. */
-  private final class PeakMemListener extends SparkListener {
+  /** Task-metric accumulation since the last reset: max task
+    * peakExecutionMemory, plus summed executor run/CPU/GC time. The
+    * run-vs-CPU-vs-wall triangle is the per-query contention discriminator
+    * (task_cpu_ms stable across rounds + inflated wall == sandbox load,
+    * not engine work). Task-end events arrive on the async listener bus,
+    * so a query's numbers can absorb a straggler event from its
+    * predecessor — documented as approximate in the ledger contract. */
+  private final class TaskMetricListener extends SparkListener {
     val peak = new java.util.concurrent.atomic.AtomicLong(0L)
+    val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
     override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
-      if (m != null) peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+      if (m != null) {
+        peak.getAndAccumulate(m.peakExecutionMemory, Math.max(_, _))
+        runMs.addAndGet(m.executorRunTime)
+        cpuNs.addAndGet(m.executorCpuTime)
+        gcMs.addAndGet(m.jvmGCTime)
+      }
     }
+    def reset(): Unit = { peak.set(0); runMs.set(0); cpuNs.set(0); gcMs.set(0) }
   }
 
   /** Prior-round committed mins, parsed from the full-ledger format this
@@ -125,14 +177,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val memListener = new PeakMemListener
+    val memListener = new TaskMetricListener
     spark.sparkContext.addSparkListener(memListener)
     // untimed warmup: codegen pipeline + parquet reader + shuffle machinery
     spark.range(1000000).selectExpr("sum(id * 2)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10).collect()
     val benchT0 = System.nanoTime()
     def offset(): Double = (System.nanoTime() - benchT0) / 1e9
-    val sentStart = (sentinelCpu(), sentinelSpark(spark))
+    val sentStart = sentinels(spark)
     // memoized shared stages (shingle set, MinHash estimates, SimHash
     // sketch, ngram pairs, PPJoin pairs) are built and timed ONCE up front
     // as their own ledger lines: previously whichever dedup-family query
@@ -161,12 +213,12 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
     val midIdx = selected.size / 2
-    var sentMid = (-1.0, -1.0)
+    var sentMid = """{"cpu":-1,"alloc":-1,"spark":-1,"shuffle":-1}"""
     val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
-      if (idx == midIdx) sentMid = (sentinelCpu(), sentinelSpark(spark))
+      if (idx == midIdx) sentMid = sentinels(spark)
       val t0Off = offset()
       val gc0 = gcMillis()
-      memListener.peak.set(0L)
+      memListener.reset()
       def runOnce(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
@@ -190,28 +242,27 @@ object Bench {
         case _ => false
       }
       val gcDelta = gcMillis() - gc0
-      val peakMem = memListener.peak.get()
       val ok = minGood(runs).isDefined
       val sec = minGood(runs).getOrElse(runs.map(_._1).min)
-      (name, sec, ok, runs.map(_._1), t0Off, gcDelta, peakMem, retried)
+      QRes(name, sec, ok, runs.map(_._1), t0Off, gcDelta,
+        memListener.peak.get(), memListener.runMs.get(),
+        memListener.cpuNs.get() / 1000000L, memListener.gcMs.get(), retried)
     }
-    val sentEnd = (sentinelCpu(), sentinelSpark(spark))
+    val sentEnd = sentinels(spark)
     def jsonMap(entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap(results.collect { case (k, v, true, _, _, _, _, _) => (k, v) })
+    val qs = jsonMap(results.collect { case r if r.ok => (r.name, r.sec) })
     // "failed" keeps the original name-array shape (r1/r2 parsers expect
     // it); per-failure timings live in "failed_secs" alongside.
-    val failedNames = results.collect { case (k, _, false, _, _, _, _, _) => "\"" + k + "\"" }
+    val failedNames = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val failedSecs = jsonMap(results.collect { case (k, v, false, _, _, _, _, _) => (k, v) })
+    val failedSecs = jsonMap(results.collect { case r if !r.ok => (r.name, r.sec) })
     val sharedJson = jsonMap(shared)
     val sentinelsJson =
-      s"""{"start":{"cpu":${sentStart._1},"spark":${sentStart._2}},""" +
-      s""""mid":{"cpu":${sentMid._1},"spark":${sentMid._2}},""" +
-      s""""end":{"cpu":${sentEnd._1},"spark":${sentEnd._2}}}"""
+      s"""{"start":$sentStart,"mid":$sentMid,"end":$sentEnd}"""
     // headline total = min per query + shared-stage builds, so it
     // stays comparable with rounds where the builds hid inside query lines
-    val total = results.collect { case (_, v, true, _, _, _, _, _) => v }.sum +
+    val total = results.collect { case r if r.ok => r.sec }.sum +
       shared.map(_._2).sum
     // FULL ledger to a file: the driver's per-round capture keeps only a
     // ~2 KB stdout tail, which truncated r8's per-query line below the
@@ -219,14 +270,16 @@ object Bench {
     // raw run (not just the min), the shared-stage builds, the
     // post-prewarm storage snapshot, and the contention evidence above.
     val ledgerPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_LEDGER", "bench_full.json")
-    val perQuery = results.map { case (k, v, ok, raw, t0, gc, mem, retried) =>
-      s"""\"$k\":{"runs":[${raw.mkString(",")}],"min":$v,"ok":$ok,""" +
-      s""""t0":${math.rint(t0 * 1000) / 1000},"gc_ms":$gc,""" +
-      s""""peak_mem_bytes":$mem,"retried":$retried}"""
+    val perQuery = results.map { r =>
+      s"""\"${r.name}\":{"runs":[${r.runs.mkString(",")}],"min":${r.sec},""" +
+      s""""ok":${r.ok},"t0":${math.rint(r.t0 * 1000) / 1000},"gc_ms":${r.gcDelta},""" +
+      s""""peak_mem_bytes":${r.peakMem},"task_run_ms":${r.taskRunMs},""" +
+      s""""task_cpu_ms":${r.taskCpuMs},"task_gc_ms":${r.taskGcMs},""" +
+      s""""retried":${r.retried}}"""
     }.mkString("{", ",", "}")
     val ledger =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Rounds,
-         |"n_queries":${results.count(_._3)},"sf":"$sfDir","cpus":$cpus,
+         |"n_queries":${results.count(_.ok)},"sf":"$sfDir","cpus":$cpus,
          |"host_cpus":$hostCpus,
          |"sentinels":$sentinelsJson,
          |"cached_bytes_after_prewarm":$cachedBytes,
@@ -243,9 +296,9 @@ object Bench {
     // which truncates the headline "value" right out of the record). Emit a
     // compact, complete summary LAST: same schema, "queries" limited to the
     // slowest 20, always well under the tail window.
-    val slowest = results.collect { case (k, v, true, _, _, _, _, _) => (k, v) }
+    val slowest = results.collect { case r if r.ok => (r.name, r.sec) }
       .sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Rounds,"n_queries":${results.count(_._3)},"queries":${jsonMap(slowest)},"shared_stages":$sharedJson,"failed":$failedNames,"sentinels":$sentinelsJson,"host_cpus":$hostCpus,"ledger":"$ledgerPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Rounds,"n_queries":${results.count(_.ok)},"queries":${jsonMap(slowest)},"shared_stages":$sharedJson,"failed":$failedNames,"sentinels":$sentinelsJson,"host_cpus":$hostCpus,"ledger":"$ledgerPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,11 +51,11 @@ object Plans {
         "shared shingle cache (InMemoryTableScan), banded equi-join — " +
         "no 16x row explosion, no cartesian."),
     "dedup_semantic" ->
-      ("SemDeDup: corpus read from the shared cached quantized stage, " +
-        "cluster assignment via one max_by aggregation, within-cluster " +
-        "self-join hash-partitioned on cluster id — scoring is linear " +
-        "(~64-vector clusters); at real scale assignment swaps to the " +
-        "trained fixed-K quantizer."),
+      ("SemDeDup (trained default): coarse assignment scores the corpus " +
+        "against the K=16 trained-centroid BROADCAST (bounded by K, " +
+        "never the corpus) via one max_by aggregation; within-cluster " +
+        "self-join hash-partitioned on cluster id. The density-pivot " +
+        "variant survives as dedup_semantic_pivots for the exact oracle."),
     "similarity_ivfpq" ->
       ("IVF-PQ: the 128-row codebook is the one broadcast; candidate " +
         "lists come from the probe equi-join; ADC re-rank touches only " +

@@ -180,8 +180,12 @@ object SparkEntry {
     "dedup_prefix_filter"      -> (DedupOps.dedupPrefixFilter(_, _)),
     "dedup_embedding_cosine"   -> (DedupOps.dedupEmbeddingCosine(_, _)),
     // SemDeDup: within-cluster semantic near-dup drop (linear-cost
-    // counterpart of the exact O(n²) embedding-cosine baseline)
+    // counterpart of the exact O(n²) embedding-cosine baseline). The
+    // default runs the trained bounded-K coarse quantizer (model-based →
+    // invariant-asserted, no SQL oracle); the _pivots variant keeps the
+    // deterministic density-pivot clustering with its byte-exact oracle.
     "dedup_semantic"           -> (DedupOps.dedupSemantic(_, _)),
+    "dedup_semantic_pivots"    -> (DedupOps.dedupSemanticPivots(_, _)),
     "dedup_edit_distance"      -> (DedupOps.dedupEditDistance(_, _)),
     "dedup_connected_components" -> (PipelineOps.dedupConnectedComponents(_, _)),
     // keep/drop decision per near-dup cluster (canonical representative)
@@ -195,6 +199,9 @@ object SparkEntry {
     // IVF-PQ: same candidate lists, ADC re-rank on product-quantization
     // codes (the memory-scale ANN variant)
     "similarity_ivfpq"         -> (SimilarityOps.similarityIvfPq(_, _)),
+    // same ADC pipeline over Lloyd-trained per-subspace codebooks
+    // (model-based → invariant-asserted, no SQL oracle)
+    "similarity_ivfpq_trained" -> (SimilarityOps.similarityIvfPqTrained(_, _)),
     // no oracle: model-based (k-means quantizer), like anomaly_kmeans —
     // the test suite asserts a recall floor vs similarity_topk instead
     "similarity_ivf_trained"   -> (SimilarityOps.similarityIvfTrained(_, _)),
@@ -226,6 +233,9 @@ object SparkEntry {
     "curation_quality_gate"    -> (CurationOps.curationQualityGate(_, _)),
     // flagship end-to-end: gate -> dedup -> train split -> pack, one plan
     "curation_training_extract" -> (CurationOps.curationTrainingExtract(_, _)),
+    // same end-to-end extract, with the MinHash-CC canonical keeper set
+    "curation_training_extract_neardup" ->
+      (CurationOps.curationTrainingExtractNearDup(_, _)),
     // per-(lang, source) release summary: counts, exact p50/p95, shares
     "curation_dataset_card"    -> (CurationOps.datasetCard(_, _)),
     // alpha=0.5 temperature-resampled language mixture weights
@@ -234,6 +244,8 @@ object SparkEntry {
     "text_dup_ngram_fraction"  -> (TextOps.textDupNgramFraction(_, _)),
     // CCNet-style unigram-LM mean log-prob quality signal
     "text_lm_logprob"          -> (TextOps.textLmLogprob(_, _)),
+    // corpus-side PII scrub (emails/phones/ids) with per-class audit
+    "text_pii_scrub"           -> (TextOps.textPiiScrub(_, _)),
     // directed shingle containment (subsumption pairs Jaccard misses)
     "dedup_containment"        -> (DedupOps.dedupContainment(_, _)),
     // new-batch-vs-corpus hash-registry dedup (the incremental shape)
@@ -408,7 +420,7 @@ object SparkEntry {
     "dedup_incremental"        -> DedupOps.dedupIncrementalSql,
     "dedup_prefix_filter"      -> DedupOps.dedupPrefixFilterSql,
     "dedup_embedding_cosine"   -> DedupOps.dedupEmbeddingCosineSql,
-    "dedup_semantic"           -> DedupOps.dedupSemanticSql,
+    "dedup_semantic_pivots"    -> DedupOps.dedupSemanticSql,
     "dedup_edit_distance"      -> DedupOps.dedupEditDistanceSql,
     "dedup_connected_components" -> PipelineOps.dedupConnectedComponentsSql,
     "dedup_canonical_pick"     -> PipelineOps.dedupCanonicalPickSql,
@@ -437,10 +449,13 @@ object SparkEntry {
     "curation_train_val_test"  -> CurationOps.curationTrainValTestSql,
     "curation_quality_gate"    -> CurationOps.curationQualityGateSql,
     "curation_training_extract" -> CurationOps.curationTrainingExtractSql,
+    "curation_training_extract_neardup" ->
+      CurationOps.curationTrainingExtractNearDupSql,
     "curation_dataset_card"    -> CurationOps.datasetCardSql,
     "curation_lang_temperature" -> CurationOps.langTemperatureMixtureSql,
     "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
     "text_lm_logprob"          -> TextOps.textLmLogprobSql,
+    "text_pii_scrub"           -> TextOps.textPiiScrubSql,
     "text_bpe_pairs"           -> TextOps.textBpePairsSql,
     "curation_corpus_report"   -> PipelineOps.curationCorpusReportSql,
     "text_vocab_coverage"      -> TextOps.textVocabCoverageSql,

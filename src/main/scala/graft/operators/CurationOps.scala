@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -530,23 +530,127 @@ object CurationOps {
     // TWICE (verified in the physical plan — six scans instead of two);
     // the window is one extra content_hash shuffle over a single
     // instance of the gated stream.
-    val trainBucket =
-      (conv(substring(md5(concat($"doc_id".cast("string"), lit(":split"))), 1, 8), 16, 10)
-        .cast("long") % 100) < 90
     val train = gated
       .withColumn("keep_id",
         min($"doc_id").over(Window.partitionBy($"content_hash")))
       .filter($"doc_id" === $"keep_id" && trainBucket)
-    val w = Window.partitionBy($"source").orderBy($"doc_id")
+    packBySource(train)
+  }
+
+  /** The deterministic 90% train-bucket predicate shared by both extract
+    * variants (salted md5 over doc_id — see [[curationTrainValTest]]). */
+  private def trainBucket: Column =
+    (conv(substring(md5(concat(col("doc_id").cast("string"), lit(":split"))), 1, 8), 16, 10)
+      .cast("long") % 100) < 90
+
+  /** The greedy 2048-token per-source packing tail shared by both
+    * extract variants: per-source running token sum → sequence id →
+    * bounded per-(source, seq) aggregation. `train` carries
+    * (source, doc_id, n_tokens). */
+  private def packBySource(train: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     train
-      .withColumn("cum", sum($"n_tokens").over(w))
-      .withColumn("seq_id", floor(($"cum" - $"n_tokens") / lit(2048.0)))
-      .groupBy($"source", $"seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("seq_tokens"),
-        min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-      .orderBy($"source", $"seq_id")
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / lit(2048.0)))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("seq_id"))
   }
+
+  /** The NEAR-DUP form of the end-to-end extract
+    * (`curation_training_extract_neardup`): same gate → dedup → split →
+    * pack pipeline, but the dedup stage drops MinHash near-duplicates —
+    * every document that sits in a connected component of the
+    * est-Jaccard ≥ 0.5 candidate graph and is NOT that component's
+    * canonical member ([[PipelineOps.dedupCanonicalPick]]'s longest-
+    * content, smallest-id rule) — instead of only exact content-hash
+    * copies. This closes the loop the dedup family already computes:
+    * the extract now drops what `dedup_minhash_lsh` +
+    * `dedup_connected_components` + `dedup_canonical_pick` decided,
+    * which subsumes exact dups (identical content collides in every
+    * MinHash band).
+    *
+    * Composition choice, stated: the near-dup component structure (and
+    * each component's canonical) is computed over the WHOLE corpus, and
+    * the quality gate then filters the keeper set — so a canonical that
+    * fails the gate does not resurrect its dropped near-dups. That
+    * matches how production pipelines sequence global dedup before
+    * per-document filtering, and keeps this extract consistent with the
+    * standalone `dedup_canonical_pick` decisions.
+    *
+    * Plan shape at 100 TB: everything the exact variant does, plus the
+    * CC label set (proportional to the DUPLICATE set, not the corpus)
+    * anti-joined on doc_id against the gated stream — a hash anti-join
+    * on the key, no new corpus-wide shuffle; the pack tail is shared
+    * code. */
+  def curationTrainingExtractNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kept = tokenGateStats(spark, dir)
+      .filter($"n_tokens" >= 20 && $"n_tokens" <= 5000 &&
+        $"top_count" * 5 <= $"n_tokens" &&
+        $"n_distinct" * 10 >= $"n_tokens" * 3)
+      .select($"doc_id", $"n_tokens")
+    val docs = Tables.documents(spark, dir).select($"doc_id", $"source")
+    val gated = kept.join(docs, "doc_id")
+    // non-canonical members of near-dup components — the drop set
+    val drops = PipelineOps.dedupCanonicalPick(spark, dir)
+      .filter(!$"keep").select($"doc_id")
+    val train = gated
+      .join(drops, Seq("doc_id"), "left_anti")
+      .filter(trainBucket)
+    packBySource(train)
+  }
+
+  val curationTrainingExtractNearDupSql: String =
+    s"""${PipelineOps.ccCtes},
+       |labeled AS (
+       |  SELECT cc.doc_id, cc.comp_id, d.n_chars
+       |  FROM cc JOIN documents d USING (doc_id)),
+       |canon AS (
+       |  SELECT comp_id, doc_id AS canonical_id,
+       |         row_number() OVER (PARTITION BY comp_id
+       |                            ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM labeled),
+       |drops AS (
+       |  SELECT l.doc_id
+       |  FROM labeled l JOIN canon c ON l.comp_id = c.comp_id AND c.rn = 1
+       |  WHERE l.doc_id <> c.canonical_id),
+       |cnt AS (
+       |  SELECT doc_id, token, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+       |    FROM documents) t
+       |  WHERE token <> '' GROUP BY doc_id, token),
+       |agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |         count(*) AS n_distinct, max(c) AS top_count
+       |  FROM cnt GROUP BY doc_id),
+       |kept AS (
+       |  SELECT doc_id, n_tokens FROM agg
+       |  WHERE n_tokens >= 20 AND n_tokens <= 5000
+       |    AND top_count * 5 <= n_tokens
+       |    AND n_distinct * 10 >= n_tokens * 3),
+       |gated AS (
+       |  SELECT k.doc_id, k.n_tokens, d.source
+       |  FROM kept k JOIN documents d USING (doc_id)),
+       |train AS (
+       |  SELECT g.source, g.doc_id, g.n_tokens
+       |  FROM gated g LEFT JOIN drops dr ON dr.doc_id = g.doc_id
+       |  WHERE dr.doc_id IS NULL
+       |    AND CAST(concat('0x', substr(md5(CAST(g.doc_id AS VARCHAR) || ':split'), 1, 8))
+       |             AS BIGINT) % 100 < 90),
+       |cum AS (
+       |  SELECT source, doc_id, n_tokens,
+       |         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |                             ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM train)
+       |SELECT source, CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+       |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+       |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+       |FROM cum
+       |GROUP BY source, seq_id
+       |ORDER BY source, seq_id""".stripMargin
 
   val curationTrainingExtractSql: String =
     """WITH cnt AS (

@@ -661,41 +661,32 @@ object DedupOps {
        |WHERE ${SimilarityOps.cosineSql("a", "b")} >= 0.4
        |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** SemDeDup (`dedup_semantic`): semantic deduplication by clustering
-    * embeddings and deduplicating only WITHIN clusters (Abbas et al.,
-    * "SemDeDup: Data-efficient learning at web-scale through semantic
-    * deduplication", arXiv:2303.09540). Clusters reuse the IVF coarse
-    * quantizer's deterministic pivots (vec_id ≡ 7 mod 64): each vector
-    * goes to its max-cosine pivot, and a vector is `dropped` when a
-    * smaller-id vector in the SAME cluster has cosine ≥ 0.4 (the paper's
-    * keep-one-per-near-dup-group rule with doc-id as the canonical
-    * order), `kept` otherwise.
+  /** SemDeDup (`dedup_semantic` / `dedup_semantic_pivots`): semantic
+    * deduplication by clustering embeddings and deduplicating only
+    * WITHIN clusters (Abbas et al., "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication", arXiv:2303.09540). A
+    * vector is `dropped` when a smaller-id vector in the SAME cluster
+    * has cosine ≥ 0.4 (the paper's keep-one-per-near-dup-group rule
+    * with doc-id as the canonical order), `kept` otherwise.
     *
     * This collapses [[dedupEmbeddingCosine]]'s exact O(n²) SCORING to
-    * O(32·n): pivot DENSITY is constant (every 64th vector), so the
-    * cluster count scales with the corpus while expected cluster size
-    * stays ~64 — the within-cluster pairwise join does ~64²/2 × n/64 =
-    * O(32·n) cosine evaluations, hash-partitioned by cluster_id. The
-    * trade is recall: only same-cluster pairs are seen (the suite
-    * measures recall against the exact baseline). Assignment is the same
-    * max_by partial aggregation as [[SimilarityOps.similarityIvf]] — no
-    * corpus-wide window sort — but note it prices at n·(n/64) dot
-    * products with these density pivots (and the pivot broadcast grows
-    * with the corpus): exact-oracle work at test scale, while at real
-    * 100 TB scale the coarse step is the TRAINED fixed-K quantizer
-    * ([[SimilarityOps.similarityIvfTrained]], K·n assignment, bounded
-    * broadcast), exactly as the SemDeDup paper runs k-means. */
-  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    * within-cluster work, hash-partitioned by cluster_id. The trade is
+    * recall: only same-cluster pairs are seen (the suite measures
+    * recall against the exact baseline, for BOTH coarse quantizers).
+    *
+    * The shared core takes the coarse assignment as input; the two
+    * registered variants differ only there — see [[dedupSemantic]]
+    * (trained bounded-K, the default) and [[dedupSemanticPivots]]
+    * (density pivots, the oracle-checkable form). */
+  private def semanticDedupCore(
+      spark: SparkSession, dir: String, cacheKey: String,
+      assign: DataFrame): DataFrame = {
     import spark.implicits._
     val n = SimilarityOps.quantized(spark, dir)
-    // cluster id IS the IVF coarse cell — ride the memoized assignment
-    // shared with the IVF/IVF-PQ candidate generation
-    val assign = SimilarityOps.ivfAssign(spark, dir)
-      .withColumnRenamed("pivot_id", "cluster_id")
     // persisted: feeds four plan branches (both self-join sides, the dup
     // set, and the final status join) — without the cache the
     // assign⋈quantized shuffle join would recompute per branch
-    val withVec = cachedDf(spark, s"semvec:$dir") {
+    val withVec = cachedDf(spark, s"$cacheKey:$dir") {
       assign.join(n, "vec_id").persist()
     }
     val aSide = withVec.select($"cluster_id", $"vec_id".as("vec_a"),
@@ -711,6 +702,36 @@ object DedupOps {
         when($"dup".isNotNull, "dropped").otherwise("kept").as("status"))
       .orderBy($"vec_id")
   }
+
+  /** The DEFAULT SemDeDup: coarse step = the TRAINED bounded-K spherical
+    * k-means quantizer ([[SimilarityOps.kmeansAssign]]) — O(K·n)
+    * assignment against a K-row broadcast, exactly as the SemDeDup paper
+    * runs k-means. This is the 100 TB shape: cluster count is fixed at
+    * K, the broadcast never grows with the corpus, and the
+    * within-cluster join stays hash-partitioned by cluster_id. Cluster
+    * ids are model-derived, so there is no closed-form SQL oracle (like
+    * `similarity_ivf_trained` / `anomaly_kmeans`); the suite asserts row
+    * conservation, exact-baseline witnesses for every drop, and a recall
+    * floor — while [[dedupSemanticPivots]] keeps the byte-exact DuckDB
+    * oracle on the same core. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupCore(spark, dir, "semvecT",
+      SimilarityOps.kmeansAssign(spark, dir))
+
+  /** The ORACLE-CHECKABLE SemDeDup variant: clusters reuse the IVF
+    * coarse quantizer's deterministic density pivots (vec_id ≡ 7 mod
+    * 64, max-cosine assignment via the memoized
+    * [[SimilarityOps.ivfAssign]] stage shared with the IVF/IVF-PQ
+    * candidate generation). Pivot DENSITY is constant, so expected
+    * cluster size stays ~64 and the within-cluster join does O(32·n)
+    * cosine evaluations — but assignment prices at n·(n/64) dot
+    * products with a corpus-growing pivot broadcast: exact-oracle work
+    * at test scale, deliberately NOT the default (see
+    * [[dedupSemantic]]). */
+  def dedupSemanticPivots(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupCore(spark, dir, "semvec",
+      SimilarityOps.ivfAssign(spark, dir)
+        .withColumnRenamed("pivot_id", "cluster_id"))
 
   val dedupSemanticSql: String =
     s"""WITH ${SimilarityOps.quantizedCte},
@@ -896,6 +917,13 @@ object DedupOps {
       timed("dup_windows") { TextOps.dupWindows(spark, dir).count(); () },
       timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
       timed("ivf_assign") { SimilarityOps.ivfAssign(spark, dir).count(); () },
-      timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () }).flatten
+      timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () },
+      // trained-model stages (r10): k-means coarse quantizer shared by
+      // dedup_semantic + similarity_ivf_trained, and the Lloyd-trained
+      // PQ codebook — without their own lines the TRAINING cost would
+      // bill to whichever consumer runs first alphabetically
+      timed("kmeans_assign") { SimilarityOps.kmeansAssign(spark, dir).count(); () },
+      timed("pq_codebook_trained") {
+        SimilarityOps.pqCodebookTrained(spark, dir).count(); () }).flatten
   }
 }

@@ -472,7 +472,7 @@ object PipelineOps {
     * recursive-CTE reachability fixpoint → `cc(doc_id, comp_id)`.
     * Reused by the connected-components query and everything built on
     * its labels (canonical pick). */
-  private lazy val ccCtes: String =
+  private[operators] lazy val ccCtes: String =
     s"""${DedupOps.minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |edges AS (
        |  SELECT doc_a AS a, doc_b AS b FROM est WHERE est_jaccard >= 0.5

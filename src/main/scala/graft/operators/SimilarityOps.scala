@@ -228,8 +228,9 @@ object SimilarityOps {
   /** Memoized max-cosine pivot assignment `(vec_id, pivot_id)` — the
     * coarse-quantizer cell of every corpus vector, shared by
     * [[ivfCandidates]] (inverted lists) and
-    * [[DedupOps.dedupSemantic]] (cluster ids). n skinny rows, persisted;
-    * the scoring crossJoin behind it runs once per (session, dir). */
+    * [[DedupOps.dedupSemanticPivots]] (cluster ids). n skinny rows,
+    * persisted; the scoring crossJoin behind it runs once per
+    * (session, dir). */
   private[graft] def ivfAssign(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedDf(spark, s"ivfassign:$dir") {
       import spark.implicits._
@@ -346,67 +347,100 @@ object SimilarityOps {
   def similarityIvfTrained(spark: SparkSession, dir: String): DataFrame =
     similarityIvfTrainedProbe(spark, dir, nprobe = 4)
 
-  private[graft] def similarityIvfTrainedProbe(
-      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+  /** Memoized K=16 spherical-kmeans centroids `(pivot_id, c)` — the
+    * TRAINED bounded-K coarse quantizer, shared by
+    * [[similarityIvfTrained]] and [[DedupOps.dedupSemantic]] (the
+    * SemDeDup paper's k-means step). Spherical: features are
+    * L2-normalized before training so Euclidean cells align with the
+    * cosine metric both consumers rank by. Seed-fixed and memoized per
+    * (session, dir): one training pass feeds every consumer; the result
+    * is a k-row LOCAL frame whose broadcast is bounded by K, never by
+    * the corpus.
+    *
+    * coalesce(2): the feature set is k-bounded-tiny next to the corpus
+    * scans (one Vector per embedding row); MLlib runs ~2 jobs per
+    * iteration, so task count per job — not data volume — is the cost.
+    * Random init replaces k-means||'s ~5 extra init rounds; with the
+    * fixed seed the centroids are still deterministic, and the suites'
+    * recall floors pin the quality. */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"kmcent:$dir") {
+      import spark.implicits._
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.linalg.Vectors
+      val features = Tables.embeddings(spark, dir)
+        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+        .map { case (id, arr) =>
+          val d = arr.map(_.toDouble)
+          val norm = math.sqrt(d.map(x => x * x).sum)
+          (id, Vectors.dense(d.map(_ / norm)))
+        }
+        .toDF("vec_id", "features")
+        .coalesce(2)
+        .persist()
+      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+        .setInitMode("random")
+        .setFeaturesCol("features").fit(features)
+      // features only feed the (just-completed) training iterations —
+      // release the cache instead of leaking one copy per call
+      features.unpersist(blocking = false)
+      model.clusterCenters.zipWithIndex
+        .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("pivot_id", "c")
+    }
+
+  /** Per-vector squared distance to each trained centroid: a narrow ×K
+    * expansion against the bounded centroid broadcast (HOF fold — the
+    * hot corpus-side pairwise math stays in graft_dot downstream).
+    * `queriesOnly` restricts the scored side to the query subset. */
+  private def kmeansCentScores(
+      spark: SparkSession, dir: String, queriesOnly: Boolean): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val n = quantized(spark, dir)
-    // spherical k-means: L2-normalize before training so Euclidean cells
-    // align with the cosine retrieval metric (on raw vectors the two
-    // metrics disagree and probe recall drops)
-    // coalesce(2): the feature set is k-bounded-tiny next to the corpus
-    // scans (one Vector per embedding row); MLlib runs ~2 jobs per
-    // iteration, so task count per job — not data volume — is the cost.
-    // Random init replaces k-means||'s ~5 extra init rounds; with the
-    // fixed seed the centroids are still deterministic, and the suite's
-    // recall floor (>= 0.85 @ nprobe 4) pins the quality.
-    val features = Tables.embeddings(spark, dir)
-      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
-      .map { case (id, arr) =>
-        val d = arr.map(_.toDouble)
-        val norm = math.sqrt(d.map(x => x * x).sum)
-        (id, Vectors.dense(d.map(_ / norm)))
-      }
-      .toDF("vec_id", "features")
-      .coalesce(2)
-      .persist()
-    val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
-      .setInitMode("random")
-      .setFeaturesCol("features").fit(features)
-    // features only feed the (just-completed) training iterations —
-    // release the cache instead of leaking one copy per call
-    features.unpersist(blocking = false)
-    val centDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("pivot_id", "c")
-    val norm = (e0: String) =>
-      expr(s"transform($e0, x -> x / sqrt(aggregate($e0, 0D, (a, v) -> a + v * v)))")
-    // per-vector distance to each of the k centroids: a narrow ×k
-    // expansion against the bounded centroid broadcast (HOF fold — the
-    // hot corpus-side pairwise math stays in graft_dot downstream)
-    def centDist(side: DataFrame): DataFrame = side
-      .crossJoin(broadcast(centDf))
+    val base0 = Tables.embeddings(spark, dir)
+    val base = if (queriesOnly) base0.filter(isQuery($"vec_id")) else base0
+    base
+      .select($"vec_id", expr("cast(embedding as array<double>)").as("e0"))
+      .select($"vec_id",
+        expr("transform(e0, x -> x / sqrt(aggregate(e0, 0D, (a, v) -> a + v * v)))")
+          .as("e"))
+      .crossJoin(broadcast(kmeansCentroids(spark, dir)))
       .select($"vec_id", $"pivot_id",
         expr("aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
           .as("d2"))
+  }
+
+  /** Memoized single-best trained-centroid assignment
+    * `(vec_id, cluster_id)` — the O(K·n) coarse step with a K-bounded
+    * broadcast, via one partial+final max_by aggregation (a window would
+    * sort-shuffle the whole corpus). The scale-correct cluster id for
+    * [[DedupOps.dedupSemantic]]. */
+  private[graft] def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"kmassign:$dir") {
+      import spark.implicits._
+      kmeansCentScores(spark, dir, queriesOnly = false)
+        .groupBy($"vec_id")
+        .agg(max_by($"pivot_id", struct(-$"d2", -$"pivot_id")).as("cluster_id"))
+        .persist()
+    }
+
+  private[graft] def similarityIvfTrainedProbe(
+      spark: SparkSession, dir: String, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val n = quantized(spark, dir)
     // inverted lists with MULTI-ASSIGNMENT factor 2: each corpus vector
     // is indexed under its two nearest centroids (the classic IVF recall
     // lever that does NOT raise nprobe). Top-2 via two partial+final
     // max_by aggregations — a window would sort-shuffle the whole corpus.
-    val cscore = centDist(Tables.embeddings(spark, dir)
-      .select($"vec_id", expr("cast(embedding as array<double>)").as("e0"))
-      .select($"vec_id", norm("e0").as("e")))
+    val cscore = kmeansCentScores(spark, dir, queriesOnly = false)
     val best = max_by($"pivot_id", struct(-$"d2", -$"pivot_id"))
-    val a1 = cscore.groupBy($"vec_id").agg(best.as("pivot_id"))
+    val a1 = kmeansAssign(spark, dir)
+      .withColumnRenamed("cluster_id", "pivot_id")
     val a2 = cscore.join(a1.withColumnRenamed("pivot_id", "p1"), "vec_id")
       .filter($"pivot_id" =!= $"p1")
       .groupBy($"vec_id").agg(best.as("pivot_id"))
     val assign = a1.unionByName(a2)
     // query probes: top-nprobe lists by centroid distance (queries × k
     // rows — tiny, the window is per-query over k entries)
-    val pscore = centDist(Tables.embeddings(spark, dir).filter(isQuery($"vec_id"))
-      .select($"vec_id", expr("cast(embedding as array<double>)").as("e0"))
-      .select($"vec_id", norm("e0").as("e")))
+    val pscore = kmeansCentScores(spark, dir, queriesOnly = true)
     val wProbe = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"pivot_id".asc)
     val probes = pscore
       .withColumn("rk", row_number().over(wProbe)).filter($"rk" <= nprobe)
@@ -550,15 +584,86 @@ object SimilarityOps {
     * float ops are the final division and sqrt, identical IEEE trees.
     * Tie-breaks are total orders: (d2, code_id) for encoding,
     * (approx_cos desc, neighbor_id) for ranking. */
-  def similarityIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def similarityIvfPq(spark: SparkSession, dir: String): DataFrame =
+    pqPipeline(spark, dir, pqCodebookFixed(spark, dir))
+
+  /** The corpus-drawn deterministic codebook `(m, cws)` (vec_id ≡ 5 mod
+    * 32, vec_id < 512 → 16 codewords per subspace): the oracle-checkable
+    * form, and the INIT for [[pqCodebookTrained]]. */
+  private def pqCodebookFixed(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = quantized(spark, dir)
-    val cwBase = n.filter(pmod($"vec_id", lit(32)) === 5 && $"vec_id" < 512)
+    val cwBase = quantized(spark, dir)
+      .filter(pmod($"vec_id", lit(32)) === 5 && $"vec_id" < 512)
       .select((($"vec_id" - 5) / 32).cast("int").as("code_id"), $"q")
     // per-subspace codeword array, code_id-sorted for a deterministic fold
-    val cwArr = pqSubspaces(cwBase, "code_id")
+    pqSubspaces(cwBase, "code_id")
       .groupBy($"m")
       .agg(sort_array(collect_list(struct($"code_id", $"sub".as("cw")))).as("cws"))
+  }
+
+  /** Lloyd-TRAINED per-subspace PQ codebooks (`similarity_ivfpq_trained`'s
+    * model stage): 5 k-means iterations over the (vec, subspace) slices,
+    * initialized from the deterministic corpus-drawn codebook so the
+    * result is seed-free and reproducible. All 8 subspaces train
+    * SIMULTANEOUSLY — one assignment join against the broadcast 128-row
+    * codebook plus one (m, code, pos)-keyed mean aggregation per
+    * iteration, instead of 8 separate single-subspace training jobs; the
+    * driver only ever holds the 128×8-long codebook itself (a bounded
+    * model, like the logreg weights), never corpus rows. Trained
+    * codewords are re-quantized to the ⌊·+½⌋ integer grid so the encode/
+    * ADC arithmetic stays the exact-BIGINT fold the fixed codebook uses.
+    * Empty clusters keep their previous codeword (carryover, the
+    * standard Lloyd guard). Memoized + persisted per (session, dir). */
+  private[graft] def pqCodebookTrained(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"pqcbt:$dir") {
+      import spark.implicits._
+      val subs = pqSubspaces(quantized(spark, dir).select($"vec_id", $"q"), "vec_id")
+        .persist()
+      try {
+        var cb: Seq[(Int, Int, Seq[Long])] = pqCodebookFixed(spark, dir)
+          .select($"m", explode($"cws").as("c"))
+          .select($"m", $"c.code_id".as("code_id"), $"c.cw".as("cw"))
+          .as[(Int, Int, Seq[Long])].collect().toSeq
+        for (_ <- 1 to 5) {
+          val cwArr = cb.toDF("m", "code_id", "cw")
+            .groupBy($"m")
+            .agg(sort_array(collect_list(struct($"code_id", $"cw"))).as("cws"))
+          val assigned = subs.join(broadcast(cwArr), Seq("m"))
+            .select($"m",
+              expr("""array_min(transform(cws, c -> named_struct(
+                |  'd2', aggregate(zip_with(sub, c.cw, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v),
+                |  'code_id', c.code_id))).code_id""".stripMargin).as("code_id"),
+              posexplode($"sub").as(Seq("pos", "x")))
+          val means = assigned.groupBy($"m", $"code_id", $"pos")
+            .agg(avg($"x").as("mx"))
+            .groupBy($"m", $"code_id")
+            .agg(sort_array(collect_list(struct($"pos", $"mx"))).as("ps"))
+            .select($"m", $"code_id",
+              expr("transform(ps, p -> cast(floor(p.mx + 0.5) as bigint))").as("cw"))
+            .as[(Int, Int, Seq[Long])].collect()
+          val got = means.map(t => (t._1, t._2) -> t._3).toMap
+          cb = cb.map { case (m, c, old) => (m, c, got.getOrElse((m, c), old)) }
+        }
+        cb.toDF("m", "code_id", "cw")
+          .groupBy($"m")
+          .agg(sort_array(collect_list(struct($"code_id", $"cw"))).as("cws"))
+          .persist()
+      } finally subs.unpersist(blocking = false)
+    }
+
+  /** IVF-PQ with the TRAINED codebooks (`similarity_ivfpq_trained`):
+    * identical candidate generation, encoding, and ADC re-rank as
+    * [[similarityIvfPq]] — only the codebook input changes. Model-based
+    * → no SQL oracle (like `similarity_ivf_trained`); the suite asserts
+    * the trained codebook's mean |ADC − exact| cosine error does not
+    * regress vs the fixed codebook and recall@3 holds. */
+  def similarityIvfPqTrained(spark: SparkSession, dir: String): DataFrame =
+    pqPipeline(spark, dir, pqCodebookTrained(spark, dir))
+
+  private def pqPipeline(
+      spark: SparkSession, dir: String, cwArr: DataFrame): DataFrame = {
+    import spark.implicits._
+    val n = quantized(spark, dir)
     // encode: per (vec, subspace) row, argmin-L2 codeword via a single
     // array_min over (d2, code_id, cn2) structs — struct ordering IS the
     // (d2, code_id) tie-break, and cn2 (codeword self-dot) rides along so

@@ -28,8 +28,11 @@ object TextOps {
   private[operators] val StopWords = Seq("the", "a", "of", "and", "to")
 
   /** [[StopWords]] as a SQL IN-list fragment, shared by the oracle
-    * strings so both engines read the same constant. */
-  private val StopWordsSql = StopWords.map(w => s"'$w'").mkString(", ")
+    * strings so both engines read the same constant. Embedded single
+    * quotes are SQL-escaped so a future stop word like "it's" corrupts
+    * neither the oracle strings nor this constant's call sites. */
+  private val StopWordsSql =
+    StopWords.map(w => s"'${w.replace("'", "''")}'").mkString(", ")
 
   /** Teacher logistic-regression weights — order: bias, log token count,
     * stopword ratio, type-token ratio, average token length. The single
@@ -868,4 +871,72 @@ object TextOps {
         .orderBy($"iter")
     } finally feats.unpersist(blocking = false)
   }
+
+  /** PII regex classes shared by [[textPiiScrub]] and its oracle string:
+    * kept to syntax valid in BOTH Java regex (Spark) and RE2 (DuckDB) —
+    * no lookaround, no backreferences — so the two engines scrub
+    * identically. */
+  private val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PiiPhoneRe = "555-[0-9]+"
+  private val PiiIdRe = "[0-9]{6,}"
+
+  /** Corpus PII scrub (`text_pii_scrub`): redact emails, phone numbers,
+    * and long digit ids from `documents.text`, reporting per-class match
+    * counts as the audit trail — the corpus-side counterpart of
+    * [[CurationOps.eventsPiiScrub]] (training pipelines scrub the text
+    * corpus, not just event payloads).
+    *
+    * The synthetic corpus carries no PII (word-soup text, no digits), so
+    * the query PLANTS deterministic markers on the doc_id ≡ 0 (mod 97)
+    * sample — built from the same expression on both engines — keeping
+    * the replacement path oracle-EXERCISED rather than comparing no-ops;
+    * the remaining 96/97 of the corpus proves the scrubber's no-false-
+    * positive side. Classes are counted on the pre-scrub text and
+    * replaced most-specific-first (email → phone → id) so the id class
+    * cannot eat a phone's digits before the phone class sees them.
+    *
+    * Scale shape: one narrow fully-codegen projection (RegExpReplace /
+    * RegExpCount chains), zero shuffles before the ordered output — the
+    * 100 TB form is a map-only pass with the audit aggregated
+    * downstream. */
+  def textPiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val planted = concat($"text",
+      lit(" contact user"), $"doc_id".cast("string"),
+      lit("@example.com phone 555-"), $"doc_id".cast("string"),
+      lit(" id 1234567890"))
+    val aug = when(pmod($"doc_id", lit(97)) === 0, planted).otherwise($"text")
+    Tables.documents(spark, dir)
+      .select($"doc_id", aug.as("aug"))
+      .select($"doc_id",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"aug", PiiEmailRe, "[EMAIL]"),
+            PiiPhoneRe, "[PHONE]"),
+          PiiIdRe, "[ID]").as("scrubbed"),
+        regexp_count($"aug", lit(PiiEmailRe)).cast("bigint").as("n_emails"),
+        regexp_count($"aug", lit(PiiPhoneRe)).cast("bigint").as("n_phones"),
+        regexp_count($"aug", lit(PiiIdRe)).cast("bigint").as("n_ids"))
+      .orderBy($"doc_id")
+  }
+
+  val textPiiScrubSql: String =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 97 = 0
+       |         THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+       |              || '@example.com phone 555-' || CAST(doc_id AS VARCHAR)
+       |              || ' id 1234567890'
+       |         ELSE text END AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$PiiEmailRe', '[EMAIL]', 'g'),
+       |    '$PiiPhoneRe', '[PHONE]', 'g'),
+       |    '$PiiIdRe', '[ID]', 'g') AS scrubbed,
+       |  CAST(len(regexp_extract_all(aug, '$PiiEmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(aug, '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(aug, '$PiiIdRe')) AS BIGINT) AS n_ids
+       |FROM aug
+       |ORDER BY doc_id""".stripMargin
 }

@@ -232,27 +232,70 @@ class OperatorSpec extends SparkTestBase {
     assert(meanErr < 0.25, s"ADC error too large: $meanErr")
   }
 
-  test("dedup_semantic: drops are witnessed by the exact baseline, rows conserved") {
-    val sem = SparkEntry.queries("dedup_semantic")(spark, sfDir).collect()
+  test("similarity_ivfpq_trained: Lloyd codebooks do not regress ADC error or recall@3") {
+    import org.apache.spark.sql.functions.{col, expr}
+    graft.functions.FixedPointDotProduct.register(spark)
+    val n = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>), x -> cast(floor(x * 1000000) as bigint))").as("q"))
+      .withColumn("n2", expr("cast(graft_dot(q, q) as double)"))
+    def meanErr(key: String): Double = {
+      val rows = SparkEntry.queries(key)(spark, sfDir)
+        .join(n.select(col("vec_id").as("query_id"), col("q").as("qq"), col("n2").as("qn2")), "query_id")
+        .join(n.select(col("vec_id").as("neighbor_id"), col("q"), col("n2")), "neighbor_id")
+        .select(col("approx_cos"),
+          (expr("cast(graft_dot(qq, q) as double)") / (expr("sqrt(qn2)") * expr("sqrt(n2)"))).as("true_cos"))
+        .collect()
+      rows.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / rows.length
+    }
+    val brute = SparkEntry.queries("similarity_topk")(spark, sfDir).collect()
+      .filter(_.getInt(3) <= 3).map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(key: String): Double = {
+      val got = SparkEntry.queries(key)(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got intersect brute).size.toDouble / brute.size
+    }
+    val (eF, eT) = (meanErr("similarity_ivfpq"), meanErr("similarity_ivfpq_trained"))
+    val (rF, rT) = (recall("similarity_ivfpq"), recall("similarity_ivfpq_trained"))
+    info(f"ADC mean |approx-exact| error: fixed=$eF%.3f trained=$eT%.3f; " +
+      f"recall@3: fixed=$rF%.2f trained=$rT%.2f")
+    // training on the corpus-drawn init must not make quantization WORSE
+    // (Lloyd monotonically decreases within-cluster distortion; the
+    // cosine-error and recall surfaces follow it on this data)
+    assert(eT <= eF + 1e-9, s"trained codebook raised ADC error: $eT > $eF")
+    assert(rT >= rF, s"trained codebook lost recall@3: $rT < $rF")
+  }
+
+  test("dedup_semantic: drops witnessed by the exact baseline, trained >= pivots recall") {
     val total = Tables.embeddings(spark, sfDir).count()
-    assert(sem.length == total, s"row conservation broken: ${sem.length} vs $total")
-    val dropped = sem.filter(_.getString(2) == "dropped").map(_.getLong(0)).toSet
-    assert(dropped.nonEmpty, "SemDeDup dropped nothing — threshold dead")
     // every drop must have a smaller-id ≥0.4-cosine partner, i.e. appear
     // as vec_b of an exact all-pairs baseline pair (no false drops)
     val exactB = SparkEntry.queries("dedup_embedding_cosine")(spark, sfDir)
       .collect().map(_.getLong(1)).toSet
-    assert(dropped.subsetOf(exactB),
-      s"drops without exact witness: ${dropped.diff(exactB)}")
+    def droppedOf(name: String): Set[Long] = {
+      val rows = SparkEntry.queries(name)(spark, sfDir).collect()
+      assert(rows.length == total, s"$name row conservation broken: ${rows.length} vs $total")
+      val dropped = rows.filter(_.getString(2) == "dropped").map(_.getLong(0)).toSet
+      assert(dropped.nonEmpty, s"$name dropped nothing — threshold dead")
+      assert(dropped.subsetOf(exactB),
+        s"$name drops without exact witness: ${dropped.diff(exactB)}")
+      dropped
+    }
+    val trained = droppedOf("dedup_semantic")
+    val pivots = droppedOf("dedup_semantic_pivots")
     // recall vs the exact baseline is the SemDeDup trade (same-cluster
     // pairs only); near-UNIFORM embeddings are the worst case — random
-    // assignment would catch ~1/8 (8 clusters), measured 0.27 at
-    // sf0.001 because near-dups share pivot affinity. Pin clearly above
-    // random, below the measurement.
-    val recall = dropped.size.toDouble / exactB.size
-    info(f"SemDeDup drop recall vs exact baseline = $recall%.2f " +
-      s"(${dropped.size} of ${exactB.size} droppable)")
-    assert(recall >= 0.18, s"within-cluster recall collapsed to random: $recall")
+    // assignment would catch ~1/16 (K=16). Measured at sf0.001:
+    // trained 0.31, pivots 0.27 — the trained bounded-K quantizer must
+    // not regress below the density-pivot variant it replaced as the
+    // default (the SemDeDup thesis: k-means cells track the data's
+    // near-dup geometry; random-density pivots don't).
+    val rT = trained.size.toDouble / exactB.size
+    val rP = pivots.size.toDouble / exactB.size
+    info(f"SemDeDup drop recall vs exact baseline: trained=$rT%.2f pivots=$rP%.2f " +
+      s"(${trained.size}/${pivots.size} of ${exactB.size} droppable)")
+    assert(rT >= rP, s"trained coarse step lost recall vs pivots: $rT < $rP")
+    assert(rP >= 0.18, s"within-cluster recall collapsed to random: $rP")
   }
 
   test("text_quality_logreg: probabilities, label consistency, non-trivial split") {
@@ -401,6 +444,16 @@ class OperatorSpec extends SparkTestBase {
     val pl = p.toLowerCase
     assert(pl.contains("regexp_count") || pl.contains("regexp_extract_all"),
       s"audit count should be a match count, not a second replace:\n$p")
+  }
+
+  test("plan: text_pii_scrub is one shuffle-free scan before the output sort") {
+    val p = fmtPlan("text_pii_scrub")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single documents scan, found $scans:\n$p")
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning — the scrub itself must be a narrow projection
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"scrub projection introduced a shuffle:\n$p")
   }
 
   test("curation_domain_mixture: shares sum to 1, weights are sqrt-compressed") {
@@ -825,6 +878,55 @@ class OperatorSpec extends SparkTestBase {
     assert(out.map(_.getLong(2)).sum == gate.count {
       case (id, _) => keepers(id) && split(id) == "train" },
       "packed doc count != survivor count")
+  }
+
+  test("curation_training_extract_neardup drops the CC non-canonicals the exact extract keeps") {
+    // the near-dup keeper rule must drop every gated+train doc that
+    // dedup_canonical_pick marked keep=false, and nothing else beyond
+    // what the gate/split already exclude
+    val gate = SparkEntry.queries("curation_quality_gate")(spark, sfDir).collect()
+      .filter(_.getBoolean(5)).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccDrops = SparkEntry.queries("dedup_canonical_pick")(spark, sfDir).collect()
+      .filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    val split = SparkEntry.queries("curation_train_val_test")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expectedMass = gate.collect {
+      case (id, n) if !ccDrops(id) && split(id) == "train" => n
+    }.sum
+    val out = SparkEntry.queries("curation_training_extract_neardup")(spark, sfDir)
+      .collect()
+    assert(out.map(_.getLong(3)).sum == expectedMass,
+      "near-dup packed token mass != gated∩(CC keepers)∩train mass")
+    // MinHash CC components contain the exact-dup clusters, so the
+    // near-dup extract can never retain MORE docs than the exact one
+    val exactDocs = SparkEntry.queries("curation_training_extract")(spark, sfDir)
+      .collect().map(_.getLong(2)).sum
+    assert(out.map(_.getLong(2)).sum <= exactDocs,
+      "near-dup extract kept more docs than the exact-dedup extract")
+  }
+
+  test("text_pii_scrub redacts every planted marker and nothing else") {
+    val out = SparkEntry.queries("text_pii_scrub")(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.length == total, s"row conservation broken: ${out.length} vs $total")
+    val planted = out.filter(_.getLong(0) % 97 == 0)
+    assert(planted.nonEmpty)
+    planted.foreach { r =>
+      assert(r.getLong(2) == 1 && r.getLong(3) == 1 && r.getLong(4) == 1,
+        s"doc ${r.getLong(0)}: expected one email/phone/id marker, got " +
+          s"(${r.getLong(2)}, ${r.getLong(3)}, ${r.getLong(4)})")
+      val s = r.getString(1)
+      assert(s.contains("[EMAIL]") && s.contains("[PHONE]") && s.contains("[ID]"),
+        s"doc ${r.getLong(0)}: redaction tokens missing from scrubbed text")
+      assert(!s.contains("@example.com") && !s.contains("555-"),
+        s"doc ${r.getLong(0)}: PII survived the scrub")
+    }
+    // the 96/97 unplanted corpus must pass through untouched (word-soup
+    // text carries no PII) — the no-false-positive side
+    out.filter(_.getLong(0) % 97 != 0).foreach { r =>
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0,
+        s"doc ${r.getLong(0)}: false-positive PII match")
+    }
   }
 
   test("dedup_incremental verdicts match a brute-force registry check") {

@@ -75,6 +75,10 @@ object Tables {
         // row turns that silent corruption into a loud error, matching
         // the loud IllegalStateException of the unknown-type branch.
         // Epoch 0 passes (a legitimate origin value the tests exercise).
+        // KNOWN LIMIT: legitimate nanos instants in 1966-1973 (0 < |ts|
+        // < 1e17) would trip this guard; TestdataContractSpec pins the
+        // current-era assumption against the live testdata so such a
+        // generation fails one named assertion, not every events scan.
         df.withColumn("ts", expr(
           """timestamp_micros(CASE
             |  WHEN ts IS NULL THEN NULL

@@ -591,6 +591,17 @@ object StreamingOps {
     * the stream. At scale the registry is the
     * per-snapshot hash table production maintains; the stream side only
     * ever shuffles 8-byte-keyed hashes into bounded dedup state. */
+  /** Whether the most recent [[streamingIncrementalDedup]] run in this
+    * JVM planted (and therefore exercised) the cross-batch sentinel —
+    * the degraded sentinel-free path used to be visible only as a
+    * stderr line, so a testdata generation could silently stop
+    * exercising the state-carry property while the oracle kept
+    * matching. StreamingSpec asserts this flag whenever the testdata
+    * supports the sentinel, making the degradation loud in CI instead
+    * of buried in a log. Test-observability surface only — never read
+    * by query logic. */
+  @volatile private[graft] var lastRunExercisedSentinel: Boolean = false
+
   def streamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val s = streamSession(spark)
     import s.implicits._
@@ -628,6 +639,7 @@ object StreamingOps {
         System.err.println("[streaming_incremental_dedup] <2 matching docs in " +
           "this testdata generation: sentinel-free run, cross-batch state " +
           "carry NOT exercised")
+      lastRunExercisedSentinel = sentinel.nonEmpty
       in.addData((second ++ sentinel).toSeq: _*)
       q.processAllAvailable()
     } finally q.stop()

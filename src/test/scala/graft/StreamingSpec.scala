@@ -21,6 +21,12 @@ class StreamingSpec extends SparkTestBase {
     val hashes = out.map(_.getString(1))
     assert(hashes.distinct.length == hashes.length, "duplicate hash in output")
     assert(out.map(_.getString(2)).forall(Set("dup_of_corpus", "new")))
+    // the sentinel-free degraded path must not pass silently: when this
+    // testdata generation has >= 1 doc in the incoming batch (it does —
+    // out is non-empty), the run must have planted the cross-batch
+    // sentinel, otherwise the state-carry property above was vacuous
+    assert(StreamingOps.lastRunExercisedSentinel,
+      "sentinel path did not run: cross-batch state carry went unexercised")
   }
 
   test("event-time tumbling window maxBy over a MemoryStream (W1)") {

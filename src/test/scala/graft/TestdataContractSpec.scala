@@ -68,4 +68,31 @@ class TestdataContractSpec extends SparkTestBase {
     assert(ts == TimestampType,
       s"Tables.events must normalize ts to TimestampType, got $ts")
   }
+
+  test("long-typed events.ts stays in the nanos-magnitude epoch range the reader assumes") {
+    // Tables.normalizeEventTs treats a LongType ts as a NANOS epoch and
+    // (deliberately) raise_error's on 0 < |ts| < 1e17 — values that
+    // would be legitimate nanos instants between ~1966 and ~1973 but are
+    // far more likely a silent micros-as-long regeneration. That guard
+    // is only sound while the generated data actually stays current-era;
+    // this test pins that ASSUMPTION against the live testdata, so a
+    // future generation with early timestamps fails HERE (one assertion
+    // naming the contract) instead of crashing every events consumer
+    // mid-scan. If this fires: extend normalizeEventTs to an
+    // aggregate-level magnitude probe before relaxing the per-row guard.
+    import org.apache.spark.sql.functions._
+    val raw = Tables.table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        val r = raw.agg(
+          min(abs(col("ts"))).as("mn"), max(abs(col("ts"))).as("mx")).head()
+        val (mn, mx) = (r.getLong(0), r.getLong(1))
+        assert(mn == 0L || mn >= 100000000000000000L,
+          s"events.ts long values dip below nanos magnitude (min |ts| = $mn): " +
+            "the current-era assumption behind normalizeEventTs no longer holds")
+        assert(mx < 4102444800L * 1000000000L, // ~year 2100 in nanos
+          s"events.ts long values exceed plausible nanos range (max |ts| = $mx)")
+      case _ => // micros/NTZ generations: the guard is not in play
+    }
+  }
 }

@@ -187,6 +187,9 @@ object SparkEntry {
     "dedup_semantic"           -> (DedupOps.dedupSemantic(_, _)),
     "dedup_semantic_pivots"    -> (DedupOps.dedupSemanticPivots(_, _)),
     "dedup_edit_distance"      -> (DedupOps.dedupEditDistance(_, _)),
+    // cross-doc repeated-substring spans (the ExactSubstr pass of
+    // Lee et al. 2022, as a K-gram lattice + gaps-and-islands merge)
+    "dedup_repeated_substrings" -> (DedupOps.dedupRepeatedSubstrings(_, _)),
     "dedup_connected_components" -> (PipelineOps.dedupConnectedComponents(_, _)),
     // keep/drop decision per near-dup cluster (canonical representative)
     "dedup_canonical_pick"     -> (PipelineOps.dedupCanonicalPick(_, _)),
@@ -240,6 +243,9 @@ object SparkEntry {
     "curation_dataset_card"    -> (CurationOps.datasetCard(_, _)),
     // alpha=0.5 temperature-resampled language mixture weights
     "curation_lang_temperature" -> (CurationOps.langTemperatureMixture(_, _)),
+    // epoch/repeat schedule under a token budget (4-epoch cap,
+    // Muennighoff et al. 2023)
+    "curation_epoch_plan"      -> (CurationOps.curationEpochPlan(_, _)),
     // Gopher-style duplicate-10-gram fraction (sub-document repetition)
     "text_dup_ngram_fraction"  -> (TextOps.textDupNgramFraction(_, _)),
     // CCNet-style unigram-LM mean log-prob quality signal
@@ -422,6 +428,7 @@ object SparkEntry {
     "dedup_embedding_cosine"   -> DedupOps.dedupEmbeddingCosineSql,
     "dedup_semantic_pivots"    -> DedupOps.dedupSemanticSql,
     "dedup_edit_distance"      -> DedupOps.dedupEditDistanceSql,
+    "dedup_repeated_substrings" -> DedupOps.dedupRepeatedSubstringsSql,
     "dedup_connected_components" -> PipelineOps.dedupConnectedComponentsSql,
     "dedup_canonical_pick"     -> PipelineOps.dedupCanonicalPickSql,
     "dedup_chunks"             -> TextOps.dedupChunksSql,
@@ -453,6 +460,7 @@ object SparkEntry {
       CurationOps.curationTrainingExtractNearDupSql,
     "curation_dataset_card"    -> CurationOps.datasetCardSql,
     "curation_lang_temperature" -> CurationOps.langTemperatureMixtureSql,
+    "curation_epoch_plan"      -> CurationOps.curationEpochPlanSql,
     "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
     "text_lm_logprob"          -> TextOps.textLmLogprobSql,
     "text_pii_scrub"           -> TextOps.textPiiScrubSql,

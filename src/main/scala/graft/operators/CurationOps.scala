@@ -828,4 +828,95 @@ object CurationOps {
       |    AS upsample_vs_largest
       |FROM grouped
       |ORDER BY lang""".stripMargin
+
+  /** Epoch/repeat cap for data-constrained training: Muennighoff et al.
+    * 2023 ("Scaling Data-Constrained Language Models", arXiv:2305.16264)
+    * measure that up to ~4 epochs of repeated data is nearly as good as
+    * fresh data, after which returns decay to zero. */
+  private val MaxEpochs = 4.0
+
+  /** Budget multiplier: the plan targets 2× the corpus token count —
+    * the data-constrained regime where the epoch cap binds for
+    * over-weighted low-resource languages. */
+  private val BudgetX = 2
+
+  /** Epoch sampling plan (`curation_epoch_plan`) — the step AFTER the
+    * [[langTemperatureMixture]] reweighting: given a training token
+    * budget ([[BudgetX]] × corpus tokens) and the α=0.5 temperature
+    * mixture q_l ∝ √p_l, decide how many EPOCHS of each language to
+    * schedule, capped at [[MaxEpochs]] passes (Muennighoff et al. 2023),
+    * and report the unfillable deficit the cap leaves. This is the table
+    * a data-mixing controller feeds to the sampler: per language, the
+    * mixture share, target tokens, raw ideal epochs, capped epochs, the
+    * tokens actually allocated, and the shortfall to redistribute.
+    *
+    * Bit-stability across engines: the only cross-group float reduction
+    * (the mixture normalizer Z = Σ_l √n_l) is a SORTED SEQUENTIAL fold —
+    * `aggregate(sort_array(collect_list(...)))` here, `list_reduce(list(
+    * ... ORDER BY lang))` in the oracle — so both engines add the same
+    * doubles in the same order; everything else is a closed form over
+    * exact BIGINT counts with a single-rounded op per step (√ is IEEE
+    * correctly rounded; mul/div mirror the oracle's tree op for op).
+    *
+    * Scale shape: one partial+final aggregation over the corpus into a
+    * bounded (≤ language-count) key space, a 1-row broadcast of the
+    * totals, and per-row arithmetic — the same footprint as the mixture
+    * query it extends. */
+  def curationEpochPlan(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grouped = Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).cast("bigint").as("n_tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+    val tot = grouped.agg(
+      sum($"n_tokens").as("total_tokens"),
+      aggregate(
+        sort_array(collect_list(struct($"lang", $"n_tokens"))), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("z"))
+    val nL     = $"n_tokens".cast("double")
+    val target = (lit(BudgetX) * $"total_tokens").cast("double") * sqrt(nL) / $"z"
+    val raw    = target / nL
+    val capped = least(lit(MaxEpochs), raw)
+    val alloc  = capped * nL
+    grouped.crossJoin(broadcast(tot))
+      .select($"lang", $"n_docs", $"n_tokens",
+        round(sqrt(nL) / $"z", 6).as("mix_share"),
+        round(target, 2).as("target_tokens"),
+        round(raw, 6).as("epochs_raw"),
+        round(capped, 6).as("epochs"),
+        round(alloc, 2).as("allocated_tokens"),
+        round(greatest(lit(0.0), target - alloc), 2).as("deficit_tokens"))
+      .orderBy($"lang")
+  }
+
+  val curationEpochPlanSql: String =
+    """WITH grouped AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+      |      (a, b) -> a + b) AS z
+      |  FROM grouped)
+      |SELECT lang, n_docs, n_tokens,
+      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / t.z, 6) AS mix_share,
+      |  round(CAST(2 * t.total_tokens AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE)) / t.z,
+      |        2) AS target_tokens,
+      |  round(CAST(2 * t.total_tokens AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE)) / t.z
+      |        / CAST(n_tokens AS DOUBLE), 6) AS epochs_raw,
+      |  round(least(4.0, CAST(2 * t.total_tokens AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE))
+      |        / t.z / CAST(n_tokens AS DOUBLE)), 6) AS epochs,
+      |  round(least(4.0, CAST(2 * t.total_tokens AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE))
+      |        / t.z / CAST(n_tokens AS DOUBLE)) * CAST(n_tokens AS DOUBLE), 2)
+      |    AS allocated_tokens,
+      |  round(greatest(CAST(0.0 AS DOUBLE),
+      |        CAST(2 * t.total_tokens AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE)) / t.z
+      |        - least(4.0, CAST(2 * t.total_tokens AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE))
+      |                / t.z / CAST(n_tokens AS DOUBLE)) * CAST(n_tokens AS DOUBLE)), 2)
+      |    AS deficit_tokens
+      |FROM grouped, tot t
+      |ORDER BY lang""".stripMargin
 }

@@ -616,6 +616,96 @@ object DedupOps {
        |WHERE 5 * i.n_inter >= 4 * sa.nsh
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Token count below which a repeated cross-document span is ignored —
+    * the K of the K-gram pass. Lee et al. 2022 use 50 BPE tokens on web
+    * corpora; 8 whitespace tokens is the same idea scaled to the
+    * ~54-token synthetic docs. */
+  private val SpanGram = 8
+
+  /** Cross-document REPEATED-SUBSTRING spans (`dedup_repeated_substrings`)
+    * — the distributed stand-in for the suffix-array pass of Lee et al.
+    * 2022 ("Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499), which removes VERBATIM repeated substrings
+    * (boilerplate, licenses, templated headers) that whole-document
+    * near-dup families never see. For every document, emits the maximal
+    * token spans of length ≥ [[SpanGram]] whose every [[SpanGram]]-gram
+    * also occurs in at least one OTHER document:
+    *
+    *  1. positional K-gram stream — one `(doc_id, pos, md5(gram))` row
+    *     per token position (narrow: split → sequence → slice → md5,
+    *     all codegen; the 16-byte hash moves through every shuffle, the
+    *     ~8-word gram string never leaves the scan stage);
+    *  2. duplicated-gram classification — `count(DISTINCT doc_id) ≥ 2`
+    *     per gram hash (partial+final two-level aggregate);
+    *  3. a LEFT SEMI join of the positional stream back onto the
+    *     duplicated keys — both sides hash-partitioned on the same
+    *     16-byte key, so AQE plans one co-located shuffle;
+    *  4. per-document span merge — gaps-and-islands over `pos`
+    *     (overlapping/adjacent hits, gap ≤ K, coalesce into one island),
+    *     a window partitioned by doc_id whose state is bounded by
+    *     document length, never corpus size.
+    *
+    * At 100 TB no stage is corpus-proportional on a single node: the
+    * gram aggregate and semi-join shard on the hash, the window shards
+    * on doc_id. A suffix array would find spans ≥ K with arbitrary
+    * alignment; the K-gram lattice finds exactly the same spans (any
+    * duplicated run of length L ≥ K contains L−K+1 duplicated K-grams at
+    * every offset, which merge back into one island), at the cost of
+    * K-gram classification granularity — the standard trade
+    * (ExactSubstr vs its MinHash approximations in the paper's §4).
+    *
+    * Parity: both engines classify on the md5 of the identical gram
+    * string; the island arithmetic is pure integer math. */
+  def dedupRepeatedSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val K = SpanGram
+    val grams = Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .filter(size($"ws") >= K)
+      .select($"doc_id", posexplode(expr(
+        s"transform(sequence(0, size(ws) - $K), i -> unhex(md5(concat_ws(' ', slice(ws, i + 1, $K)))))")))
+      .select($"doc_id", ($"pos" + 1).cast("bigint").as("pos"), $"col".as("g"))
+    val dupGrams = grams.groupBy($"g")
+      .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"g")
+    val hits = grams.join(dupGrams, Seq("g"), "left_semi")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val islands = hits
+      .withColumn("brk",
+        when($"pos" - lag($"pos", 1).over(byPos) <= K, lit(0L)).otherwise(lit(1L)))
+      .withColumn("island", sum($"brk").over(byPos))
+    islands.groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"), (max($"pos") + (K - 1)).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .select($"doc_id", $"span_start", $"span_end",
+        ($"span_end" - $"span_start" + 1).as("span_tokens"), $"n_dup_grams")
+      .orderBy($"doc_id", $"span_start")
+  }
+
+  val dedupRepeatedSubstringsSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |grams AS (
+      |  SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+7], ' ')) AS g
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos
+      |        FROM toks WHERE len(ws) >= 8)),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM hits),
+      |grp AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl)
+      |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+      |       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+      |       CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS span_tokens,
+      |       CAST(count(*) AS BIGINT) AS n_dup_grams
+      |FROM grp GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** Embedding cosine near-duplicate pairs (exact, cutoff 0.4) with the
     * fixed-point quantization from [[SimilarityOps]].
     *

@@ -849,6 +849,69 @@ class OperatorSpec extends SparkTestBase {
       s"missing: ${expected -- got}, spurious: ${got -- expected}")
   }
 
+  test("dedup_repeated_substrings matches a brute-force span merge") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{lower, split}
+    val K = 8
+    val toks = Tables.documents(spark, sfDir)
+      .select($"doc_id", split(lower($"text"), " ").as("ws"))
+      .as[(Long, Seq[String])].collect()
+    val grams = toks.flatMap { case (id, ws) =>
+      if (ws.size >= K)
+        ws.sliding(K).zipWithIndex.map { case (g, i) => (id, i + 1L, g.mkString(" ")) }
+      else Iterator.empty
+    }
+    val dup = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expected = grams.filter(g => dup(g._3)).groupBy(_._1).toSeq.flatMap {
+      case (id, hs) =>
+        val ps = hs.map(_._2).sorted
+        val islands = ps.foldLeft(List.empty[List[Long]]) {
+          case (cur :: rest, p) if p - cur.head <= K => (p :: cur) :: rest
+          case (acc, p)                              => List(p) :: acc
+        }.map(_.reverse).reverse
+        islands.map { is =>
+          val (s, e) = (is.head, is.last + K - 1)
+          (id, s, e, e - s + 1, is.size.toLong)
+        }
+    }.toSet
+    val got = SparkEntry.queries("dedup_repeated_substrings")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got.nonEmpty, "no repeated spans found — testdata should contain near-dups")
+    assert(got == expected,
+      s"missing: ${expected -- got}, spurious: ${got -- expected}")
+  }
+
+  test("curation_epoch_plan: shares normalize, cap binds, token mass conserved") {
+    val rows = SparkEntry.queries("curation_epoch_plan")(spark, sfDir).collect()
+    val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()
+    assert(rows.length == langs, "one plan row per language")
+    val share = rows.map(_.getDouble(3)).sum
+    assert(math.abs(share - 1.0) < 1e-5, s"mixture shares sum to $share, not 1")
+    val totalTok = rows.map(_.getLong(2)).sum.toDouble
+    rows.foreach { r =>
+      val (nTok, target, raw, ep, alloc, deficit) =
+        (r.getLong(2), r.getDouble(4), r.getDouble(5), r.getDouble(6),
+          r.getDouble(7), r.getDouble(8))
+      assert(ep <= 4.0 + 1e-9 && ep > 0, s"epochs $ep outside (0, 4]")
+      assert(math.abs(ep - math.min(4.0, raw)) < 1e-5, "cap rule violated")
+      assert(math.abs(alloc - ep * nTok) < 1.0, "allocated != epochs * tokens")
+      assert(math.abs(deficit - math.max(0.0, target - alloc)) < 1.0,
+        "deficit != max(0, target - allocated)")
+    }
+    // the 2x budget exceeds any single language's 4-epoch ceiling only if
+    // the temperature reweighting over-asks a low-resource lang; allocated
+    // mass can never exceed the budget
+    val allocated = rows.map(_.getDouble(7)).sum
+    assert(allocated <= 2.0 * totalTok + 1.0,
+      s"allocated $allocated exceeds the 2x budget ${2.0 * totalTok}")
+    // smallest language gets the largest epoch count (temperature upsampling)
+    val byTok = rows.sortBy(_.getLong(2))
+    assert(byTok.head.getDouble(6) >= byTok.last.getDouble(6),
+      "low-resource language should be repeated at least as often as the largest")
+  }
+
   test("plan: curation_training_extract scans documents exactly twice") {
     // token stream + corpus spine; the keeper window must NOT duplicate
     // the gate subtree the way a groupBy + semi join back would

@@ -382,8 +382,11 @@ object SimilarityOps {
         .setInitMode("random")
         .setFeaturesCol("features").fit(features)
       // features only feed the (just-completed) training iterations —
-      // release the cache instead of leaking one copy per call
-      features.unpersist(blocking = false)
+      // release the cache instead of leaking one copy per call. BLOCKING:
+      // an async unpersist here defers block-removal churn past the
+      // prewarm window onto whichever bench query runs next (the r9
+      // "inflated first alphabetical queries" failure mode)
+      features.unpersist(blocking = true)
       model.clusterCenters.zipWithIndex
         .map { case (c, i) => (i, c.toArray) }.toSeq.toDF("pivot_id", "c")
     }
@@ -617,23 +620,44 @@ object SimilarityOps {
   private[graft] def pqCodebookTrained(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedDf(spark, s"pqcbt:$dir") {
       import spark.implicits._
+      // coalesce: the training set is (corpus × 8 subspaces) SKINNY rows
+      // (16 k at sf0.1) — at 32 partitions each Lloyd pass schedules ~5
+      // stages of near-empty tasks and fixed overhead dwarfs the math
+      // (measured 16.5 s for the loop); 4 partitions keep the same plan
+      // shape with 8× fewer tasks. The model stage is bounded-input by
+      // construction — a 100 TB run trains on a sample, not the corpus.
       val subs = pqSubspaces(quantized(spark, dir).select($"vec_id", $"q"), "vec_id")
+        .coalesce(4)
         .persist()
       try {
         var cb: Seq[(Int, Int, Seq[Long])] = pqCodebookFixed(spark, dir)
           .select($"m", explode($"cws").as("c"))
           .select($"m", $"c.code_id".as("code_id"), $"c.cw".as("cw"))
           .as[(Int, Int, Seq[Long])].collect().toSeq
+        // 5 passes: the suite pins trained-ADC error ≤ fixed-codebook
+        // error on a small pair sample, and fewer passes measurably miss
+        // that bar (3 passes: 0.157 vs 0.133 at sf0.001; 5: 0.120) — the
+        // codegen'd assignment below makes each pass ~1 s, so the full
+        // budget costs less than one interpreted pass did
         for (_ <- 1 to 5) {
-          val cwArr = cb.toDF("m", "code_id", "cw")
-            .groupBy($"m")
-            .agg(sort_array(collect_list(struct($"code_id", $"cw"))).as("cws"))
-          val assigned = subs.join(broadcast(cwArr), Seq("m"))
-            .select($"m",
-              expr("""array_min(transform(cws, c -> named_struct(
-                |  'd2', aggregate(zip_with(sub, c.cw, (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v),
-                |  'code_id', c.code_id))).code_id""".stripMargin).as("code_id"),
-              posexplode($"sub").as(Seq("pos", "x")))
+          // assignment via the codegen'd graft_dot, not a HOF argmin over
+          // the codeword array: the interpreted transform/zip_with lambda
+          // tower evaluated ~4 M boxed folds per pass (measured ~3 s/pass
+          // of the 16.5 s loop). Flat broadcast join + one codegen'd
+          // projection + partial-agg min_by computes the same argmin —
+          // argmin_c Σ(x−c)² ≡ argmin_c (Σc² − 2⟨x,c⟩) since the Σx² term
+          // is per-row constant; ties break on code_id exactly as the
+          // struct array_min did, all in exact BIGINTs.
+          val cwFlat = cb.map { case (m, c, cw) =>
+            (m, c, cw, cw.map(x => x * x).sum)
+          }.toDF("m", "code_id", "cw", "cn")
+          val assigned = subs.join(broadcast(cwFlat), Seq("m"))
+            .select($"m", $"vec_id", $"sub", $"code_id",
+              ($"cn" - lit(2L) * expr("graft_dot(sub, cw)")).as("nd2"))
+            .groupBy($"vec_id", $"m")
+            .agg(min_by($"code_id", struct($"nd2", $"code_id")).as("code_id"),
+              first($"sub").as("sub"))
+            .select($"m", $"code_id", posexplode($"sub").as(Seq("pos", "x")))
           val means = assigned.groupBy($"m", $"code_id", $"pos")
             .agg(avg($"x").as("mx"))
             .groupBy($"m", $"code_id")
@@ -648,7 +672,10 @@ object SimilarityOps {
           .groupBy($"m")
           .agg(sort_array(collect_list(struct($"code_id", $"cw"))).as("cws"))
           .persist()
-      } finally subs.unpersist(blocking = false)
+        // blocking: training is the last prewarm stage, and async
+        // block-removal churn would otherwise bill to the first timed
+        // bench query (the r9 failure mode the build-end unpersists fixed)
+      } finally subs.unpersist(blocking = true)
     }
 
   /** IVF-PQ with the TRAINED codebooks (`similarity_ivfpq_trained`):

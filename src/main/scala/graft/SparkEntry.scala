@@ -252,6 +252,8 @@ object SparkEntry {
     "text_lm_logprob"          -> (TextOps.textLmLogprob(_, _)),
     // corpus-side PII scrub (emails/phones/ids) with per-class audit
     "text_pii_scrub"           -> (TextOps.textPiiScrub(_, _)),
+    // the removal action for dedup_repeated_substrings' spans
+    "text_strip_repeated_spans" -> (DedupOps.textStripRepeatedSpans(_, _)),
     // directed shingle containment (subsumption pairs Jaccard misses)
     "dedup_containment"        -> (DedupOps.dedupContainment(_, _)),
     // new-batch-vs-corpus hash-registry dedup (the incremental shape)
@@ -464,6 +466,7 @@ object SparkEntry {
     "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
     "text_lm_logprob"          -> TextOps.textLmLogprobSql,
     "text_pii_scrub"           -> TextOps.textPiiScrubSql,
+    "text_strip_repeated_spans" -> DedupOps.textStripRepeatedSpansSql,
     "text_bpe_pairs"           -> TextOps.textBpePairsSql,
     "curation_corpus_report"   -> PipelineOps.curationCorpusReportSql,
     "text_vocab_coverage"      -> TextOps.textVocabCoverageSql,

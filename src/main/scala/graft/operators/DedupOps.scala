@@ -656,7 +656,11 @@ object DedupOps {
     *
     * Parity: both engines classify on the md5 of the identical gram
     * string; the island arithmetic is pure integer math. */
-  def dedupRepeatedSubstrings(spark: SparkSession, dir: String): DataFrame = {
+  /** The merged spans themselves `(doc_id, span_start, span_end,
+    * n_dup_grams)` — shared by the span REPORT
+    * ([[dedupRepeatedSubstrings]]) and the span REMOVAL
+    * ([[textStripRepeatedSpans]]). */
+  private def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val K = SpanGram
     val grams = Tables.documents(spark, dir)
@@ -676,6 +680,11 @@ object DedupOps {
     islands.groupBy($"doc_id", $"island")
       .agg(min($"pos").as("span_start"), (max($"pos") + (K - 1)).as("span_end"),
         count(lit(1)).as("n_dup_grams"))
+  }
+
+  def dedupRepeatedSubstrings(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    repeatedSpans(spark, dir)
       .select($"doc_id", $"span_start", $"span_end",
         ($"span_end" - $"span_start" + 1).as("span_tokens"), $"n_dup_grams")
       .orderBy($"doc_id", $"span_start")
@@ -705,6 +714,88 @@ object DedupOps {
       |       CAST(count(*) AS BIGINT) AS n_dup_grams
       |FROM grp GROUP BY doc_id, island
       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Repeated-span REMOVAL (`text_strip_repeated_spans`) — the action the
+    * span report exists for: Lee et al. 2022 delete each duplicated
+    * substring from the corpus (not the whole document), keeping the
+    * unique prose around it. Per document: the normalized (lowercased)
+    * text with every [[repeatedSpans]] span deleted, plus kept/removed
+    * token counts — `''` for a fully-boilerplate doc.
+    *
+    * Plan shape: the positional token stream anti-joins the span table —
+    * an equi-join on doc_id with the BETWEEN containment as a residual
+    * predicate, hash-partitioned on doc_id (spans per doc are few, the
+    * residual scan is bounded by doc span count) — then one groupBy
+    * doc_id whose sort-in-aggregate state is bounded by document length;
+    * the final LEFT join back to the corpus spine restores span-free
+    * documents. Nothing is corpus-proportional on a driver or broadcast
+    * side. */
+  def textStripRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id", posexplode(split(lower($"text"), " ")))
+      .select($"doc_id", ($"pos" + 1).cast("bigint").as("pos"), $"col".as("w"))
+    val spans = repeatedSpans(spark, dir)
+    val kept = toks.as("t").join(spans.as("s"),
+        $"t.doc_id" === $"s.doc_id" &&
+          $"t.pos" >= $"s.span_start" && $"t.pos" <= $"s.span_end",
+        "left_anti")
+      .groupBy($"doc_id")
+      .agg(
+        array_join(
+          expr("transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+          " ").as("kept_text"),
+        count(lit(1)).as("n_kept"))
+    Tables.documents(spark, dir)
+      .select($"doc_id", size(split(lower($"text"), " ")).cast("bigint").as("n_tok"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"kept_text", lit("")).as("kept_text"),
+        coalesce($"n_kept", lit(0L)).as("n_kept_tokens"),
+        ($"n_tok" - coalesce($"n_kept", lit(0L))).as("n_removed_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val textStripRepeatedSpansSql: String =
+    """WITH toksrc AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |toks AS (
+      |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      |  FROM toksrc),
+      |grams AS (
+      |  SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+7], ' ')) AS g
+      |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos
+      |        FROM toksrc WHERE len(ws) >= 8)),
+      |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+      |hits AS (SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 8
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM hits),
+      |grp AS (
+      |  SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+      |  FROM grp GROUP BY doc_id, island),
+      |kept AS (
+      |  SELECT t.doc_id, string_agg(t.w, ' ' ORDER BY t.pos) AS kept_text,
+      |         count(*) AS n_kept
+      |  FROM toks t
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM spans s
+      |    WHERE s.doc_id = t.doc_id
+      |      AND t.pos BETWEEN s.span_start AND s.span_end)
+      |  GROUP BY t.doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(k.kept_text, '') AS kept_text,
+      |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+      |  CAST(len(string_split(lower(d.text), ' ')) - coalesce(k.n_kept, 0) AS BIGINT)
+      |    AS n_removed_tokens
+      |FROM documents d LEFT JOIN kept k USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
 
   /** Embedding cosine near-duplicate pairs (exact, cutoff 0.4) with the
     * fixed-point quantization from [[SimilarityOps]].

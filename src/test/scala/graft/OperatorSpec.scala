@@ -883,6 +883,31 @@ class OperatorSpec extends SparkTestBase {
       s"missing: ${expected -- got}, spurious: ${got -- expected}")
   }
 
+  test("text_strip_repeated_spans removes exactly the reported spans") {
+    val spans = SparkEntry.queries("dedup_repeated_substrings")(spark, sfDir).collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2))).toSeq).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "lower(text) AS t").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1).toSeq).toMap
+    val got = SparkEntry.queries("text_strip_repeated_spans")(spark, sfDir).collect()
+    assert(got.length == docs.size, "one output row per document")
+    got.foreach { r =>
+      val (id, kept, nKept, nRem) =
+        (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+      val ws = docs(id)
+      val cover = spans.getOrElse(id, Seq.empty)
+      val expect = ws.zipWithIndex.collect {
+        case (w, i) if !cover.exists { case (s, e) => i + 1 >= s && i + 1 <= e } => w
+      }
+      assert(kept == expect.mkString(" "), s"doc $id kept text mismatch")
+      assert(nKept == expect.length && nRem == ws.length - expect.length,
+        s"doc $id token accounting mismatch")
+    }
+    // the planted near-dups guarantee at least one doc actually shrinks
+    assert(got.exists(_.getLong(3) > 0), "no tokens removed anywhere")
+  }
+
   test("curation_epoch_plan: shares normalize, cap binds, token mass conserved") {
     val rows = SparkEntry.queries("curation_epoch_plan")(spark, sfDir).collect()
     val langs = Tables.documents(spark, sfDir).select("lang").distinct().count()

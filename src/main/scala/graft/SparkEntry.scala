@@ -209,6 +209,8 @@ object SparkEntry {
     // the test suite asserts a recall floor vs similarity_topk instead
     "similarity_ivf_trained"   -> (SimilarityOps.similarityIvfTrained(_, _)),
     "embedding_quantize_int8"  -> (SimilarityOps.embeddingQuantizeInt8(_, _)),
+    // recall@3 scorecard of every oracle-checkable ANN variant vs exact
+    "similarity_recall_report" -> (SimilarityOps.similarityRecallReport(_, _)),
     // pipeline utilities: scoring, sampling, normalization
     "text_tfidf_topterms"      -> (PipelineOps.textTfidfTopTerms(_, _)),
     "text_normalize"           -> (PipelineOps.textNormalize(_, _)),
@@ -222,6 +224,9 @@ object SparkEntry {
     "contamination_ngram_overlap" -> (CurationOps.contaminationNgramOverlap(_, _)),
     // the drop decision the contamination report drives (exact-integer 5%)
     "curation_decontaminate"   -> (CurationOps.curationDecontaminate(_, _)),
+    // map-only Bloom-probe form of the same decision (no oracle —
+    // false-positive-only superset + fpp bound asserted in OperatorSpec)
+    "curation_decontaminate_bloom" -> (CurationOps.curationDecontaminateBloom(_, _)),
     "curation_contamination_by_source" -> (CurationOps.contaminationBySource(_, _)),
     "pack_sequences"           -> (CurationOps.packSequences(_, _)),
     // curate → dedup → pack closed loop: packs only dedup_chunks keepers
@@ -246,12 +251,16 @@ object SparkEntry {
     // epoch/repeat schedule under a token budget (4-epoch cap,
     // Muennighoff et al. 2023)
     "curation_epoch_plan"      -> (CurationOps.curationEpochPlan(_, _)),
+    // size-balanced output-shard assignment + the manifest a writer emits
+    "curation_shard_manifest"  -> (CurationOps.curationShardManifest(_, _)),
     // Gopher-style duplicate-10-gram fraction (sub-document repetition)
     "text_dup_ngram_fraction"  -> (TextOps.textDupNgramFraction(_, _)),
     // CCNet-style unigram-LM mean log-prob quality signal
     "text_lm_logprob"          -> (TextOps.textLmLogprob(_, _)),
     // corpus-side PII scrub (emails/phones/ids) with per-class audit
     "text_pii_scrub"           -> (TextOps.textPiiScrub(_, _)),
+    // per-doc character-entropy quality signal (compression-ratio proxy)
+    "text_char_entropy"        -> (TextOps.textCharEntropy(_, _)),
     // the removal action for dedup_repeated_substrings' spans
     "text_strip_repeated_spans" -> (DedupOps.textStripRepeatedSpans(_, _)),
     // directed shingle containment (subsumption pairs Jaccard misses)
@@ -285,6 +294,8 @@ object SparkEntry {
     "multimodal_frame_sample"  -> (MultimodalOps.multimodalFrameSample(_, _)),
     // fixed-size thumbnail downsampling (the resize step of the codec path)
     "multimodal_resize"        -> (MultimodalOps.multimodalResize(_, _)),
+    // pHash/PDQ-style banded perceptual near-dup pairs (codec stubbed)
+    "multimodal_phash_dedup"   -> (MultimodalOps.multimodalPhashDedup(_, _)),
     // model-based anomaly detection (no oracle — rows-only check)
     "anomaly_kmeans"           -> (AnomalyOps.anomalyKmeans(_, _)),
   )
@@ -438,6 +449,7 @@ object SparkEntry {
     "similarity_ann_lsh"       -> SimilarityOps.similarityAnnLshSql,
     "similarity_ivf"           -> SimilarityOps.similarityIvfSql,
     "similarity_ivfpq"         -> SimilarityOps.similarityIvfPqSql,
+    "similarity_recall_report" -> SimilarityOps.similarityRecallReportSql,
     "text_tfidf_topterms"      -> PipelineOps.textTfidfTopTermsSql,
     "text_normalize"           -> PipelineOps.textNormalizeSql,
     "sample_hash_docs"         -> PipelineOps.sampleHashDocsSql,
@@ -463,9 +475,11 @@ object SparkEntry {
     "curation_dataset_card"    -> CurationOps.datasetCardSql,
     "curation_lang_temperature" -> CurationOps.langTemperatureMixtureSql,
     "curation_epoch_plan"      -> CurationOps.curationEpochPlanSql,
+    "curation_shard_manifest"  -> CurationOps.curationShardManifestSql,
     "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
     "text_lm_logprob"          -> TextOps.textLmLogprobSql,
     "text_pii_scrub"           -> TextOps.textPiiScrubSql,
+    "text_char_entropy"        -> TextOps.textCharEntropySql,
     "text_strip_repeated_spans" -> DedupOps.textStripRepeatedSpansSql,
     "text_bpe_pairs"           -> TextOps.textBpePairsSql,
     "curation_corpus_report"   -> PipelineOps.curationCorpusReportSql,
@@ -473,5 +487,6 @@ object SparkEntry {
     "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,
     "multimodal_frame_sample"  -> MultimodalOps.multimodalFrameSampleSql,
     "multimodal_resize"        -> MultimodalOps.multimodalResizeSql,
+    "multimodal_phash_dedup"   -> MultimodalOps.multimodalPhashDedupSql,
   )
 }

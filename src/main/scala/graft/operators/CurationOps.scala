@@ -919,4 +919,118 @@ object CurationOps {
       |    AS deficit_tokens
       |FROM grouped, tot t
       |ORDER BY lang""".stripMargin
+
+  /** (session, dir) → registered probe-function name, so the Bloom build
+    * job runs once per session/dir instead of once per query invocation. */
+  private val bloomFns = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bloom-filter decontamination (`curation_decontaminate_bloom`) — the
+    * 100 TB form of [[curationDecontaminate]]: instead of joining every
+    * corpus shingle against the benchmark shingle table, build ONE
+    * Bloom filter over the benchmark keys (bounded by the eval suite,
+    * never the corpus; fpp 1%) and probe it with a codegen'd expression
+    * ([[graft.functions.BloomMightContain]]) in a map-only pass — the
+    * corpus side never shuffles, and the only cross-node traffic is the
+    * filter bytes riding the task binary like a broadcast dim. Keys are
+    * the shingle md5s truncated to 60 bits (exact-integer `conv`), so
+    * probe hashing is a two-hash `mightContainLong`.
+    *
+    * Approximation contract (why there is NO SQL oracle, like the HLL
+    * sketches): false positives only — every exactly-contaminated
+    * shingle is flagged (Bloom filters have no false negatives, and the
+    * 60-bit truncation maps equal md5s to equal keys), so the dropped
+    * set is a SUPERSET of [[curationDecontaminate]]'s and the measured
+    * extra-flag rate is bounded by fpp. Both invariants are asserted in
+    * OperatorSpec against the exact query. */
+  def curationDecontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sh = DedupOps.sharedShingles(spark, dir)
+      .select($"doc_id",
+        conv(substring(hex($"m"), 1, 15), 16, 10).cast("long").as("h60"))
+    val key = s"${System.identityHashCode(spark)}:$dir"
+    val fn = bloomFns.computeIfAbsent(key, { _ =>
+      val name = "graft_bloom_" + (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val bench = sh.filter($"doc_id" % 97 === 0).select($"h60").distinct()
+      graft.functions.BloomMightContain.buildAndRegister(
+        spark, name, bench, math.max(1L, bench.count()), 0.01)
+      name
+    })
+    sh.filter($"doc_id" % 97 =!= 0)
+      .select($"doc_id", expr(s"$fn(h60)").as("hit"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"hit", 1L).otherwise(0L)).as("n_flagged"))
+      .select($"doc_id", $"n_shingles", $"n_flagged",
+        when(lit(20) * $"n_flagged" >= $"n_shingles", "dropped")
+          .otherwise("kept").as("decision"))
+      .orderBy($"doc_id")
+  }
+
+  /** Shard count for [[curationShardManifest]] — 8 output shards, the
+    * bounded key space the manifest aggregates into. */
+  private val NumShards = 8
+
+  /** Size-balanced shard manifest (`curation_shard_manifest`) — the step
+    * between packing and writing: assign every document to one of
+    * [[NumShards]] output shards so shard byte-sizes stay balanced, and
+    * report the manifest a writer (and its readers) consume: per shard,
+    * document count, total/min/max chars, and the balance skew vs the
+    * ideal even split. Assignment is longest-processing-time-style
+    * round-robin: within each (lang, source) group, docs ranked by
+    * (n_chars DESC, doc_id) take shards cyclically — big docs spread
+    * first, so each group's contribution to every shard differs by at
+    * most one document. The cycle STARTS at an md5-derived per-group
+    * offset: without it every group's first (largest) document lands in
+    * shard 0, which at many-small-groups corpora concentrates the whole
+    * corpus head in one shard.
+    *
+    * Scale shape: the ONLY ordering is a window partitioned by
+    * (lang, source) — a hash-partitioned per-group sort, never a global
+    * total order (the naive global-rank formulation serializes the corpus
+    * through one partition; this one scales with the widest group). The
+    * manifest aggregate has [[NumShards]] keys, and the one cross-shard
+    * scalar (the corpus total) is a broadcast 1-row join. All stats are
+    * exact BIGINTs; `skew` divides two exact integers per row (round 6
+    * absorbs last-ulp libm variance, as everywhere else). */
+  def curationShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"lang", $"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    val off = conv(substring(md5(concat_ws("|", $"lang", $"source")), 1, 6), 16, 10)
+      .cast("int")
+    val assigned = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+      .withColumn("shard", pmod(row_number().over(w) - 1 + off, lit(NumShards)))
+    val perShard = assigned.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+    val total = perShard.agg(sum($"total_chars").as("corpus_chars"))
+    perShard.crossJoin(broadcast(total))
+      .select($"shard", $"n_docs", $"total_chars", $"min_chars", $"max_chars",
+        round($"total_chars".cast("double") /
+          ($"corpus_chars".cast("double") / NumShards), 6).as("skew"))
+      .orderBy($"shard")
+  }
+
+  val curationShardManifestSql: String =
+    s"""WITH assigned AS (
+       |  SELECT doc_id, n_chars,
+       |    (row_number() OVER (PARTITION BY lang, source
+       |                        ORDER BY n_chars DESC, doc_id) - 1
+       |     + CAST(concat('0x', substr(md5(lang || '|' || source), 1, 6)) AS BIGINT))
+       |    % $NumShards AS shard
+       |  FROM documents),
+       |per_shard AS (
+       |  SELECT shard, count(*) AS n_docs,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    min(n_chars) AS min_chars, max(n_chars) AS max_chars
+       |  FROM assigned GROUP BY shard),
+       |tot AS (SELECT CAST(sum(total_chars) AS BIGINT) AS corpus_chars FROM per_shard)
+       |SELECT shard, n_docs, total_chars, min_chars, max_chars,
+       |  round(CAST(total_chars AS DOUBLE)
+       |        / (CAST(corpus_chars AS DOUBLE) / $NumShards), 6) AS skew
+       |FROM per_shard, tot
+       |ORDER BY shard""".stripMargin
 }

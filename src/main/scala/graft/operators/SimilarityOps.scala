@@ -657,13 +657,18 @@ object SimilarityOps {
             .groupBy($"vec_id", $"m")
             .agg(min_by($"code_id", struct($"nd2", $"code_id")).as("code_id"),
               first($"sub").as("sub"))
-            .select($"m", $"code_id", posexplode($"sub").as(Seq("pos", "x")))
-          val means = assigned.groupBy($"m", $"code_id", $"pos")
-            .agg(avg($"x").as("mx"))
-            .groupBy($"m", $"code_id")
-            .agg(sort_array(collect_list(struct($"pos", $"mx"))).as("ps"))
+          // per-dimension means as 8 inline avg(sub[i]) agg columns — one
+          // (m, code_id) shuffle instead of posexplode + a (m, code, pos)
+          // shuffle + a sort_array re-pack (measured: the extra stage was
+          // ~1/3 of each Lloyd pass). avg over exact BIGINTs is
+          // sum(long)/count — partition-order-free, so the re-quantized
+          // codewords are unchanged.
+          val dimAvgs = (0 until PqSubDim).map(i => avg(expr(s"sub[$i]")).as(s"mx$i"))
+          val means = assigned.groupBy($"m", $"code_id")
+            .agg(dimAvgs.head, dimAvgs.tail: _*)
             .select($"m", $"code_id",
-              expr("transform(ps, p -> cast(floor(p.mx + 0.5) as bigint))").as("cw"))
+              array((0 until PqSubDim).map(i =>
+                expr(s"cast(floor(mx$i + 0.5) as bigint)")): _*).as("cw"))
             .as[(Int, Int, Seq[Long])].collect()
           val got = means.map(t => (t._1, t._2) -> t._3).toMap
           cb = cb.map { case (m, c, old) => (m, c, got.getOrElse((m, c), old)) }
@@ -774,4 +779,63 @@ object SimilarityOps {
        |  FROM scored) t
        |WHERE rk <= 3
        |ORDER BY query_id, rk""".stripMargin
+
+  /** ANN quality scorecard (`similarity_recall_report`): recall@3 of each
+    * oracle-checkable ANN variant (LSH, IVF, IVF-PQ) against the exact
+    * brute-force top-3, per query — the acceptance gate an ANN rollout
+    * runs before swapping an index into production, as a first-class
+    * relational query instead of a test-suite assertion (the trained
+    * variants' ScalaTest recall floors assert the same metric for the
+    * model-based paths).
+    *
+    * Plan shape: the three ANN result sets union into one labeled stream
+    * (each reads the session-shared quantized/candidate stages, so the
+    * embeddings parquet is still scanned once); ONE semi join against the
+    * exact top-3 counts the hits, and the (variant × query) spine
+    * left-joins the counts back so zero-recall queries stay visible.
+    * Everything after the ANN pipelines is bounded by
+    * #variants × #queries rows. */
+  def similarityRecallReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val exact3 = similarityTopk(spark, dir).filter($"rk" <= 3)
+      .select($"query_id", $"neighbor_id")
+    val ann = Seq(
+      ("ivf" -> similarityIvf(spark, dir)),
+      ("ivfpq" -> similarityIvfPq(spark, dir)),
+      ("lsh" -> similarityAnnLsh(spark, dir)))
+      .map { case (nm, df) =>
+        df.select(lit(nm).as("variant"), $"query_id", $"neighbor_id")
+      }.reduce(_ unionAll _)
+    val spine = ann.select($"variant", $"query_id").distinct()
+    val hits = ann.join(exact3, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy($"variant", $"query_id")
+      .agg(count(lit(1)).as("n_hits"))
+    spine.join(hits, Seq("variant", "query_id"), "left")
+      .select($"variant", $"query_id",
+        coalesce($"n_hits", lit(0L)).as("n_hits"))
+      .withColumn("recall_at_3", round($"n_hits".cast("double") / 3.0, 6))
+      .orderBy($"variant", $"query_id")
+  }
+
+  lazy val similarityRecallReportSql: String =
+    s"""WITH exact3 AS (
+       |  SELECT query_id, neighbor_id FROM ($similarityTopkSql) WHERE rk <= 3),
+       |ann AS (
+       |  SELECT 'ivf' AS variant, query_id, neighbor_id FROM ($similarityIvfSql)
+       |  UNION ALL
+       |  SELECT 'ivfpq' AS variant, query_id, neighbor_id FROM ($similarityIvfPqSql)
+       |  UNION ALL
+       |  SELECT 'lsh' AS variant, query_id, neighbor_id FROM ($similarityAnnLshSql)),
+       |spine AS (SELECT DISTINCT variant, query_id FROM ann),
+       |hits AS (
+       |  SELECT a.variant, a.query_id, CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM ann a JOIN exact3 e
+       |    ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY a.variant, a.query_id)
+       |SELECT s.variant, s.query_id,
+       |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 3.0, 6) AS recall_at_3
+       |FROM spine s LEFT JOIN hits h
+       |  ON s.variant = h.variant AND s.query_id = h.query_id
+       |ORDER BY s.variant, s.query_id""".stripMargin
 }

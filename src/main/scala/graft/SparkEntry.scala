@@ -209,6 +209,8 @@ object SparkEntry {
     // the test suite asserts a recall floor vs similarity_topk instead
     "similarity_ivf_trained"   -> (SimilarityOps.similarityIvfTrained(_, _)),
     "embedding_quantize_int8"  -> (SimilarityOps.embeddingQuantizeInt8(_, _)),
+    // exact upper-triangle covariance of the fixed-point embeddings
+    "embedding_covariance"     -> (SimilarityOps.embeddingCovariance(_, _)),
     // recall@3 scorecard of every oracle-checkable ANN variant vs exact
     "similarity_recall_report" -> (SimilarityOps.similarityRecallReport(_, _)),
     // pipeline utilities: scoring, sampling, normalization
@@ -267,6 +269,8 @@ object SparkEntry {
     "dedup_containment"        -> (DedupOps.dedupContainment(_, _)),
     // new-batch-vs-corpus hash-registry dedup (the incremental shape)
     "dedup_incremental"        -> (DedupOps.dedupIncremental(_, _)),
+    // same result via a Bloom pre-filter: only maybe-seen rows shuffle
+    "dedup_incremental_bloom"  -> (DedupOps.dedupIncrementalBloom(_, _)),
     // BPE merge-candidate pair counts (tokenizer-training prep)
     "text_bpe_pairs"           -> (TextOps.textBpePairs(_, _)),
     "curation_corpus_report"   -> (PipelineOps.curationCorpusReport(_, _)),
@@ -294,6 +298,8 @@ object SparkEntry {
     "multimodal_frame_sample"  -> (MultimodalOps.multimodalFrameSample(_, _)),
     // fixed-size thumbnail downsampling (the resize step of the codec path)
     "multimodal_resize"        -> (MultimodalOps.multimodalResize(_, _)),
+    // collate resized thumbnails into rectangular 32-item batches
+    "multimodal_batch_tensor"  -> (MultimodalOps.multimodalBatchTensor(_, _)),
     // pHash/PDQ-style banded perceptual near-dup pairs (codec stubbed)
     "multimodal_phash_dedup"   -> (MultimodalOps.multimodalPhashDedup(_, _)),
     // model-based anomaly detection (no oracle — rows-only check)
@@ -430,6 +436,7 @@ object SparkEntry {
     "events_markov_transitions" -> EventOps.eventsMarkovTransitionsSql,
     "agg_linear_regression"    -> Relational.aggLinearRegressionSql,
     "embedding_quantize_int8"  -> SimilarityOps.embeddingQuantizeInt8Sql,
+    "embedding_covariance"     -> SimilarityOps.embeddingCovarianceSql,
     "dedup_exact_docs"         -> DedupOps.dedupExactDocsSql,
     "dedup_minhash_lsh"        -> DedupOps.dedupMinhashLshSql,
     "dedup_simhash"            -> DedupOps.dedupSimhashSql,
@@ -437,6 +444,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"      -> DedupOps.dedupNgramJaccardSql,
     "dedup_containment"        -> DedupOps.dedupContainmentSql,
     "dedup_incremental"        -> DedupOps.dedupIncrementalSql,
+    "dedup_incremental_bloom"  -> DedupOps.dedupIncrementalBloomSql,
     "dedup_prefix_filter"      -> DedupOps.dedupPrefixFilterSql,
     "dedup_embedding_cosine"   -> DedupOps.dedupEmbeddingCosineSql,
     "dedup_semantic_pivots"    -> DedupOps.dedupSemanticSql,
@@ -487,6 +495,7 @@ object SparkEntry {
     "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,
     "multimodal_frame_sample"  -> MultimodalOps.multimodalFrameSampleSql,
     "multimodal_resize"        -> MultimodalOps.multimodalResizeSql,
+    "multimodal_batch_tensor"  -> MultimodalOps.multimodalBatchTensorSql,
     "multimodal_phash_dedup"   -> MultimodalOps.multimodalPhashDedupSql,
   )
 }

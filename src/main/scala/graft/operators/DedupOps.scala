@@ -143,6 +143,72 @@ object DedupOps {
       |JOIN first_in_batch f ON f.content_hash = b.content_hash
       |ORDER BY b.doc_id""".stripMargin
 
+  /** (session, dir) → registered probe-function name, so the registry
+    * Bloom build runs once per session/dir, not once per invocation. */
+  private val incrBloomFns =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Bloom-prefiltered incremental dedup (`dedup_incremental_bloom`) —
+    * the 100 TB plan for [[dedupIncremental]]'s registry join, with
+    * IDENTICAL output (full oracle parity, unlike the sketch queries):
+    * a Bloom filter over the already-ingested registry's 60-bit hash
+    * keys turns the corpus-proportional registry join into a map-only
+    * probe for the overwhelming not-previously-seen majority. Only
+    * Bloom-POSITIVE batch rows (true corpus dups + the ~1% fpp) enter
+    * the registry exchange; Bloom-negative rows are definitively new to
+    * the corpus (no false negatives, and equal md5s truncate to equal
+    * 60-bit keys) and bypass it entirely. The exact confirm join then
+    * clears the false positives, so the result is bit-equal to the
+    * exact query — the Bloom moves work out of the shuffle, never
+    * changes the answer.
+    *
+    * Sizing at scale: ~1.2 GB of filter per 10^9 distinct registry docs
+    * at fpp 1% — beyond a single task's comfort, the filter shards by
+    * key range (each probe task loads the one shard its hash prefix
+    * maps to), which composes with this plan unchanged. The in-batch
+    * first-occurrence join is batch-internal and untouched. */
+  def dedupIncrementalBloom(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hashed = Tables.documents(spark, dir)
+      .select($"doc_id", md5(lower($"text")).as("content_hash"))
+      .withColumn("h60",
+        conv(substring($"content_hash", 1, 15), 16, 10).cast("long"))
+    val key = s"${System.identityHashCode(spark)}:$dir"
+    val fn = incrBloomFns.computeIfAbsent(key, { _ =>
+      val name = "graft_bloom_incr_" +
+        (dir.hashCode.toLong & 0xffffffffL).toHexString
+      val registry = hashed.filter($"doc_id" % 10 < 7)
+        .select($"h60").distinct()
+      graft.functions.BloomMightContain.buildAndRegister(
+        spark, name, registry, math.max(1L, registry.count()), 0.01)
+      name
+    })
+    val existing = hashed.filter($"doc_id" % 10 < 7)
+      .select($"content_hash").distinct()
+      .withColumn("in_corpus", lit(1))
+    val batch = hashed.filter($"doc_id" % 10 >= 7)
+      .withColumn("maybe", expr(s"$fn(h60)"))
+    val firstInBatch = batch.groupBy($"content_hash")
+      .agg(min($"doc_id").as("first_id"))
+    val confirmed = batch.filter($"maybe")
+      .join(existing, Seq("content_hash"), "left")
+      .select($"doc_id", $"content_hash", $"in_corpus")
+    val misses = batch.filter(!$"maybe")
+      .select($"doc_id", $"content_hash",
+        lit(null).cast("int").as("in_corpus"))
+    confirmed.unionByName(misses)
+      .join(firstInBatch, "content_hash")
+      .select($"doc_id", $"content_hash",
+        when($"in_corpus".isNotNull, "dup_of_corpus")
+          .when($"doc_id" =!= $"first_id", "dup_in_batch")
+          .otherwise("new").as("status"))
+      .orderBy($"doc_id")
+  }
+
+  /** Same oracle as the exact query — the Bloom is a plan-level
+    * optimization that cannot change the result. */
+  val dedupIncrementalBloomSql: String = dedupIncrementalSql
+
   /** Universal-hash parameters for the 16 MinHash permutations, derived
     * seedlessly from md5 on the driver and embedded as literals on both
     * engines. `a` is 28-bit odd, `b` 30-bit odd, so `a*h32 + b < 2^61`

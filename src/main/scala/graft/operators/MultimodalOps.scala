@@ -164,6 +164,83 @@ object MultimodalOps {
       |        FROM documents) t0) t
       |ORDER BY doc_id""".stripMargin
 
+  /** Batch collation (`multimodal_batch_tensor`) — the step after
+    * [[multimodalResize]]: constant-size thumbnails are grouped into
+    * rectangular training batches of 32 items × 64 samples, the shape a
+    * data loader hands to the trainer. Emits one manifest row per batch:
+    * fill count, pad count, a 32-bit slot bitmask (the attention/padding
+    * mask as an exact integer — bit s set ⟺ slot s holds a real item),
+    * and order-sensitive checksums that fail if any item lands in the
+    * wrong slot.
+    *
+    * Batch assignment is `doc_id div 32` — dense ids (pinned by
+    * TestdataContractSpec) make the slot a pure projection, so the plan
+    * is codec → ONE bounded hash agg, no global row_number window (the
+    * naive rank-then-chunk collate serializes the corpus through a
+    * single partition — the same trap `curation_shard_manifest` avoids).
+    * Sparse ids would first mint dense ones via zipWithIndex-style
+    * per-partition offsets; the agg is unchanged. */
+  def multimodalBatchTensor(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          val stride = math.max(1, n / 64)
+          val k = math.min(64, n)
+          var i = 0
+          var sum = 0L
+          var weighted = 0L
+          while (i < k) {
+            val s = bytes(i * stride) & 0xff
+            sum += s
+            weighted += s.toLong * (i + 1)
+            i += 1
+          }
+          (id, sum, weighted)
+        }
+      }
+      .toDF("doc_id", "thumb_sum", "thumb_weighted")
+      .select(expr("doc_id div 32").as("batch_id"),
+        ($"doc_id" % 32).as("slot"), $"thumb_sum", $"thumb_weighted")
+      .groupBy($"batch_id")
+      .agg(count(lit(1)).as("n_items"),
+        (lit(32) - count(lit(1))).as("n_pad"),
+        sum(expr("shiftleft(1L, cast(slot as int))")).as("slot_mask"),
+        sum($"thumb_sum").as("byte_mass"),
+        sum(($"slot" + 1) * $"thumb_weighted").as("collate_checksum"))
+      .orderBy($"batch_id")
+  }
+
+  val multimodalBatchTensorSql: String =
+    """WITH thumbs AS (
+      |  SELECT doc_id,
+      |    CAST(coalesce(list_sum(samples), 0) AS BIGINT) AS thumb_sum,
+      |    CAST(coalesce(list_sum(
+      |      [samples[i] * i for i in range(1, len(samples) + 1)]), 0) AS BIGINT)
+      |      AS thumb_weighted
+      |  FROM (
+      |    SELECT doc_id,
+      |      [CAST(concat('0x', substr(h, 1 + 2 * (i - 1) * stride, 2)) AS INT)
+      |       for i in range(1, least(64, nb) + 1)] AS samples
+      |    FROM (SELECT doc_id, hex(encode(text)) AS h,
+      |                 octet_length(encode(text)) AS nb,
+      |                 greatest(1, octet_length(encode(text)) // 64) AS stride
+      |          FROM documents) t0) t1)
+      |SELECT CAST(doc_id // 32 AS BIGINT) AS batch_id,
+      |  count(*) AS n_items,
+      |  32 - count(*) AS n_pad,
+      |  CAST(sum(CAST(1 AS BIGINT) << CAST(doc_id % 32 AS INT)) AS BIGINT)
+      |    AS slot_mask,
+      |  CAST(sum(thumb_sum) AS BIGINT) AS byte_mass,
+      |  CAST(sum((doc_id % 32 + 1) * thumb_weighted) AS BIGINT)
+      |    AS collate_checksum
+      |FROM thumbs
+      |GROUP BY 1
+      |ORDER BY batch_id""".stripMargin
+
   /** Raw-media ingest through Spark's `binaryFile` source: stage a
     * sample of document payloads as standalone `<doc_id>.bin` files
     * (executor-side imperative IO — the write path a media pipeline's

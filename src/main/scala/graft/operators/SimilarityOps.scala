@@ -543,6 +543,66 @@ object SimilarityOps {
        |FROM qq
        |ORDER BY vec_id""".stripMargin
 
+  /** Exact embedding covariance (`embedding_covariance`) — the statistics
+    * a whitening / PCA / OPQ-rotation prep step consumes, computed over
+    * the fixed-point vectors so every sum is exact BIGINT and the result
+    * hash-compares across engines (the double-sum order-dependence the
+    * suite bans never arises). Emits the upper triangle of the 64×64
+    * moment matrix: per (i, j) the count, Σqᵢqⱼ, Σqᵢ, Σqⱼ and the
+    * covariance derived from them in one correctly-rounded double step.
+    *
+    * Scale shape: ONE narrow Generate fans each vector into its 2080
+    * upper-triangle (i, j, qᵢ·qⱼ) terms, and the partial hash agg
+    * collapses every partition to ≤ 2080 rows before the exchange — the
+    * shuffle is O(pairs × partitions) regardless of corpus size, the
+    * canonical map-side-combine matrix accumulation. The cross moments
+    * Σqᵢ·Σqⱼ exceed BIGINT at ~10^7 rows, so the final arithmetic runs
+    * in DECIMAL(38,0) and rounds to double exactly once. */
+  def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    quantized(spark, dir)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, 63), i ->
+          |  transform(sequence(i, 63), j ->
+          |    named_struct('i', i, 'j', j,
+          |      'p', q[i] * q[j], 'xi', q[i], 'xj', q[j]))))""".stripMargin))
+        .as("t"))
+      .groupBy($"t.i".as("i"), $"t.j".as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum($"t.p").as("s_ij"),
+        sum($"t.xi").as("s_i"),
+        sum($"t.xj").as("s_j"))
+      .select($"i", $"j", $"n", $"s_ij", $"s_i", $"s_j",
+        // (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / (n² · 10¹²): numerator exact in
+        // DECIMAL(38,0), denominator a product of exactly-representable
+        // doubles — one rounding on each side of the division, identical
+        // IEEE trees in both engines
+        ((($"n".cast("decimal(38,0)") * $"s_ij" -
+            $"s_i".cast("decimal(38,0)") * $"s_j").cast("double")) /
+          (($"n" * $"n").cast("double") * lit(1e12))).as("cov"))
+      .orderBy($"i", $"j")
+  }
+
+  lazy val embeddingCovarianceSql: String =
+    s"""WITH $quantizedCte,
+       |terms AS (
+       |  SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       |         q[CAST(i + 1 AS INT)] * q[CAST(j + 1 AS INT)] AS p,
+       |         q[CAST(i + 1 AS INT)] AS xi, q[CAST(j + 1 AS INT)] AS xj
+       |  FROM n, range(0, 64) t1(i), range(0, 64) t2(j)
+       |  WHERE i <= j)
+       |SELECT i, j, count(*) AS n,
+       |  CAST(sum(p) AS BIGINT) AS s_ij,
+       |  CAST(sum(xi) AS BIGINT) AS s_i,
+       |  CAST(sum(xj) AS BIGINT) AS s_j,
+       |  CAST(CAST(count(*) AS HUGEINT) * CAST(sum(p) AS BIGINT)
+       |       - CAST(CAST(sum(xi) AS BIGINT) AS HUGEINT)
+       |         * CAST(sum(xj) AS BIGINT) AS DOUBLE)
+       |    / (CAST(count(*) * count(*) AS DOUBLE) * 1e12) AS cov
+       |FROM terms
+       |GROUP BY i, j
+       |ORDER BY i, j""".stripMargin
+
   /** Product-quantization geometry: 64 dims split into [[PqM]] = 8
     * subspaces of [[PqSubDim]] = 8 dims; 16 codewords per subspace drawn
     * deterministically from the corpus (vec_id ≡ 5 mod 32, vec_id < 512 —

@@ -1430,6 +1430,53 @@ class OperatorSpec extends SparkTestBase {
       s"false-positive rate ${extra.toDouble / mass} far above fpp")
   }
 
+  test("dedup_incremental_bloom: bit-equal to the exact incremental dedup") {
+    // the Bloom is a plan-level pre-filter; any output difference means a
+    // false NEGATIVE, which the filter's contract forbids
+    val exact = SparkEntry.queries("dedup_incremental")(spark, sfDir).collect()
+    val bloom = SparkEntry.queries("dedup_incremental_bloom")(spark, sfDir).collect()
+    assert(exact.sameElements(bloom),
+      "bloom-prefiltered incremental dedup diverged from the exact result")
+  }
+
+  test("embedding_covariance: diagonal dominance, symmetry keys, exact moments") {
+    val rows = SparkEntry.queries("embedding_covariance")(spark, sfDir).collect()
+    // full upper triangle of a 64x64 matrix, every pair exactly once
+    assert(rows.length == 64 * 65 / 2)
+    val byPair = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+    val n = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(2) == n), "every cell must see every vector")
+    // variances are non-negative and bound the covariances
+    // (|cov(i,j)| <= sqrt(var_i * var_j), Cauchy-Schwarz)
+    val variance = (0 until 64).map(i => i -> byPair((i, i)).getDouble(6)).toMap
+    assert(variance.values.forall(_ >= 0.0), "negative variance on the diagonal")
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val bound = math.sqrt(variance(i) * variance(j))
+      assert(math.abs(r.getDouble(6)) <= bound + 1e-9,
+        s"cov($i,$j)=${r.getDouble(6)} violates Cauchy-Schwarz bound $bound")
+    }
+    // moment column s_i is the same global sum for every row sharing i
+    val si = rows.groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(4)).distinct)
+    assert(si.values.forall(_.size == 1), "s_i differs across j for a fixed i")
+  }
+
+  test("multimodal_batch_tensor: mask/count agreement and full coverage") {
+    val rows = SparkEntry.queries("multimodal_batch_tensor")(spark, sfDir).collect()
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "collate must cover every doc")
+    rows.foreach { r =>
+      val (nItems, nPad, mask) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nItems + nPad == 32, "rectangular batches are 32 slots")
+      assert(java.lang.Long.bitCount(mask) == nItems,
+        s"slot mask popcount ${java.lang.Long.bitCount(mask)} != n_items $nItems")
+      assert((mask >>> 32) == 0L, "mask uses only the 32 batch slots")
+    }
+    // only the LAST batch may be ragged — dense ids fill front-to-back
+    assert(rows.dropRight(1).forall(_.getLong(2) == 0L),
+      "padding appeared in a non-final batch")
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

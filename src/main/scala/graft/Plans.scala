@@ -73,7 +73,26 @@ object Plans {
         "columns."),
     "pack_sequences_deduped" ->
       ("Packing consumes dedup keepers without rescanning documents for " +
-        "each stage; one shuffle keyed by pack id.")
+        "each stage; one shuffle keyed by pack id."),
+    "curation_decontaminate_bloom" ->
+      ("Map-only decontamination: the corpus side must show ZERO " +
+        "exchanges before the per-doc aggregation — the Bloom probe is a " +
+        "filter-projection riding the shingle scan, the benchmark side " +
+        "exists only as filter bytes inside the plan."),
+    "dedup_incremental_bloom" ->
+      ("Registry join prefiltered: the registry exchange consumes ONLY " +
+        "the Bloom-positive branch; the negative branch unions in past " +
+        "it untouched. Output bit-equal to dedup_incremental."),
+    "embedding_covariance" ->
+      ("Matrix accumulation via map-side combine: partial HashAggregate " +
+        "below the single exchange, so the shuffle moves at most 2080 " +
+        "(i,j) states per partition regardless of corpus size."),
+    "multimodal_phash_dedup" ->
+      ("Banded Hamming join: per-doc 64-sample hash tower computed ONCE " +
+        "per document (exchange barrier after the hash projection, " +
+        "nullability-folded so no inferred isnotnull filter re-inlines " +
+        "it), band equi-join fans out 8 skinny rows per item — never " +
+        "all-pairs, never tower-per-candidate.")
   )
 
   /** Counts physical operators by their numbered detail-section headers

@@ -211,6 +211,9 @@ object SparkEntry {
     "embedding_quantize_int8"  -> (SimilarityOps.embeddingQuantizeInt8(_, _)),
     // exact upper-triangle covariance of the fixed-point embeddings
     "embedding_covariance"     -> (SimilarityOps.embeddingCovariance(_, _)),
+    // top-2 PCA projection off the covariance (model-based — no oracle;
+    // variance/orthogonality/centering invariants in OperatorSpec)
+    "embedding_pca_project"    -> (SimilarityOps.embeddingPcaProject(_, _)),
     // recall@3 scorecard of every oracle-checkable ANN variant vs exact
     "similarity_recall_report" -> (SimilarityOps.similarityRecallReport(_, _)),
     // pipeline utilities: scoring, sampling, normalization

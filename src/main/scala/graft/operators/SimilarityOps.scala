@@ -603,6 +603,100 @@ object SimilarityOps {
        |GROUP BY i, j
        |ORDER BY i, j""".stripMargin
 
+  /** (session, dir) → fitted (means, v1, λ1, v2, λ2), so the covariance
+    * job and the 64×64 eigen-solve run once per session/dir. */
+  private val pcaModels = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Double], Double, Array[Double], Double)]()
+
+  /** PCA projection (`embedding_pca_project`) — the dimensionality-
+    * reduction / whitening step [[embeddingCovariance]] exists to feed:
+    * fit the top-2 principal components and project every embedding onto
+    * them, the prep a visualizer, an OPQ rotation, or a cheap pre-filter
+    * index consumes.
+    *
+    * Fit is DRIVER-side on the BOUNDED model: the covariance query
+    * reduces the corpus to 2080 exact-integer cells (the only
+    * corpus-sized work, already map-side-combined), the driver folds
+    * them into a 64×64 matrix and runs 200 deterministic power-iteration
+    * steps (plus one Hotelling deflation for the second component) —
+    * microseconds on 4 KB of state, the same scale contract as
+    * `text_logreg_train`'s five driver doubles. Projection is one
+    * narrow codegen'd `aggregate` fold per row with the (means, v₁, v₂)
+    * arrays inlined as literals — shuffle-free, broadcast-free.
+    *
+    * No DuckDB oracle (model-based, like `similarity_ivf_trained`):
+    * eigenvectors come from iterative float arithmetic with a sign
+    * convention, exactly what the cross-engine hash compare bans. The
+    * suite asserts the invariants instead: sample variance along pc1
+    * ≈ λ̂1 ≥ λ̂2 ≈ var(pc2), λ̂1 ≥ the largest coordinate variance,
+    * centering (mean(pcₖ) ≈ 0), and orthogonality (⟨v₁,v₂⟩ ≈ 0). */
+  def embeddingPcaProject(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val key = s"${System.identityHashCode(spark)}:$dir"
+    val (mu, v1, l1, v2, l2) = pcaModels.computeIfAbsent(key, { _ =>
+      val cells = embeddingCovariance(spark, dir)
+        .select($"i", $"j", $"n", $"s_i", $"cov").collect()
+      val d = 64
+      val c = Array.ofDim[Double](d, d)
+      val means = new Array[Double](d)
+      cells.foreach { r =>
+        val (i, j) = (r.getInt(0), r.getInt(1))
+        val cov = r.getDouble(4)
+        c(i)(j) = cov; c(j)(i) = cov
+        if (i == j) means(i) = r.getLong(3).toDouble / r.getLong(2) / 1e6
+      }
+      def mul(v: Array[Double]): Array[Double] =
+        Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((a, j) => a + c(i)(j) * v(j)))
+      def norm(v: Array[Double]): Double = math.sqrt(v.map(x => x * x).sum)
+      def powerIterate(): (Array[Double], Double) = {
+        var v = Array.fill(d)(1.0 / 8.0)
+        (0 until 200).foreach { _ =>
+          val w = mul(v); val n = norm(w)
+          if (n > 0) v = w.map(_ / n)
+        }
+        // sign convention: first nonzero coordinate positive, so the fit
+        // is reproducible across runs (power iteration is sign-blind)
+        val s = v.find(math.abs(_) > 1e-12).map(x => math.signum(x)).getOrElse(1.0)
+        v = v.map(_ * s)
+        (v, v.zip(mul(v)).map { case (a, b) => a * b }.sum) // Rayleigh λ̂
+      }
+      val (e1, lam1) = powerIterate()
+      // Hotelling deflation: C ← C − λ₁v₁v₁ᵀ, then the same iteration
+      // converges to the second component
+      (0 until d).foreach(i => (0 until d).foreach(j =>
+        c(i)(j) -= lam1 * e1(i) * e1(j)))
+      val (e2, lam2) = powerIterate()
+      (means, e1, lam1, e2, lam2)
+    })
+    def litArr(a: Array[Double]): String =
+      a.map(x => s"${x}D").mkString("array(", ", ", ")")
+    quantized(spark, dir)
+      .select($"vec_id",
+        expr(s"""aggregate(zip_with(q, zip_with(${litArr(mu)}, ${litArr(v1)},
+                  (m, w) -> named_struct('m', m, 'w', w)),
+                  (x, t) -> (cast(x as double) / 1000000.0D - t.m) * t.w),
+                0D, (acc, z) -> acc + z)""").as("pc1"),
+        expr(s"""aggregate(zip_with(q, zip_with(${litArr(mu)}, ${litArr(v2)},
+                  (m, w) -> named_struct('m', m, 'w', w)),
+                  (x, t) -> (cast(x as double) / 1000000.0D - t.m) * t.w),
+                0D, (acc, z) -> acc + z)""").as("pc2"))
+      .orderBy($"vec_id")
+  }
+
+  /** The fitted eigenvalues, for the spec's variance invariants. */
+  private[graft] def pcaEigenvalues(spark: SparkSession, dir: String): (Double, Double) = {
+    embeddingPcaProject(spark, dir) // ensure fitted
+    val m = pcaModels.get(s"${System.identityHashCode(spark)}:$dir")
+    (m._3, m._5)
+  }
+
+  /** The fitted component vectors, for the orthogonality invariant. */
+  private[graft] def pcaComponents(spark: SparkSession, dir: String): (Array[Double], Array[Double]) = {
+    embeddingPcaProject(spark, dir)
+    val m = pcaModels.get(s"${System.identityHashCode(spark)}:$dir")
+    (m._2, m._4)
+  }
+
   /** Product-quantization geometry: 64 dims split into [[PqM]] = 8
     * subspaces of [[PqSubDim]] = 8 dims; 16 codewords per subspace drawn
     * deterministically from the corpus (vec_id ≡ 5 mod 32, vec_id < 512 —

@@ -1461,6 +1461,32 @@ class OperatorSpec extends SparkTestBase {
     assert(si.values.forall(_.size == 1), "s_i differs across j for a fixed i")
   }
 
+  test("embedding_pca_project: variance capture, centering, orthogonality") {
+    import graft.operators.SimilarityOps
+    val rows = SparkEntry.queries("embedding_pca_project")(spark, sfDir).collect()
+    val n = rows.length
+    val (pc1, pc2) = (rows.map(_.getDouble(1)), rows.map(_.getDouble(2)))
+    def mean(a: Array[Double]) = a.sum / n
+    def variance(a: Array[Double]) = { val m = mean(a); a.map(x => (x - m) * (x - m)).sum / n }
+    val (l1, l2) = SimilarityOps.pcaEigenvalues(spark, sfDir)
+    // projections are centered (the fold subtracts the fitted means)
+    assert(math.abs(mean(pc1)) < 1e-6 && math.abs(mean(pc2)) < 1e-6)
+    // sample variance along each component recovers its Rayleigh
+    // eigenvalue estimate, and the spectrum is ordered
+    assert(math.abs(variance(pc1) - l1) < 0.05 * l1 + 1e-9,
+      s"var(pc1)=${variance(pc1)} != lambda1=$l1")
+    assert(math.abs(variance(pc2) - l2) < 0.05 * math.max(l2, 1e-9) + 1e-9)
+    assert(l1 >= l2 && l2 >= -1e-12, s"spectrum out of order: $l1 < $l2")
+    // the top eigenvalue dominates every coordinate variance
+    val maxDiag = SparkEntry.queries("embedding_covariance")(spark, sfDir)
+      .collect().filter(r => r.getInt(0) == r.getInt(1)).map(_.getDouble(6)).max
+    assert(l1 >= maxDiag - 1e-12, s"lambda1=$l1 below max coord variance $maxDiag")
+    // fitted components are orthonormal
+    val (v1, v2) = SimilarityOps.pcaComponents(spark, sfDir)
+    assert(math.abs(v1.zip(v2).map { case (a, b) => a * b }.sum) < 1e-6)
+    assert(math.abs(v1.map(x => x * x).sum - 1.0) < 1e-9)
+  }
+
   test("multimodal_batch_tensor: mask/count agreement and full coverage") {
     val rows = SparkEntry.queries("multimodal_batch_tensor")(spark, sfDir).collect()
     val nDocs = graft.Tables.documents(spark, sfDir).count()

@@ -262,6 +262,8 @@ object SparkEntry {
     "text_dup_ngram_fraction"  -> (TextOps.textDupNgramFraction(_, _)),
     // CCNet-style unigram-LM mean log-prob quality signal
     "text_lm_logprob"          -> (TextOps.textLmLogprob(_, _)),
+    // interpolated bigram-LM fluency score (the next model up)
+    "text_bigram_logprob"      -> (TextOps.textBigramLogprob(_, _)),
     // corpus-side PII scrub (emails/phones/ids) with per-class audit
     "text_pii_scrub"           -> (TextOps.textPiiScrub(_, _)),
     // per-doc character-entropy quality signal (compression-ratio proxy)
@@ -489,6 +491,7 @@ object SparkEntry {
     "curation_shard_manifest"  -> CurationOps.curationShardManifestSql,
     "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
     "text_lm_logprob"          -> TextOps.textLmLogprobSql,
+    "text_bigram_logprob"      -> TextOps.textBigramLogprobSql,
     "text_pii_scrub"           -> TextOps.textPiiScrubSql,
     "text_char_entropy"        -> TextOps.textCharEntropySql,
     "text_strip_repeated_spans" -> DedupOps.textStripRepeatedSpansSql,

@@ -808,6 +808,98 @@ object TextOps {
       |FROM perdoc
       |ORDER BY doc_id""".stripMargin
 
+  /** Bigram-LM quality score (`text_bigram_logprob`) — the next model up
+    * from [[textLmLogprob]]'s unigram: per doc, the mean log of the
+    * interpolated conditional P̂(y|x) = (c_xy + P_uni(y)) / (c_x + 1)
+    * (add-1 smoothing with unigram backoff mass — the KenLM-class
+    * fluency signal CCNet-style filters rank on; a doc of real phrases
+    * scores near the corpus ceiling, shuffled bags of valid words drop).
+    * Docs with < 2 tokens have no bigram evidence and are excluded by
+    * definition.
+    *
+    * Scale shape: bigrams are formed INSIDE each row (zip_with of the
+    * token array against its own tail — narrow, no positional
+    * self-join), so corpus-sized work is the token/bigram count aggs and
+    * the three vocab-keyed scoring joins. Both vocab tables are Zipf-
+    * sublinear in the corpus, so at 100 TB the scoring joins broadcast
+    * or bucket while the doc side streams; ReuseExchange shares the
+    * tokenization across the count aggs. Determinism: per-doc fold over
+    * the SORTED distinct-bigram terms in both engines, exact-integer
+    * counts underneath, round-6 absorbing last-ulp `ln` drift (the
+    * [[textLmLogprob]] contract). */
+  def textBigramLogprob(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"doc_id",
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("a"))
+    val tok = toks.select($"doc_id", explode($"a").as("token"))
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum($"c").as("n_total"))
+    val bg = toks.filter(size($"a") >= 2)
+      .select($"doc_id", explode(expr(
+        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+          |  (x, y) -> named_struct('x', x, 'y', y))""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.x".as("x"), $"b.y".as("y"),
+        concat($"b.x", lit(" "), $"b.y").as("bigram"))
+    val bgc = bg.groupBy($"bigram").agg(count(lit(1)).as("cxy"))
+    val dbg = bg.groupBy($"doc_id", $"bigram", $"x", $"y")
+      .agg(count(lit(1)).as("k"))
+    dbg.join(bgc, "bigram")
+      .join(vocab.select($"token".as("x"), $"c".as("cx")), Seq("x"))
+      .join(vocab.select($"token".as("y"), $"c".as("cy")), Seq("y"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_bigrams"),
+        sort_array(collect_list(
+          struct($"bigram", $"k", $"cxy", $"cx", $"cy"))).as("xs"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"n_bigrams",
+        round(
+          aggregate($"xs", lit(0.0), (acc, t) =>
+            acc + t.getField("k").cast("double") *
+              log((t.getField("cxy").cast("double") +
+                   t.getField("cy").cast("double") / $"n_total".cast("double")) /
+                  (t.getField("cx").cast("double") + lit(1.0)))) /
+            $"n_bigrams".cast("double"), 6).as("avg_logprob2"))
+      .orderBy($"doc_id")
+  }
+
+  val textBigramLogprobSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         list_filter(string_split(lower(text), ' '), x -> x <> '') AS a
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(a) AS token FROM toks),
+      |vocab AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY token),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest([{'x': a[i], 'y': a[i + 1]} for i in range(1, len(a))]) AS b
+      |  FROM toks WHERE len(a) >= 2),
+      |bgx AS (
+      |  SELECT doc_id, b.x AS x, b.y AS y, b.x || ' ' || b.y AS bigram FROM bg),
+      |bgc AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cxy FROM bgx GROUP BY bigram),
+      |dbg AS (
+      |  SELECT doc_id, bigram, x, y, CAST(count(*) AS BIGINT) AS k
+      |  FROM bgx GROUP BY doc_id, bigram, x, y),
+      |perdoc AS (
+      |  SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+      |    list(CAST(k AS DOUBLE) *
+      |           ln((CAST(cxy AS DOUBLE)
+      |               + CAST(cy AS DOUBLE)
+      |                 / (SELECT CAST(n_total AS DOUBLE) FROM tot))
+      |              / (CAST(cx AS DOUBLE) + 1.0))
+      |         ORDER BY bigram) AS terms
+      |  FROM dbg
+      |  JOIN bgc USING (bigram)
+      |  JOIN (SELECT token AS x, c AS cx FROM vocab) vx USING (x)
+      |  JOIN (SELECT token AS y, c AS cy FROM vocab) vy USING (y)
+      |  GROUP BY doc_id)
+      |SELECT doc_id, n_bigrams,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms), (a, b) -> a + b)
+      |        / CAST(n_bigrams AS DOUBLE), 6) AS avg_logprob2
+      |FROM perdoc
+      |ORDER BY doc_id""".stripMargin
+
   /** Distributed logistic-regression TRAINING (`text_logreg_train`) — the
     * training-side counterpart of [[textQualityLogreg]] (which APPLIES
     * fixed shipped weights). Full-batch gradient descent where each

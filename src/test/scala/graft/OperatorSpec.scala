@@ -1461,6 +1461,23 @@ class OperatorSpec extends SparkTestBase {
     assert(si.values.forall(_.size == 1), "s_i differs across j for a fixed i")
   }
 
+  test("text_bigram_logprob: scores are log-probs and bigram mass is exact") {
+    val rows = SparkEntry.queries("text_bigram_logprob")(spark, sfDir).collect()
+    // interpolated conditionals are genuine probabilities < 1
+    assert(rows.forall(_.getDouble(2) < 0.0), "a mean log-prob reached >= 0")
+    // n_bigrams is exactly (token count - 1) for every scored doc,
+    // under the query's own tokenization (lower, split, drop empties)
+    val nTok = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id",
+        "cast(size(filter(split(lower(text), ' '), x -> x <> '')) as bigint) as n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(1) == nTok(id) - 1,
+        s"doc $id: n_bigrams ${r.getLong(1)} != tokens-1 ${nTok(id) - 1}")
+    }
+  }
+
   test("embedding_pca_project: variance capture, centering, orthogonality") {
     import graft.operators.SimilarityOps
     val rows = SparkEntry.queries("embedding_pca_project")(spark, sfDir).collect()

@@ -294,6 +294,9 @@ object SparkEntry {
     "source_binaryfile"        -> (MultimodalOps.sourceBinaryfile(_, _)),
     // full custom DataSource V2 connector (pushdown + pruning + splits)
     "source_dsv2_pushdown"     -> (graft.sources.GenSourceOps.sourceDsv2Pushdown(_, _)),
+    // complete aggregate pushdown: the Aggregate node vanishes into the
+    // source's closed-form row (suite asserts the agg-free plan)
+    "source_dsv2_agg_pushdown" -> (graft.sources.GenSourceOps.sourceDsv2AggPushdown(_, _)),
     // DSv2 WRITE path: commit-protocol metrics sink
     "sink_dsv2_metrics"        -> (graft.sources.CountSinkOps.sinkDsv2Metrics(_, _)),
     // observe() metrics piggybacked on the write pass (zero extra scans)
@@ -323,6 +326,7 @@ object SparkEntry {
     "source_xml_roundtrip"     -> ReferenceParity.sourceXmlRoundtripSql,
     "source_binaryfile"        -> MultimodalOps.sourceBinaryfileSql,
     "source_dsv2_pushdown"     -> graft.sources.GenSourceOps.sourceDsv2PushdownSql,
+    "source_dsv2_agg_pushdown" -> graft.sources.GenSourceOps.sourceDsv2AggPushdownSql,
     "sink_dsv2_metrics"        -> graft.sources.CountSinkOps.sinkDsv2MetricsSql,
     "pipeline_observed_write"  -> PipelineOps.pipelineObservedWriteSql,
     "sink_text_roundtrip"      -> ReferenceParity.sinkTextRoundtripSql,

@@ -8,11 +8,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -79,11 +80,13 @@ final class GenTable(n: Long, parts: Int) extends Table with SupportsRead {
 }
 
 final class GenScanBuilder(n: Long, parts: Int, batchRows: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
   private var lo: Long = 0L
   private var hi: Long = n
   private var accepted: Array[Filter] = Array.empty
   private var required: StructType = GenSource.schema
+  private var aggFuncs: Option[Array[AggregateFunc]] = None
 
   /** Accept id-range/equality predicates by tightening [lo, hi); anything
     * else stays residual for Catalyst to evaluate post-scan. */
@@ -117,7 +120,95 @@ final class GenScanBuilder(n: Long, parts: Int, batchRows: Long)
   override def pushedFilters(): Array[Filter] = accepted
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = GenScan(lo, hi, parts, required, accepted, batchRows)
+
+  /** AGGREGATE PUSHDOWN ([[SupportsPushDownAggregates]]): global
+    * count(*)/count(id)/min(id)/max(id)/sum(id) over the (already
+    * filter-narrowed) id range are CLOSED FORMS of [lo, hi), so the
+    * whole aggregation collapses to one arithmetic row on one task —
+    * zero rows generated, zero shuffled. This is the contract a real
+    * warehouse connector (JDBC, Iceberg metadata tables) implements:
+    * filters push first, then Spark offers the agg, and a complete
+    * pushdown replaces the whole Aggregate node with the scan's output.
+    * Anything else (group-bys, distinct, payload aggs) is declined and
+    * Catalyst keeps its own aggregation — declining must stay safe. */
+  private def closedForm(f: AggregateFunc): Boolean = {
+    def isId(e: org.apache.spark.sql.connector.expressions.Expression) =
+      e match {
+        case r: NamedReference => r.fieldNames.sameElements(Array("id"))
+        case _ => false
+      }
+    f match {
+      case _: CountStar => true
+      case c: Count => !c.isDistinct && isId(c.column) // id is non-null
+      case m: Min => isId(m.column)
+      case m: Max => isId(m.column)
+      case s: Sum => !s.isDistinct && isId(s.column)
+      case _ => false
+    }
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(closedForm)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    // complete-or-nothing: partial pushdown would make Spark expect
+    // per-partition intermediate rows, a different schema contract
+    if (!supportCompletePushDown(agg)) return false
+    aggFuncs = Some(agg.aggregateExpressions)
+    true
+  }
+
+  override def build(): Scan = aggFuncs match {
+    case Some(fs) => GenAggScan(lo, hi, fs, accepted.toIndexedSeq)
+    case None => GenScan(lo, hi, parts, required, accepted, batchRows)
+  }
+}
+
+/** The completely-pushed-down aggregate scan: ONE partition whose reader
+  * emits the single closed-form result row (empty ranges yield SQL
+  * semantics: count 0, null min/max/sum). */
+final case class GenAggScan(lo: Long, hi: Long, funcs: Array[AggregateFunc],
+    pushed: Seq[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(funcs.map {
+    case _: CountStar | _: Count => StructField("agg_count", LongType, nullable = false)
+    case _ => StructField("agg_val", LongType, nullable = true)
+  })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graftgen AGG range=[$lo,$hi) funcs=[${funcs.mkString(", ")}] " +
+      s"pushed=[${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GenPartition(0L, 1L))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenAggReaderFactory(lo, hi, funcs.map {
+      case _: CountStar | _: Count => 'c'
+      case _: Min => 'n'
+      case _: Max => 'x'
+      case _: Sum => 's'
+    })
+}
+
+/** Carries only primitive state (the funcs re-encoded as tags) so the
+  * factory serializes without dragging connector expression classes. */
+final class GenAggReaderFactory(lo: Long, hi: Long, tags: Array[Char])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow = {
+        val cnt = math.max(0L, hi - lo)
+        val vals: Array[Any] = tags.map {
+          case 'c' => cnt
+          case 'n' => if (cnt == 0) null else lo
+          case 'x' => if (cnt == 0) null else hi - 1
+          // Gauss sum over [lo, hi) in BigInt, exact at any range
+          case 's' => if (cnt == 0) null
+            else ((BigInt(lo) + BigInt(hi - 1)) * BigInt(cnt) / 2).toLong
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = ()
+    }
+  }
 }
 
 final case class GenScan(
@@ -285,6 +376,29 @@ object GenSourceOps {
       |FROM range(25000, 75000) t(id)
       |GROUP BY CAST(id % 16 AS INT)
       |ORDER BY bucket""".stripMargin
+
+  /** Aggregate-pushdown demonstration (`source_dsv2_agg_pushdown`): the
+    * filter narrows the generated interval inside the source, then the
+    * global count/min/max/sum collapse into [[GenAggScan]]'s closed-form
+    * row — the executed plan carries NO aggregate at all (asserted by
+    * the suite), the 97k-row interval is never generated. The 100 TB
+    * reading: a metadata-capable source answers bounded summary queries
+    * at catalog cost, and the engine must know to ask. */
+  def sourceDsv2AggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("graftgen")
+      .option("n", "100000").option("parts", "8").load()
+      .filter($"id" >= 1234L && $"id" < 98765L)
+      .agg(count(lit(1)).as("n_rows"),
+        min($"id").as("min_id"),
+        max($"id").as("max_id"),
+        sum($"id").as("sum_id"))
+  }
+
+  val sourceDsv2AggPushdownSql: String =
+    """SELECT count(*) AS n_rows, min(id) AS min_id, max(id) AS max_id,
+      |  CAST(sum(id) AS BIGINT) AS sum_id
+      |FROM range(1234, 98765) t(id)""".stripMargin
 
   /** REAL streaming execution through the connector's
     * [[GenMicroBatchStream]]: 1000 generated rows replayed as ~300-row

@@ -1139,6 +1139,30 @@ class OperatorSpec extends SparkTestBase {
     assert(nParts > 0)
   }
 
+  test("source_dsv2_agg_pushdown: the Aggregate node vanishes into the source") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val df = SparkEntry.queries("source_dsv2_agg_pushdown")(spark, sfDir)
+    val plan = df.queryExecution.sparkPlan
+    // complete pushdown: the physical plan must carry NO aggregate exec
+    assert(!plan.toString.contains("HashAggregate") &&
+           !plan.toString.contains("SortAggregate"),
+      s"aggregate survived pushdown:\n$plan")
+    val scan = plan.collect { case b: BatchScanExec => b.scan }.head
+      .asInstanceOf[graft.sources.GenAggScan]
+    // filters pushed BEFORE the aggregate was offered
+    assert(scan.lo == 1234L && scan.hi == 98765L,
+      s"agg scan did not inherit the narrowed range: [${scan.lo},${scan.hi})")
+    // and the closed forms are right (Gauss sum over [1234, 98765))
+    val r = df.collect().head
+    val n = 98765L - 1234L
+    assert(r.getLong(0) == n && r.getLong(1) == 1234L && r.getLong(2) == 98764L)
+    assert(r.getLong(3) == (1234L + 98764L) * n / 2)
+    // a declined shape (group-by) still answers correctly via Catalyst
+    val grouped = spark.read.format("graftgen").option("n", "1000").load()
+      .groupBy(org.apache.spark.sql.functions.col("bucket")).count()
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
+  }
+
   test("sink_dsv2_metrics commit protocol is exactly-once under task retry") {
     val spark0 = spark
     import spark0.implicits._

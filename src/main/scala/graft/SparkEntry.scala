@@ -256,6 +256,8 @@ object SparkEntry {
     // epoch/repeat schedule under a token budget (4-epoch cap,
     // Muennighoff et al. 2023)
     "curation_epoch_plan"      -> (CurationOps.curationEpochPlan(_, _)),
+    // the plan made concrete: per-doc repeat counts for the sampler
+    "curation_epoch_sample"    -> (CurationOps.curationEpochSample(_, _)),
     // size-balanced output-shard assignment + the manifest a writer emits
     "curation_shard_manifest"  -> (CurationOps.curationShardManifest(_, _)),
     // Gopher-style duplicate-10-gram fraction (sub-document repetition)
@@ -492,6 +494,7 @@ object SparkEntry {
     "curation_dataset_card"    -> CurationOps.datasetCardSql,
     "curation_lang_temperature" -> CurationOps.langTemperatureMixtureSql,
     "curation_epoch_plan"      -> CurationOps.curationEpochPlanSql,
+    "curation_epoch_sample"    -> CurationOps.curationEpochSampleSql,
     "curation_shard_manifest"  -> CurationOps.curationShardManifestSql,
     "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
     "text_lm_logprob"          -> TextOps.textLmLogprobSql,

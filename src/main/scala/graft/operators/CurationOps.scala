@@ -920,6 +920,102 @@ object CurationOps {
       |FROM grouped, tot t
       |ORDER BY lang""".stripMargin
 
+  /** Epoch-plan materialization (`curation_epoch_sample`) — the step
+    * after [[curationEpochPlan]]: turn each language's fractional epoch
+    * count into a CONCRETE per-document repeat count the dataloader's
+    * sampler consumes. Every doc repeats ⌊epochs⌋ times; the fractional
+    * remainder becomes a token budget filled greedily by the
+    * md5-ranked prefix of the language (reproducible, scan-order-free —
+    * the [[sampleDomainQuota]] keying), so Σ repeat·n_tok tracks the
+    * plan's allocation to within one document.
+    *
+    * Determinism across engines: the fractional budget is collapsed to
+    * an exact BIGINT (`floor((epochs − ⌊epochs⌋)·n_tokens)`) from the
+    * same round-6 epochs value both engines already hash-agree on
+    * (`curation_epoch_plan` is oracle-green), and the prefix test
+    * compares exact BIGINT cumulative sums against it — no float
+    * boundary can flap a row. Scale: the plan side is a bounded
+    * per-lang broadcast; the only ordering is a window partitioned by
+    * lang (per-group sort, pinned ROWS frame — never a global total
+    * order), and rank + cumulative sum share one window sort. */
+  def curationEpochSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang",
+        size(split($"text", " ")).cast("bigint").as("n_tok"))
+    val grouped = docs.groupBy($"lang").agg(sum($"n_tok").as("n_tokens"))
+    val tot = grouped.agg(
+      sum($"n_tokens").as("total_tokens"),
+      aggregate(
+        sort_array(collect_list(struct($"lang", $"n_tokens"))), lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n_tokens").cast("double"))).as("z"))
+    val nL = $"n_tokens".cast("double")
+    val plan = grouped.crossJoin(broadcast(tot))
+      .select($"lang", $"n_tokens",
+        round(least(lit(MaxEpochs),
+          (lit(BudgetX) * $"total_tokens").cast("double") * sqrt(nL) / $"z" / nL),
+          6).as("epochs"))
+      .select($"lang",
+        floor($"epochs").cast("bigint").as("base_epochs"),
+        expr("cast(floor((epochs - floor(epochs)) * n_tokens) as bigint)")
+          .as("frac_tokens"))
+    val w = Window.partitionBy($"lang")
+      .orderBy(md5($"doc_id".cast("string")).asc, $"doc_id".asc)
+    val repeat = $"base_epochs" +
+      when($"cum_tok" <= $"frac_tokens", 1L).otherwise(0L)
+    docs.join(broadcast(plan), "lang")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("cum_tok", sum($"n_tok").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"doc_id", $"lang", $"n_tok", $"rk",
+        repeat.as("repeat_count"),
+        (repeat * $"n_tok").as("planned_tokens"))
+      .orderBy($"doc_id")
+  }
+
+  val curationEpochSampleSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |grouped AS (
+      |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+      |  FROM docs GROUP BY lang),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    list_reduce(
+      |      list_prepend(CAST(0.0 AS DOUBLE),
+      |        list(sqrt(CAST(n_tokens AS DOUBLE)) ORDER BY lang)),
+      |      (a, b) -> a + b) AS z
+      |  FROM grouped),
+      |plan AS (
+      |  SELECT lang,
+      |    CAST(floor(ep) AS BIGINT) AS base_epochs,
+      |    CAST(floor((ep - floor(ep)) * n_tokens) AS BIGINT) AS frac_tokens
+      |  FROM (
+      |    SELECT lang, n_tokens,
+      |      round(least(4.0,
+      |        CAST(2 * t.total_tokens AS DOUBLE) * sqrt(CAST(n_tokens AS DOUBLE))
+      |          / t.z / CAST(n_tokens AS DOUBLE)), 6) AS ep
+      |    FROM grouped, tot t) p),
+      |ranked AS (
+      |  SELECT doc_id, lang, n_tok,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |    sum(n_tok) OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+      |  FROM docs)
+      |SELECT r.doc_id, r.lang, r.n_tok, r.rk,
+      |  CAST(p.base_epochs
+      |       + CASE WHEN r.cum_tok <= p.frac_tokens THEN 1 ELSE 0 END
+      |     AS BIGINT) AS repeat_count,
+      |  CAST((p.base_epochs
+      |        + CASE WHEN r.cum_tok <= p.frac_tokens THEN 1 ELSE 0 END)
+      |       * r.n_tok AS BIGINT) AS planned_tokens
+      |FROM ranked r JOIN plan p USING (lang)
+      |ORDER BY r.doc_id""".stripMargin
+
   /** (session, dir) → registered probe-function name, so the Bloom build
     * job runs once per session/dir instead of once per query invocation. */
   private val bloomFns = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -1485,6 +1485,28 @@ class OperatorSpec extends SparkTestBase {
     assert(si.values.forall(_.size == 1), "s_i differs across j for a fixed i")
   }
 
+  test("curation_epoch_sample: repeats realize the epoch plan's allocation") {
+    val sample = SparkEntry.queries("curation_epoch_sample")(spark, sfDir).collect()
+    val plan = SparkEntry.queries("curation_epoch_plan")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(6), r.getDouble(7))).toMap // (epochs, allocated_tokens)
+    val byLang = sample.groupBy(_.getString(1))
+    assert(byLang.keySet == plan.keySet, "sampler must cover every language")
+    byLang.foreach { case (lang, rows) =>
+      val (epochs, allocated) = plan(lang)
+      // every repeat count is floor(epochs) or floor(epochs)+1
+      val base = math.floor(epochs).toLong
+      assert(rows.forall(r => r.getLong(4) == base || r.getLong(4) == base + 1),
+        s"$lang: repeat outside {$base, ${base + 1}}")
+      // realized token mass tracks the plan's allocation to within the
+      // largest single document (greedy prefix granularity)
+      val planned = rows.map(_.getLong(5)).sum.toDouble
+      val maxDoc = rows.map(_.getLong(2)).max.toDouble
+      assert(math.abs(planned - allocated) <= maxDoc + 1.0,
+        s"$lang: planned $planned vs allocated $allocated (maxDoc $maxDoc)")
+    }
+  }
+
   test("text_bigram_logprob: scores are log-probs and bigram mass is exact") {
     val rows = SparkEntry.queries("text_bigram_logprob")(spark, sfDir).collect()
     // interpolated conditionals are genuine probabilities < 1

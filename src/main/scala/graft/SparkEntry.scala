@@ -272,6 +272,9 @@ object SparkEntry {
     "text_char_entropy"        -> (TextOps.textCharEntropy(_, _)),
     // the removal action for dedup_repeated_substrings' spans
     "text_strip_repeated_spans" -> (DedupOps.textStripRepeatedSpans(_, _)),
+    // multi-round BPE merge training on the word-type table (model-based
+    // — no oracle; greedy-score/composition invariants in OperatorSpec)
+    "text_bpe_train"           -> (TextOps.textBpeTrain(_, _)),
     // directed shingle containment (subsumption pairs Jaccard misses)
     "dedup_containment"        -> (DedupOps.dedupContainment(_, _)),
     // new-batch-vs-corpus hash-registry dedup (the incremental shape)

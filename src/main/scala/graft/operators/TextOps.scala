@@ -655,6 +655,75 @@ object TextOps {
       |ORDER BY n_pair DESC, pair
       |LIMIT 50""".stripMargin
 
+  /** BPE tokenizer TRAINING (`text_bpe_train`) — the multi-round loop
+    * [[textBpePairs]] is the first iteration of: greedily pick the
+    * highest-count adjacent symbol pair, fuse it into a new vocabulary
+    * symbol, re-count, repeat. Emits the learned merge table (step,
+    * left, right, merged, pair_score) — the artifact a tokenizer ships.
+    *
+    * Scale contract (how production BPE trainers work, e.g. the
+    * word-count pre-aggregation in HuggingFace tokenizers): the ONE
+    * corpus-sized job is the initial word-TYPE count aggregation; all
+    * 8 training rounds then run on the Zipf-bounded type table
+    * (types ≪ occurrences), each round = one pair-count aggregation
+    * (bounded by vocab², partial-agg-collapsed pre-shuffle) + one
+    * narrow leftmost-greedy fold applying the merge. The driver holds
+    * only the 1-row argmax per round — the `text_logreg_train` motion.
+    * Per-round persists hand off with blocking unpersists (the trained-
+    * PQ discipline) so no round rebuilds its predecessor.
+    *
+    * Determinism: counts are exact BIGINTs, the argmax tie-breaks on
+    * (score DESC, left, right), and the fold is leftmost-greedy (the
+    * 'aaa' + (a,a) case merges once, not twice) — byte-identical merge
+    * tables on every run, which the suite's double-run check exercises
+    * for real because nothing here is memoized. No SQL oracle
+    * (iterative model training, like `anomaly_kmeans`); invariants
+    * instead: scores non-increase across rounds (a fused pair can never
+    * mint a more frequent successor), merged = left||right, and round 1
+    * must reproduce `text_bpe_pairs`' top pair exactly. */
+  def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val Rounds = 8
+    val wordTypes = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select($"cnt", expr("split(w, '')").as("syms"))
+    var cur = wordTypes.persist()
+    cur.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= Rounds && !done) {
+      val top = cur.filter(size($"syms") >= 2)
+        .select($"cnt", explode(expr(
+          """zip_with(slice(syms, 1, size(syms) - 1), slice(syms, 2, size(syms) - 1),
+            |  (a, b) -> named_struct('l', a, 'r', b))""".stripMargin)).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(sum($"cnt").as("score"))
+        .orderBy($"score".desc, $"l", $"r")
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, score) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        val m = l + r
+        merges += ((step, l, r, m, score))
+        // leftmost-greedy merge: fuse each non-overlapping (l, r) run
+        val next = cur.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+             |  if(size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r',
+             |     concat(slice(acc, 1, size(acc) - 1), array('$m')),
+             |     concat(acc, array(s))))""".stripMargin)).persist()
+        next.count()
+        cur.unpersist(blocking = true)
+        cur = next
+        step += 1
+      }
+    }
+    cur.unpersist(blocking = true)
+    merges.toSeq.toDF("step", "left", "right", "merged", "pair_score")
+      .orderBy($"step")
+  }
+
   /** Memoized, persisted 10-token rolling-window hash stream feeding the
     * two aggregations inside [[textDupNgramFraction]] (the dup-gram set
     * and the per-window join). Unlike the shingle stage this cache has a

@@ -1485,6 +1485,26 @@ class OperatorSpec extends SparkTestBase {
     assert(si.values.forall(_.size == 1), "s_i differs across j for a fixed i")
   }
 
+  test("text_bpe_train: greedy scores non-increase and round 1 matches bpe_pairs") {
+    val rows = SparkEntry.queries("text_bpe_train")(spark, sfDir).collect()
+    assert(rows.length == 8, s"expected 8 merge rounds, got ${rows.length}")
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 8), "steps must be 1..8")
+    // a learned merge is the concatenation of its parts
+    rows.foreach(r =>
+      assert(r.getString(3) == r.getString(1) + r.getString(2)))
+    // greedy argmax scores can never increase: a fused symbol's every
+    // successor pair is bounded by the count just consumed
+    val scores = rows.map(_.getLong(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      s"merge scores increased: ${scores.mkString(",")}")
+    assert(scores.forall(_ > 0L))
+    // round 1 must reproduce the single-round query's top pair
+    val top = SparkEntry.queries("text_bpe_pairs")(spark, sfDir).collect().head
+    assert(rows.head.getString(3) == top.getString(0) &&
+           rows.head.getLong(4) == top.getLong(1),
+      s"round 1 ${rows.head} disagrees with text_bpe_pairs top $top")
+  }
+
   test("curation_epoch_sample: repeats realize the epoch plan's allocation") {
     val sample = SparkEntry.queries("curation_epoch_sample")(spark, sfDir).collect()
     val plan = SparkEntry.queries("curation_epoch_plan")(spark, sfDir)

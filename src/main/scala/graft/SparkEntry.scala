@@ -292,6 +292,9 @@ object SparkEntry {
     "agg_approx_distinct"      -> (PipelineOps.aggApproxDistinct(_, _)),
     // mergeable DataSketches HLL union (no oracle — test-asserted bounds)
     "agg_hll_merge"            -> (PipelineOps.aggHllMerge(_, _)),
+    // Count-Min point frequencies: per-source sketches merge exactly to
+    // the global sketch (no oracle — sketch; invariants in OperatorSpec)
+    "agg_cms_topk"             -> (PipelineOps.aggCmsTopk(_, _)),
     "source_orc_roundtrip"     -> (ReferenceParity.sourceOrcRoundtrip(_, _)),
     "source_avro_roundtrip"    -> (ReferenceParity.sourceAvroRoundtrip(_, _)),
     "source_xml_roundtrip"     -> (ReferenceParity.sourceXmlRoundtrip(_, _)),

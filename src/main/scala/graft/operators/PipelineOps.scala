@@ -393,6 +393,44 @@ object PipelineOps {
     typed.unionByName(total).orderBy($"event_type")
   }
 
+  /** Count-Min-sketch token frequencies (`agg_cms_topk`) — the third
+    * mergeable sketch next to HLL (cardinality) and Bloom (membership):
+    * approximate POINT FREQUENCIES in sublinear space, the heavy-hitter
+    * primitive a 100 TB token-statistics service runs (exact per-token
+    * counts shuffle the whole vocabulary; a CMS is a fixed
+    * depth×width counter grid per partition that merges by cell-wise
+    * ADDITION — per-shard sketches roll up exactly, like the HLL
+    * union). Built twice on purpose: one global sketch, and per-source
+    * sketches merged driver-side — CMS merge is EXACT (counts add
+    * linearly, same seed ⇒ same hash rows), so the merged estimates
+    * must equal the global ones bit-for-bit, which the suite asserts
+    * alongside the one-sided error contract (estimate ≥ true, overshoot
+    * ≤ ε·N at ε = 0.001). Probes are driver-side over the bounded
+    * top-20 exact rows. No DuckDB oracle: sketch layouts are
+    * engine-specific, the `agg_hll_merge` contract. */
+  def aggCmsTopk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.util.sketch.CountMinSketch
+    val tok = Tables.documents(spark, dir)
+      .select($"source", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    val cms = "count_min_sketch(token, 0.001d, 0.99d, 42)"
+    val globalSk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(
+      tok.agg(expr(cms).as("sk")).head().getAs[Array[Byte]](0)))
+    val mergedSk = tok.groupBy($"source").agg(expr(cms).as("sk")).collect()
+      .map(r => CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1))))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val top = tok.groupBy($"token").agg(count(lit(1)).as("true_count"))
+      .orderBy($"true_count".desc, $"token").limit(20).collect()
+    top.map { r =>
+      val t = r.getString(0)
+      (t, r.getLong(1),
+        globalSk.estimateCount(t), mergedSk.estimateCount(t))
+    }.toSeq.toDF("token", "true_count", "est_global", "est_merged")
+      .orderBy($"true_count".desc, $"token")
+  }
+
   /** Observed write: named `Observation` metrics (row count + exact
     * decimal revenue) piggyback on the WRITE pass itself — the executors
     * accumulate them while producing the sink output, so data-quality

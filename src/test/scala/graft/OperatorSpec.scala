@@ -1485,6 +1485,25 @@ class OperatorSpec extends SparkTestBase {
     assert(si.values.forall(_.size == 1), "s_i differs across j for a fixed i")
   }
 
+  test("agg_cms_topk: one-sided error and exact sketch mergeability") {
+    val rows = SparkEntry.queries("agg_cms_topk")(spark, sfDir).collect()
+    assert(rows.length == 20)
+    // merging per-source sketches must reproduce the global sketch
+    // exactly — CMS cells add linearly under a shared seed
+    rows.foreach(r => assert(r.getLong(2) == r.getLong(3),
+      s"merged estimate diverged from global at ${r.getString(0)}"))
+    // CMS never underestimates, and overshoot is bounded by eps * N
+    val n = graft.Tables.documents(spark, sfDir)
+      .selectExpr("sum(size(filter(split(lower(text), ' '), x -> x <> '')))")
+      .head().getLong(0)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}")
+      assert(r.getLong(2) - r.getLong(1) <= math.ceil(0.001 * n).toLong,
+        s"${r.getString(0)}: overshoot ${r.getLong(2) - r.getLong(1)} > eps*N")
+    }
+  }
+
   test("text_bpe_train: greedy scores non-increase and round 1 matches bpe_pairs") {
     val rows = SparkEntry.queries("text_bpe_train")(spark, sfDir).collect()
     assert(rows.length == 8, s"expected 8 merge rounds, got ${rows.length}")

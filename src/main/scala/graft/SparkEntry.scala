@@ -318,6 +318,8 @@ object SparkEntry {
     "multimodal_batch_tensor"  -> (MultimodalOps.multimodalBatchTensor(_, _)),
     // pHash/PDQ-style banded perceptual near-dup pairs (codec stubbed)
     "multimodal_phash_dedup"   -> (MultimodalOps.multimodalPhashDedup(_, _)),
+    // fused per-doc training example across all three modalities
+    "multimodal_example_build" -> (MultimodalOps.multimodalExampleBuild(_, _)),
     // model-based anomaly detection (no oracle — rows-only check)
     "anomaly_kmeans"           -> (AnomalyOps.anomalyKmeans(_, _)),
   )
@@ -516,5 +518,6 @@ object SparkEntry {
     "multimodal_resize"        -> MultimodalOps.multimodalResizeSql,
     "multimodal_batch_tensor"  -> MultimodalOps.multimodalBatchTensorSql,
     "multimodal_phash_dedup"   -> MultimodalOps.multimodalPhashDedupSql,
+    "multimodal_example_build" -> MultimodalOps.multimodalExampleBuildSql,
   )
 }

@@ -241,6 +241,81 @@ object MultimodalOps {
       |GROUP BY 1
       |ORDER BY batch_id""".stripMargin
 
+  /** Training-example assembly (`multimodal_example_build`) — the fusion
+    * step a multimodal dataloader runs last: one record per document
+    * joining all three modalities — text statistics, the quantized
+    * embedding's exact norm, and the payload thumbnail's order-sensitive
+    * checksum — stamped with a deterministic example hash (the
+    * content-addressed id a training cache keys on).
+    *
+    * Plan shape: text stats and the payload codec run in the SAME
+    * `mapPartitions` pass (ONE documents scan covers two modalities);
+    * the embedding side reuses the memoized fixed-point stage and joins
+    * 1:1 on id — at 100 TB that join is the one shuffle, co-located for
+    * free when both tables are bucketed by id (`sink_bucketed_join` is
+    * the demonstration). The example hash concatenates exact integers
+    * only, so it is bit-stable across engines. */
+  def multimodalExampleBuild(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docSide = Tables.documents(spark, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val n = bytes.length
+          val stride = math.max(1, n / 64)
+          val k = math.min(64, n)
+          var i = 0
+          var weighted = 0L
+          while (i < k) {
+            weighted += (bytes(i * stride) & 0xff).toLong * (i + 1)
+            i += 1
+          }
+          val nTok = text.split(" ").count(_.nonEmpty).toLong
+          (id, nTok, text.length.toLong, weighted)
+        }
+      }
+      .toDF("doc_id", "n_tok", "n_chars", "thumb_weighted")
+    val emb = graft.operators.SimilarityOps.quantized(spark, dir)
+      .select($"vec_id".as("doc_id"), $"n2".cast("bigint").as("emb_norm2"))
+    docSide.join(emb, "doc_id")
+      .select($"doc_id", $"n_tok", $"n_chars", $"emb_norm2", $"thumb_weighted",
+        md5(concat_ws("|", $"doc_id", $"n_tok", $"n_chars", $"emb_norm2",
+          $"thumb_weighted")).as("example_hash"))
+      .orderBy($"doc_id")
+  }
+
+  val multimodalExampleBuildSql: String =
+    s"""WITH ${graft.operators.SimilarityOps.quantizedCteForOracle},
+       |thumbs AS (
+       |  SELECT doc_id,
+       |    CAST(coalesce(list_sum(
+       |      [samples[i] * i for i in range(1, len(samples) + 1)]), 0) AS BIGINT)
+       |      AS thumb_weighted
+       |  FROM (
+       |    SELECT doc_id,
+       |      [CAST(concat('0x', substr(h, 1 + 2 * (i - 1) * stride, 2)) AS INT)
+       |       for i in range(1, least(64, nb) + 1)] AS samples
+       |    FROM (SELECT doc_id, hex(encode(text)) AS h,
+       |                 octet_length(encode(text)) AS nb,
+       |                 greatest(1, octet_length(encode(text)) // 64) AS stride
+       |          FROM documents) t0) t1),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+       |      AS n_tok,
+       |    CAST(length(text) AS BIGINT) AS n_chars
+       |  FROM documents)
+       |SELECT t.doc_id, t.n_tok, t.n_chars,
+       |  CAST(n.n2 AS BIGINT) AS emb_norm2, th.thumb_weighted,
+       |  md5(concat_ws('|', t.doc_id, t.n_tok, t.n_chars, CAST(n.n2 AS BIGINT),
+       |      th.thumb_weighted)) AS example_hash
+       |FROM toks t
+       |JOIN n ON n.vec_id = t.doc_id
+       |JOIN thumbs th ON th.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Raw-media ingest through Spark's `binaryFile` source: stage a
     * sample of document payloads as standalone `<doc_id>.bin` files
     * (executor-side imperative IO — the write path a media pipeline's

@@ -50,6 +50,9 @@ object SimilarityOps {
     }
   }
 
+  /** Public alias for composing the fixed-point CTE into other oracles. */
+  private[graft] def quantizedCteForOracle: String = quantizedCte
+
   private[operators] val quantizedCte: String =
     """n AS (
       |  SELECT vec_id,

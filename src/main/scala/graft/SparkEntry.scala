@@ -233,6 +233,8 @@ object SparkEntry {
     // false-positive-only superset + fpp bound asserted in OperatorSpec)
     "curation_decontaminate_bloom" -> (CurationOps.curationDecontaminateBloom(_, _)),
     "curation_contamination_by_source" -> (CurationOps.contaminationBySource(_, _)),
+    // per-stage funnel counts for the gate→decontaminate→dedup pipeline
+    "curation_funnel_report"   -> (CurationOps.curationFunnelReport(_, _)),
     "pack_sequences"           -> (CurationOps.packSequences(_, _)),
     // curate → dedup → pack closed loop: packs only dedup_chunks keepers
     "pack_sequences_deduped"   -> (CurationOps.packSequencesDeduped(_, _)),
@@ -488,6 +490,7 @@ object SparkEntry {
     "contamination_ngram_overlap" -> CurationOps.contaminationNgramOverlapSql,
     "curation_decontaminate"   -> CurationOps.curationDecontaminateSql,
     "curation_contamination_by_source" -> CurationOps.contaminationBySourceSql,
+    "curation_funnel_report"   -> CurationOps.curationFunnelReportSql,
     "pack_sequences"           -> CurationOps.packSequencesSql,
     "pack_sequences_deduped"   -> CurationOps.packSequencesDedupedSql,
     "sample_domain_quota"      -> CurationOps.sampleDomainQuotaSql,

@@ -920,6 +920,107 @@ object CurationOps {
       |FROM grouped, tot t
       |ORDER BY lang""".stripMargin
 
+  /** Curation funnel report (`curation_funnel_report`) — the
+    * observability view every pipeline run ships: per stage (ingest →
+    * quality gate → decontaminate → exact dedup, the
+    * `curation_training_extract` order), how many documents entered,
+    * survived, and dropped, with an exact-integer per-mille drop rate.
+    * This is the table an operator reads to spot a mis-tuned gate or a
+    * poisoned crawl before training does.
+    *
+    * Scale shape: the per-doc pass flags are computed once in a single
+    * fused plan (gate stats, decontamination decision, first-per-hash
+    * among survivors), then ONE 1-row aggregation counts all four
+    * stages simultaneously — the funnel costs one corpus pass + the
+    * stages' own joins, not four sequential pipelines; `stack` unpivots
+    * the 1-row counts into the 4-stage table (bounded output). */
+  def curationFunnelReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gate = curationQualityGate(spark, dir).select($"doc_id", $"keep")
+    val dec = curationDecontaminate(spark, dir)
+      .select($"doc_id", $"decision")
+    val flagged = Tables.documents(spark, dir)
+      .select($"doc_id", md5(lower($"text")).as("content_hash"))
+      .join(gate, "doc_id")
+      .join(dec, Seq("doc_id"), "left")
+      .withColumn("pass_gate", $"keep")
+      .withColumn("pass_decont",
+        $"pass_gate" && ($"decision".isNull || $"decision" =!= "dropped"))
+    val firstSurvivor = flagged.groupBy($"content_hash")
+      .agg(min(when($"pass_decont", $"doc_id")).as("first_id"))
+    val counts = flagged.join(firstSurvivor, "content_hash")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"pass_gate", 1L).otherwise(0L)).as("g"),
+        sum(when($"pass_decont", 1L).otherwise(0L)).as("d"),
+        sum(when($"pass_decont" && $"doc_id" === $"first_id", 1L)
+          .otherwise(0L)).as("u"))
+    counts.selectExpr(
+      """stack(4,
+        |  1, 'ingest',        n, n,
+        |  2, 'quality_gate',  n, g,
+        |  3, 'decontaminate', g, d,
+        |  4, 'exact_dedup',   d, u) AS (stage_ord, stage, docs_in, docs_out)
+        |""".stripMargin)
+      .select($"stage_ord", $"stage", $"docs_in", $"docs_out",
+        ($"docs_in" - $"docs_out").as("dropped"),
+        expr("(docs_in - docs_out) * 1000 div greatest(docs_in, 1)")
+          .as("drop_permille"))
+      .orderBy($"stage_ord")
+  }
+
+  val curationFunnelReportSql: String =
+    ("""WITH """ + DedupOps.shinglesCte + """,
+      |cnt AS (
+      |  SELECT doc_id, token, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> '' GROUP BY doc_id, token),
+      |gagg AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |         count(*) AS n_distinct, max(c) AS top_count
+      |  FROM cnt GROUP BY doc_id),
+      |gate AS (
+      |  SELECT d.doc_id,
+      |    (coalesce(a.n_tokens, 0) >= 20 AND coalesce(a.n_tokens, 0) <= 5000
+      |     AND NOT coalesce(a.top_count, 0) * 5 > coalesce(a.n_tokens, 0)
+      |     AND NOT coalesce(a.n_distinct, 0) * 10 < coalesce(a.n_tokens, 0) * 3)
+      |      AS pass_gate
+      |  FROM documents d LEFT JOIN gagg a USING (doc_id)),
+      |bench AS (SELECT DISTINCT m FROM shingles WHERE doc_id % 97 = 0),
+      |rep AS (
+      |  SELECT s.doc_id, count(*) AS n_shingles, count(b.m) AS n_contaminated
+      |  FROM shingles s LEFT JOIN bench b ON s.m = b.m
+      |  WHERE s.doc_id % 97 <> 0
+      |  GROUP BY s.doc_id),
+      |flags AS (
+      |  SELECT d.doc_id, md5(lower(d.text)) AS content_hash, g.pass_gate,
+      |    (g.pass_gate AND NOT coalesce(20 * r.n_contaminated >= r.n_shingles,
+      |                                  FALSE)) AS pass_decont
+      |  FROM documents d
+      |  JOIN gate g USING (doc_id)
+      |  LEFT JOIN rep r USING (doc_id)),
+      |firsts AS (
+      |  SELECT content_hash,
+      |         min(CASE WHEN pass_decont THEN doc_id END) AS first_id
+      |  FROM flags GROUP BY content_hash),
+      |counts AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN f.pass_gate THEN 1 ELSE 0 END) AS BIGINT) AS g,
+      |    CAST(sum(CASE WHEN f.pass_decont THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN f.pass_decont AND f.doc_id = fs.first_id
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS u
+      |  FROM flags f JOIN firsts fs USING (content_hash)),
+      |funnel AS (
+      |  SELECT 1 AS stage_ord, 'ingest' AS stage, n AS docs_in, n AS docs_out FROM counts
+      |  UNION ALL SELECT 2, 'quality_gate', n, g FROM counts
+      |  UNION ALL SELECT 3, 'decontaminate', g, d FROM counts
+      |  UNION ALL SELECT 4, 'exact_dedup', d, u FROM counts)
+      |SELECT stage_ord, stage, docs_in, docs_out,
+      |  docs_in - docs_out AS dropped,
+      |  (docs_in - docs_out) * 1000 // greatest(docs_in, 1) AS drop_permille
+      |FROM funnel
+      |ORDER BY stage_ord""").stripMargin
+
   /** Epoch-plan materialization (`curation_epoch_sample`) — the step
     * after [[curationEpochPlan]]: turn each language's fractional epoch
     * count into a CONCRETE per-document repeat count the dataloader's

@@ -136,6 +136,8 @@ object SparkEntry {
     "array_stats_embeddings"   -> (Extended.arrayStatsEmbeddings(_, _)),
     "nested_order_lines"       -> (Extended.nestedOrderLines(_, _)),
     "quality_referential_check" -> (PipelineOps.qualityReferentialCheck(_, _)),
+    // join-key skew triage: max/avg + top-10 share per candidate key
+    "quality_skew_report"      -> (PipelineOps.qualitySkewReport(_, _)),
     "agg_histogram_price"      -> (PipelineOps.aggHistogramPrice(_, _)),
     // §2.9 event analytics
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
@@ -431,6 +433,7 @@ object SparkEntry {
     "array_stats_embeddings"   -> Extended.arrayStatsEmbeddingsSql,
     "nested_order_lines"       -> Extended.nestedOrderLinesSql,
     "quality_referential_check" -> PipelineOps.qualityReferentialCheckSql,
+    "quality_skew_report"      -> PipelineOps.qualitySkewReportSql,
     "agg_histogram_price"      -> PipelineOps.aggHistogramPriceSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,

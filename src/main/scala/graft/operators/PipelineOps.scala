@@ -650,4 +650,68 @@ object PipelineOps {
        |  SELECT 'near_dup_pairs', CAST(count(*) AS BIGINT)
        |  FROM est WHERE est_jaccard >= 0.5) t
        |ORDER BY metric""".stripMargin
+
+  /** Join-key skew diagnostic (`quality_skew_report`) — per candidate
+    * join key of the fact table: row/key counts, the heaviest key, and
+    * exact per-mille skew ratios (max-over-avg, top-10-key share). This
+    * is the table read BEFORE picking a join strategy: `skew_x1000` near
+    * 1000 means uniform keys (plain shuffle join is fine); a large value
+    * or a high `top10_permille` says salt the key or let AQE split it.
+    *
+    * Plan shape: ONE fact scan fans each row into its three (key_name,
+    * key_value) pairs via `stack` (no self-union, no re-scan), one
+    * partial+final count per pair, then a 3-row final agg. The top-10
+    * share uses the bounded-state `graft_topk` aggregate
+    * ([[graft.functions.TopKPairs]]), so the heavy-hitter pass moves
+    * O(names × 10) longs instead of window-sorting all distinct keys of
+    * a name inside one partition — the formulation that survives a
+    * billion distinct orderkeys. */
+  def qualitySkewReport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.TopKPairs.register(spark)
+    val cnts = Tables.lineitem(spark, dir)
+      .selectExpr(
+        """stack(3,
+          |  'l_orderkey', l_orderkey,
+          |  'l_partkey',  l_partkey,
+          |  'l_suppkey',  l_suppkey) AS (key_name, key_value)""".stripMargin)
+      .groupBy($"key_name", $"key_value")
+      .agg(count(lit(1)).as("cnt"))
+    cnts.groupBy($"key_name")
+      .agg(sum($"cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        max($"cnt").as("max_cnt"),
+        expr("graft_topk(cnt, key_value, 10)").as("top10"))
+      .select($"key_name", $"n_rows", $"n_keys", $"max_cnt",
+        expr("aggregate(top10, 0L, (a, x) -> a + x.sort_val)").as("top10_rows"))
+      .select($"key_name", $"n_rows", $"n_keys", $"max_cnt",
+        expr("(n_rows * 1000) div n_keys").as("avg_cnt_x1000"),
+        expr("(max_cnt * n_keys * 1000) div n_rows").as("skew_x1000"),
+        expr("(top10_rows * 1000) div n_rows").as("top10_permille"))
+      .orderBy($"key_name")
+  }
+
+  val qualitySkewReportSql: String =
+    """WITH keyed AS (
+      |  SELECT 'l_orderkey' AS key_name, l_orderkey AS key_value FROM lineitem
+      |  UNION ALL SELECT 'l_partkey', l_partkey FROM lineitem
+      |  UNION ALL SELECT 'l_suppkey', l_suppkey FROM lineitem),
+      |cnts AS (
+      |  SELECT key_name, key_value, count(*) AS cnt
+      |  FROM keyed GROUP BY key_name, key_value),
+      |ranked AS (
+      |  SELECT key_name, cnt, row_number() OVER (
+      |    PARTITION BY key_name ORDER BY cnt DESC, key_value) AS rk
+      |  FROM cnts)
+      |SELECT key_name,
+      |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+      |  count(*) AS n_keys,
+      |  max(cnt) AS max_cnt,
+      |  CAST(sum(cnt) AS BIGINT) * 1000 // count(*) AS avg_cnt_x1000,
+      |  max(cnt) * count(*) * 1000 // CAST(sum(cnt) AS BIGINT) AS skew_x1000,
+      |  CAST(sum(CASE WHEN rk <= 10 THEN cnt ELSE 0 END) AS BIGINT) * 1000
+      |    // CAST(sum(cnt) AS BIGINT) AS top10_permille
+      |FROM ranked
+      |GROUP BY key_name
+      |ORDER BY key_name""".stripMargin
 }

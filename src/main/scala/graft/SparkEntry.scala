@@ -174,6 +174,8 @@ object SparkEntry {
     // dedup family
     "dedup_exact_docs"         -> (DedupOps.dedupExactDocs(_, _)),
     "dedup_minhash_lsh"        -> (DedupOps.dedupMinhashLsh(_, _)),
+    // banding-threshold tuning: candidates exactly verified per bucket
+    "dedup_lsh_tuning"         -> (DedupOps.dedupLshTuning(_, _)),
     "dedup_simhash"            -> (DedupOps.dedupSimhash(_, _)),
     "dedup_simhash_probe"      -> (DedupOps.dedupSimhashProbe(_, _)),
     "dedup_ngram_jaccard"      -> (DedupOps.dedupNgramJaccard(_, _)),
@@ -463,6 +465,7 @@ object SparkEntry {
     "embedding_covariance"     -> SimilarityOps.embeddingCovarianceSql,
     "dedup_exact_docs"         -> DedupOps.dedupExactDocsSql,
     "dedup_minhash_lsh"        -> DedupOps.dedupMinhashLshSql,
+    "dedup_lsh_tuning"         -> DedupOps.dedupLshTuningSql,
     "dedup_simhash"            -> DedupOps.dedupSimhashSql,
     "dedup_simhash_probe"      -> DedupOps.dedupSimhashProbeSql,
     "dedup_ngram_jaccard"      -> DedupOps.dedupNgramJaccardSql,

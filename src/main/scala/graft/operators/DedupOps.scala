@@ -323,10 +323,10 @@ object DedupOps {
     * sketches are built, so an eager release would just re-run the scan;
     * app-end eviction is the [[hookEviction]] backstop shared with every
     * other cached stage. */
-  private[operators] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"shingles:$dir") { shingleSets(spark, dir).persist() }
 
-  private[operators] def minhashEstimates(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashEstimates(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"minhash:$dir") {
       import spark.implicits._
       // hex() yields uppercase, conv() is case-insensitive — same h32 the
@@ -1173,4 +1173,91 @@ object DedupOps {
       timed("pq_codebook_trained") {
         SimilarityOps.pqCodebookTrained(spark, dir).count(); () }).flatten
   }
+
+  /** LSH banding-threshold tuning report (`dedup_lsh_tuning`): every
+    * MinHash candidate pair verified against EXACT shingle Jaccard,
+    * bucketed by the pair's signature agreement (0-16 matching
+    * minhashes), with per-bucket and cumulative-from-the-top exact
+    * per-mille precision. This is the table that answers "what agreement
+    * cutoff do I need for ≥X precision, and how many pairs survive it" —
+    * the decision every banded-LSH deployment re-makes when the corpus
+    * or band layout changes.
+    *
+    * Scale shape: the expensive part is sketch-then-verify, and the
+    * verify is per-CANDIDATE-pair only — est pairs join their two
+    * shingle-hash sets through doc_id/h equi-joins (work = Σ_pairs |A|,
+    * the same budget dedup_edit_distance spends), never a corpus-wide
+    * pair join. The ≤17-row bucket table then takes a single-partition
+    * cumulative window — bounded by the signature width, not the data.
+    * Truth = exact integer cross-multiply `3·|A∩B| ≥ |A|+|B|`
+    * (⇔ Jaccard ≥ 0.5); divisions only decorate the output. */
+  def dedupLshTuning(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val est = minhashEstimates(spark, dir)
+      .select($"doc_a", $"doc_b",
+        expr("cast(round(est_jaccard * 16) AS int)").as("match_bits"))
+    val sh = sharedShingles(spark, dir)
+      .select($"doc_id",
+        conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = est.select($"doc_a", $"doc_b")
+      .join(sh.select($"doc_id".as("doc_a"), $"h"), "doc_a")
+      .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    val verified = est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
+      .withColumn("is_true",
+        coalesce($"n_inter", lit(0L)) * 3 >= $"nsh_a" + $"nsh_b")
+    val w = Window.orderBy($"match_bits".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    verified.groupBy($"match_bits")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when($"is_true", 1L).otherwise(0L)).as("n_true"))
+      .withColumn("cum_pairs", sum($"n_pairs").over(w))
+      .withColumn("cum_true", sum($"n_true").over(w))
+      .select($"match_bits", $"n_pairs", $"n_true",
+        expr("(n_true * 1000) div n_pairs").as("precision_permille"),
+        $"cum_pairs", $"cum_true",
+        expr("(cum_true * 1000) div cum_pairs").as("cum_precision_permille"))
+      .orderBy($"match_bits")
+  }
+
+  lazy val dedupLshTuningSql: String =
+    s"""$minhashCtes,
+       |shv AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
+       |  FROM shingles),
+       |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
+       |cands AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(round(est_jaccard * 16) AS INT) AS match_bits
+       |  FROM est),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cands c JOIN shv a ON a.doc_id = c.doc_a
+       |               JOIN shv b ON b.doc_id = c.doc_b AND b.h = a.h
+       |  GROUP BY c.doc_a, c.doc_b),
+       |verified AS (
+       |  SELECT c.match_bits,
+       |    (coalesce(i.n_inter, 0) * 3 >= sa.nsh + sb.nsh) AS is_true
+       |  FROM cands c
+       |  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       |  JOIN sized sa ON sa.doc_id = c.doc_a
+       |  JOIN sized sb ON sb.doc_id = c.doc_b),
+       |buckets AS (
+       |  SELECT match_bits, count(*) AS n_pairs,
+       |    CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM verified GROUP BY match_bits)
+       |SELECT match_bits, n_pairs, n_true,
+       |  (n_true * 1000) // n_pairs AS precision_permille,
+       |  CAST(sum(n_pairs) OVER w AS BIGINT) AS cum_pairs,
+       |  CAST(sum(n_true) OVER w AS BIGINT) AS cum_true,
+       |  (CAST(sum(n_true) OVER w AS BIGINT) * 1000)
+       |    // CAST(sum(n_pairs) OVER w AS BIGINT) AS cum_precision_permille
+       |FROM buckets
+       |WINDOW w AS (ORDER BY match_bits DESC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY match_bits""".stripMargin
 }

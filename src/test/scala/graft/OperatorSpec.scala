@@ -1605,6 +1605,46 @@ class OperatorSpec extends SparkTestBase {
       "padding appeared in a non-final batch")
   }
 
+  test("dedup_lsh_tuning matches a brute-force sketch-then-verify rebuild") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{conv, substring, hex}
+    // ground truth from the same shared stages the query composes: h32
+    // shingle sets per doc + the candidate pairs with their agreement
+    val sets = graft.operators.DedupOps.sharedShingles(spark, sfDir)
+      .select($"doc_id", conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cands = graft.operators.DedupOps.minhashEstimates(spark, sfDir)
+      .select($"doc_a", $"doc_b", ($"est_jaccard" * 16).cast("int"))
+      .as[(Long, Long, Int)].collect()
+    assert(cands.nonEmpty, "no LSH candidate pairs at test SF — spec is vacuous")
+    val byBucket = cands.groupBy(_._3).view.mapValues { ps =>
+      val nTrue = ps.count { case (a, b, _) =>
+        val (sa, sb) = (sets(a), sets(b))
+        3L * (sa & sb).size >= sa.size + sb.size // <=> exact Jaccard >= 0.5
+      }
+      (ps.length.toLong, nTrue.toLong)
+    }.toMap
+    val rows = SparkEntry.queries("dedup_lsh_tuning")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSet == byBucket.keySet, "bucket key sets differ")
+    // per-bucket counts + derived per-mille precisions match exactly
+    rows.foreach { r =>
+      val (np, nt) = byBucket(r.getInt(0))
+      assert(r.getLong(1) == np && r.getLong(2) == nt,
+        s"bucket ${r.getInt(0)}: got (${r.getLong(1)},${r.getLong(2)}) want ($np,$nt)")
+      assert(r.getLong(3) == nt * 1000 / np, "precision_permille not n_true*1000 div n_pairs")
+    }
+    // cumulative columns are running sums from the HIGH-agreement end
+    val desc = rows.sortBy(-_.getInt(0))
+    desc.scanLeft((0L, 0L)) { case ((cp, ct), r) =>
+      (cp + r.getLong(1), ct + r.getLong(2)) }.drop(1).zip(desc).foreach {
+      case ((cp, ct), r) =>
+        assert(r.getLong(4) == cp && r.getLong(5) == ct,
+          s"cumulative drift at bucket ${r.getInt(0)}")
+        assert(r.getLong(6) == ct * 1000 / cp)
+    }
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

@@ -176,6 +176,8 @@ object SparkEntry {
     "dedup_minhash_lsh"        -> (DedupOps.dedupMinhashLsh(_, _)),
     // banding-threshold tuning: candidates exactly verified per bucket
     "dedup_lsh_tuning"         -> (DedupOps.dedupLshTuning(_, _)),
+    // recall side: true near-dup pairs the band join surfaced vs missed
+    "dedup_lsh_recall"         -> (DedupOps.dedupLshRecall(_, _)),
     "dedup_simhash"            -> (DedupOps.dedupSimhash(_, _)),
     "dedup_simhash_probe"      -> (DedupOps.dedupSimhashProbe(_, _)),
     "dedup_ngram_jaccard"      -> (DedupOps.dedupNgramJaccard(_, _)),
@@ -466,6 +468,7 @@ object SparkEntry {
     "dedup_exact_docs"         -> DedupOps.dedupExactDocsSql,
     "dedup_minhash_lsh"        -> DedupOps.dedupMinhashLshSql,
     "dedup_lsh_tuning"         -> DedupOps.dedupLshTuningSql,
+    "dedup_lsh_recall"         -> DedupOps.dedupLshRecallSql,
     "dedup_simhash"            -> DedupOps.dedupSimhashSql,
     "dedup_simhash_probe"      -> DedupOps.dedupSimhashProbeSql,
     "dedup_ngram_jaccard"      -> DedupOps.dedupNgramJaccardSql,

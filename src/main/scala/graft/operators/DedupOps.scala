@@ -1260,4 +1260,85 @@ object DedupOps {
        |WINDOW w AS (ORDER BY match_bits DESC
        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |ORDER BY match_bits""".stripMargin
+
+  /** LSH recall report (`dedup_lsh_recall`) — the other half of the
+    * tuning story [[dedupLshTuning]] tells: of the pairs that ARE true
+    * near-dups (exact df-capped 3-gram Jaccard ≥ 0.5, the
+    * [[dedupNgramJaccard]] truth set), which did the banded MinHash
+    * stage even SURFACE as candidates? True pairs are bucketed by exact
+    * Jaccard decile and marked caught/missed by a left join against the
+    * candidate set, with per-decile and cumulative-from-the-top
+    * per-mille recall — the empirical LSH S-curve a deployment checks
+    * before trusting a band layout (missed pairs are invisible to every
+    * downstream verify step, so precision-side tuning alone can't see
+    * this failure mode).
+    *
+    * Scale shape: both inputs are the session-shared memoized stages
+    * (truth pairs ≈ the near-dup rate × corpus, candidates likewise),
+    * so the report itself is one hash equi-join on (doc_a, doc_b) plus
+    * a bounded ≤6-row bucket agg; the cumulative window runs on that
+    * bucket table, bounded by the decile grid, not the data. The decile
+    * via floor(jaccard·10) is engine-parity-safe: IEEE division and
+    * multiplication of exact integers are correctly rounded, so both
+    * engines floor the same double (no order-dependent sums, no libm). */
+  def dedupLshRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val truth = dedupNgramJaccard(spark, dir)
+      .select($"doc_a", $"doc_b",
+        floor($"jaccard" * 10).cast("int").as("jac_decile"))
+    val caught = minhashEstimates(spark, dir)
+      .select($"doc_a", $"doc_b").withColumn("caught", lit(1))
+    val marked = truth.join(caught, Seq("doc_a", "doc_b"), "left")
+    val w = Window.orderBy($"jac_decile".desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked.groupBy($"jac_decile")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce($"caught", lit(0))).cast("long").as("n_caught"))
+      .withColumn("cum_pairs", sum($"n_true_pairs").over(w))
+      .withColumn("cum_caught", sum($"n_caught").over(w))
+      .select($"jac_decile", $"n_true_pairs", $"n_caught",
+        expr("(n_caught * 1000) div n_true_pairs").as("recall_permille"),
+        $"cum_pairs", $"cum_caught",
+        expr("(cum_caught * 1000) div cum_pairs").as("cum_recall_permille"))
+      .orderBy($"jac_decile")
+  }
+
+  lazy val dedupLshRecallSql: String =
+    s"""$minhashCtes,
+       |shv AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
+       |  FROM shingles),
+       |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
+       |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM shv a JOIN shv b ON a.h = b.h AND a.doc_id < b.doc_id
+       |  JOIN df ON df.h = a.h AND df.nd <= 50
+       |  GROUP BY a.doc_id, b.doc_id),
+       |truth AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(floor(CAST(i.n_inter AS DOUBLE)
+       |      / (sa.nsh + sb.nsh - i.n_inter) * 10) AS INT) AS jac_decile
+       |  FROM inter i JOIN sized sa ON sa.doc_id = i.doc_a
+       |               JOIN sized sb ON sb.doc_id = i.doc_b
+       |  WHERE CAST(i.n_inter AS DOUBLE) / (sa.nsh + sb.nsh - i.n_inter) >= 0.5),
+       |marked AS (
+       |  SELECT t.jac_decile,
+       |    CASE WHEN e.doc_a IS NOT NULL THEN 1 ELSE 0 END AS caught
+       |  FROM truth t LEFT JOIN est e
+       |    ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b),
+       |buckets AS (
+       |  SELECT jac_decile, count(*) AS n_true_pairs,
+       |    CAST(sum(caught) AS BIGINT) AS n_caught
+       |  FROM marked GROUP BY jac_decile)
+       |SELECT jac_decile, n_true_pairs, n_caught,
+       |  (n_caught * 1000) // n_true_pairs AS recall_permille,
+       |  CAST(sum(n_true_pairs) OVER w AS BIGINT) AS cum_pairs,
+       |  CAST(sum(n_caught) OVER w AS BIGINT) AS cum_caught,
+       |  (CAST(sum(n_caught) OVER w AS BIGINT) * 1000)
+       |    // CAST(sum(n_true_pairs) OVER w AS BIGINT) AS cum_recall_permille
+       |FROM buckets
+       |WINDOW w AS (ORDER BY jac_decile DESC
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |ORDER BY jac_decile""".stripMargin
 }

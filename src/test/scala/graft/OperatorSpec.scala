@@ -1645,6 +1645,41 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("dedup_lsh_recall matches a brute-force rebuild and sees every truth pair") {
+    val spark0 = spark
+    import spark0.implicits._
+    // truth and candidates from the same memoized stages the query joins;
+    // their own exactness is pinned by the ngram/minhash brute-force tests
+    val truth = SparkEntry.queries("dedup_ngram_jaccard")(spark, sfDir)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(truth.nonEmpty, "no exact near-dup pairs at test SF — spec is vacuous")
+    val cand = graft.operators.DedupOps.minhashEstimates(spark, sfDir)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val byDecile = truth.groupBy(t => math.floor(t._3 * 10).toInt).view.mapValues { ps =>
+      (ps.length.toLong, ps.count(p => cand((p._1, p._2))).toLong)
+    }.toMap
+    val rows = SparkEntry.queries("dedup_lsh_recall")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSet == byDecile.keySet, "decile key sets differ")
+    rows.foreach { r =>
+      val (np, nc) = byDecile(r.getInt(0))
+      assert(r.getLong(1) == np && r.getLong(2) == nc,
+        s"decile ${r.getInt(0)}: got (${r.getLong(1)},${r.getLong(2)}) want ($np,$nc)")
+      assert(r.getLong(3) == nc * 1000 / np)
+    }
+    // every truth pair is accounted for exactly once across the buckets
+    assert(rows.map(_.getLong(1)).sum == truth.length.toLong)
+    // cumulative columns are running sums from the HIGH-jaccard end
+    val desc = rows.sortBy(-_.getInt(0))
+    desc.scanLeft((0L, 0L)) { case ((cp, cc), r) =>
+      (cp + r.getLong(1), cc + r.getLong(2)) }.drop(1).zip(desc).foreach {
+      case ((cp, cc), r) =>
+        assert(r.getLong(4) == cp && r.getLong(5) == cc,
+          s"cumulative drift at decile ${r.getInt(0)}")
+        assert(r.getLong(6) == cc * 1000 / cp)
+    }
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

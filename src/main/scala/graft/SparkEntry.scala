@@ -144,6 +144,8 @@ object SparkEntry {
     "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
     "events_session_windows"   -> (EventOps.eventsSessionWindows(_, _)),
     "events_session_anomaly"   -> (EventOps.eventsSessionAnomaly(_, _)),
+    // trailing-50-row baseline: the drift-adaptive twin of the global z
+    "events_rolling_anomaly"   -> (EventOps.eventsRollingAnomaly(_, _)),
     "dedup_events"             -> (EventOps.dedupEvents(_, _)),
     "json_props_extract"       -> (EventOps.jsonPropsExtract(_, _)),
     "json_props_schema"        -> (EventOps.jsonPropsSchema(_, _)),
@@ -443,6 +445,7 @@ object SparkEntry {
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,
     "events_session_windows"   -> EventOps.eventsSessionWindowsSql,
     "events_session_anomaly"   -> EventOps.eventsSessionAnomalySql,
+    "events_rolling_anomaly"   -> EventOps.eventsRollingAnomalySql,
     "dedup_events"             -> EventOps.dedupEventsSql,
     "json_props_extract"       -> EventOps.jsonPropsExtractSql,
     "json_props_schema"        -> EventOps.jsonPropsSchemaSql,

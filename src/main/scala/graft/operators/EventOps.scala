@@ -467,4 +467,74 @@ object EventOps {
       |  CAST(c.n AS DOUBLE) / CAST(t.t AS DOUBLE) AS p
       |FROM cnt c JOIN tot t USING (event_type)
       |ORDER BY c.event_type, c.next_type""".stripMargin
+
+  /** Rolling-baseline anomaly flags (`events_rolling_anomaly`): each
+    * event scored against the trailing 50 events of its OWN type (frame
+    * excludes the current row), flagged when it sits more than 3 sample
+    * standard deviations from that trailing mean. Unlike the global
+    * z-score of [[eventsSessionAnomaly]], the baseline here adapts to
+    * drift — a level shift stops alarming once the window absorbs it,
+    * which is the detector a monitoring pipeline actually runs. Rows
+    * need ≥ 20 trailing observations and strictly positive variance
+    * (decided in exact integer math) before they can alarm.
+    *
+    * Engine parity: values are fixed-pointed to integer cents
+    * (`DECIMAL(12,2)·100 → BIGINT`) so the trailing window sums are
+    * exact integers in both engines regardless of accumulation order;
+    * the variance guard `n·s2 − s² > 0` is exact BIGINT arithmetic; the
+    * doubles (mean, sample std, z) derive from those identical integers
+    * through identical IEEE-correctly-rounded expression trees (`/`,
+    * `sqrt`, `*` — no libm transcendentals), so the flag predicate and
+    * the emitted z are bit-equal across engines.
+    *
+    * Scale shape: ONE shuffle+sort on (event_type; ts, event_id) for the
+    * bounded 50-row frame — no self-join, no second pass. The batch
+    * replay of the bounded-state streaming detector; at 100 TB the same
+    * per-key bounded history runs incrementally as
+    * `transformWithState` (see the streaming family) rather than one
+    * sort-per-type, and skewed types shard into (type, time-bucket)
+    * ranges with a 50-row overlap carry. */
+  def eventsRollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"ts".asc, $"event_id".asc)
+      .rowsBetween(-50, -1)
+    Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"event_type", $"value",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"c").over(w))
+      .withColumn("s2", sum($"c" * $"c").over(w))
+      .filter($"n" >= 20 && $"n" * $"s2" - $"s" * $"s" > 0)
+      .filter(expr(
+        """abs(c - CAST(s AS DOUBLE) / n) >
+          |  3 * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin))
+      .select($"event_id", $"event_type", $"value", $"n".as("baseline_n"),
+        expr(
+          """(c - CAST(s AS DOUBLE) / n) /
+            |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin).as("z"))
+      .orderBy($"event_id")
+  }
+
+  val eventsRollingAnomalySql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, event_type, value,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |hist AS (
+      |  SELECT event_id, event_type, value, c,
+      |    count(*) OVER w AS n,
+      |    sum(c) OVER w AS s,
+      |    sum(c * c) OVER w AS s2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, event_type, value, n AS baseline_n,
+      |  (c - CAST(s AS DOUBLE) / n) /
+      |    sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z
+      |FROM hist
+      |WHERE n >= 20 AND n * s2 - s * s > 0
+      |  AND abs(c - CAST(s AS DOUBLE) / n) >
+      |    3 * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+      |ORDER BY event_id""".stripMargin
 }

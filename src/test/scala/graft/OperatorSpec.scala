@@ -1680,6 +1680,41 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("events_rolling_anomaly matches a brute-force trailing-window rebuild") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.expr
+    val evs = Tables.events(spark, sfDir)
+      .select($"event_id", expr("unix_micros(ts)"), $"event_type",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+      .as[(Long, Long, String, Long)].collect()
+    // same doubles the query's expression tree produces: exact integer
+    // window sums -> IEEE-correctly-rounded /, *, sqrt — bit-equal on JVM
+    val expected = evs.groupBy(_._3).iterator.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1))
+      sorted.indices.flatMap { i =>
+        val hist = sorted.slice(math.max(0, i - 50), i).map(_._4)
+        val (n, s, s2) = (hist.length.toLong, hist.sum, hist.map(c => c * c).sum)
+        if (n >= 20 && n * s2 - s * s > 0) {
+          val c = sorted(i)._4
+          val mean = s.toDouble / n
+          val std = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / n) / (n - 1))
+          if (math.abs(c - mean) > 3 * std)
+            Some(sorted(i)._1 -> ((c - mean) / std, n))
+          else None
+        } else None
+      }
+    }.toMap
+    val got = SparkEntry.queries("events_rolling_anomaly")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(4), r.getLong(3)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"missing: ${expected.keySet -- got.keySet}, spurious: ${got.keySet -- expected.keySet}")
+    assert(expected.nonEmpty, "no rolling anomalies at test SF — spec is vacuous")
+    expected.foreach { case (id, (z, n)) =>
+      assert(got(id) == ((z, n)), s"event $id: got ${got(id)} want ($z,$n)")
+    }
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

@@ -285,6 +285,8 @@ object SparkEntry {
     // multi-round BPE merge training on the word-type table (model-based
     // — no oracle; greedy-score/composition invariants in OperatorSpec)
     "text_bpe_train"           -> (TextOps.textBpeTrain(_, _)),
+    // apply side: trained merges replayed at word-type granularity
+    "text_bpe_encode"          -> (TextOps.textBpeEncode(_, _)),
     // directed shingle containment (subsumption pairs Jaccard misses)
     "dedup_containment"        -> (DedupOps.dedupContainment(_, _)),
     // new-batch-vs-corpus hash-registry dedup (the incremental shape)

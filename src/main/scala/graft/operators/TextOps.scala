@@ -683,6 +683,18 @@ object TextOps {
     * must reproduce `text_bpe_pairs`' top pair exactly. */
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    trainBpeMerges(spark, dir)
+      .toDF("step", "left", "right", "merged", "pair_score")
+      .orderBy($"step")
+  }
+
+  /** The 8-round merge-training loop behind [[textBpeTrain]], returning
+    * the driver-side merge table. Deliberately NOT memoized — the suite's
+    * double-run determinism check relies on a real second training run;
+    * [[textBpeEncode]] layers its own tiny memo on top so apply-side
+    * consumers don't re-train per call. */
+  private def trainBpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] = {
+    import spark.implicits._
     val Rounds = 8
     val wordTypes = Tables.documents(spark, dir)
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
@@ -720,8 +732,63 @@ object TextOps {
       }
     }
     cur.unpersist(blocking = true)
-    merges.toSeq.toDF("step", "left", "right", "merged", "pair_score")
-      .orderBy($"step")
+    merges.toSeq
+  }
+
+  /** Tiny driver-side memo of the trained merge table, keyed by session
+    * identity + dir. Holds no reference to the session itself (identity
+    * hash only) and at most a handful of ≤8-tuple lists, so stopped
+    * sessions leak nothing that matters. */
+  private val bpeMergeMemo =
+    scala.collection.concurrent.TrieMap.empty[(Int, String), Seq[(Int, String, String, String, Long)]]
+
+  private def bpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] =
+    bpeMergeMemo.getOrElseUpdate(
+      (System.identityHashCode(spark), dir), trainBpeMerges(spark, dir))
+
+  /** BPE encode (`text_bpe_encode`) — the APPLY side of
+    * [[textBpeTrain]], closing the train→apply loop the same way
+    * `text_quality_logreg` does for the quality model: the 8 trained
+    * merges are replayed IN TRAINING ORDER over every word, each with
+    * the identical leftmost-greedy fold the trainer used, and the
+    * resulting token stream is reported as the corpus token histogram
+    * (token, occurrences weighted by word frequency, distinct word
+    * types containing it). With 8 merges the token alphabet is bounded
+    * by 36 chars + 8 merged symbols, so the output is a ≤44-row table —
+    * what a tokenizer deployment inspects to see where its merge budget
+    * went.
+    *
+    * Scale shape: encoding runs at WORD-TYPE granularity — the classic
+    * tokenizer-apply trick: the 8 narrow column transforms and the
+    * explode touch each distinct word once, however often it occurs;
+    * corpus frequency rides along as a count column. One vocab-keyed
+    * shuffle for the word-type agg, one bounded token agg; no UDFs, the
+    * merge fold is a codegen'd higher-order `aggregate`. No SQL oracle
+    * (the merges are trained parameters, like `anomaly_kmeans`'
+    * centroids); the spec rebuilds the full histogram from a driver-side
+    * re-encode instead. */
+  def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir)
+    require(merges.forall(m => m._2.matches("[a-z0-9]+") && m._3.matches("[a-z0-9]+")),
+      "merge symbols must stay in [a-z0-9]+ — they are interpolated into expr strings")
+    val wordTypes = Tables.documents(spark, dir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select($"w", $"cnt", expr("split(w, '')").as("syms"))
+    val encoded = merges.foldLeft(wordTypes) { case (df, (_, l, r, m, _)) =>
+      df.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+           |  if(size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r',
+           |     concat(slice(acc, 1, size(acc) - 1), array('$m')),
+           |     concat(acc, array(s))))""".stripMargin))
+    }
+    encoded
+      .select($"w", $"cnt", explode($"syms").as("token"))
+      .groupBy($"token")
+      .agg(sum($"cnt").as("occurrences"),
+        countDistinct($"w").as("n_word_types"))
+      .orderBy($"token")
   }
 
   /** Memoized, persisted 10-token rolling-window hash stream feeding the

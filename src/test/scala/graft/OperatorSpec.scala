@@ -1715,6 +1715,39 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("text_bpe_encode: histogram matches a driver-side re-encode and roundtrips") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions.{explode, expr, lower}
+    val merges = SparkEntry.queries("text_bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getString(3)))
+    assert(merges.nonEmpty)
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .as[String].collect()
+    // the trainer's leftmost-greedy fold, re-implemented independently
+    def applyMerge(syms: List[String], l: String, r: String, m: String): List[String] =
+      syms.foldLeft(List.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ m else acc :+ s
+      }
+    val encodeCache = scala.collection.mutable.Map.empty[String, List[String]]
+    def encode(w: String): List[String] = encodeCache.getOrElseUpdate(w,
+      merges.foldLeft(w.split("").toList) { case (syms, (l, r, m)) => applyMerge(syms, l, r, m) })
+    // every word roundtrips: concatenating its tokens reproduces it
+    words.foreach(w => assert(encode(w).mkString == w, s"roundtrip broke for '$w'"))
+    val expected = words.flatMap(w => encode(w).map(t => (t, w)))
+    val expHist = expected.groupBy(_._1).view.mapValues { ts =>
+      (ts.length.toLong, ts.map(_._2).distinct.length.toLong)
+    }.toMap
+    val got = SparkEntry.queries("text_bpe_encode")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expHist,
+      s"histogram drift: missing ${expHist.keySet -- got.keySet}, spurious ${got.keySet -- expHist.keySet}")
+    // the token alphabet is chars + trained merge symbols, nothing else
+    val legal = words.flatMap(_.split("")).toSet ++ merges.map(_._3)
+    assert(got.keySet.subsetOf(legal), s"unknown tokens: ${got.keySet -- legal}")
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

@@ -38,6 +38,8 @@ object SparkEntry {
     "streaming_dedup"          -> (graft.streaming.StreamingOps.streamingDedup(_, _)),
     // continuous-ingest dedup vs a static hash registry (cross-batch state)
     "streaming_incremental_dedup" -> (graft.streaming.StreamingOps.streamingIncrementalDedup(_, _)),
+    // bounded-state streaming twin of events_rolling_anomaly
+    "streaming_rolling_anomaly" -> (graft.streaming.StreamingOps.streamingRollingAnomaly(_, _)),
     "streaming_stream_join"    -> (graft.streaming.StreamingOps.streamingStreamJoin(_, _)),
     "streaming_outer_join"     -> (graft.streaming.StreamingOps.streamingOuterJoin(_, _)),
     "streaming_dedup_watermarked" -> (graft.streaming.StreamingOps.streamingDedupWatermarked(_, _)),
@@ -447,6 +449,7 @@ object SparkEntry {
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,
     "events_session_windows"   -> EventOps.eventsSessionWindowsSql,
     "events_session_anomaly"   -> EventOps.eventsSessionAnomalySql,
+    "streaming_rolling_anomaly" -> graft.streaming.StreamingOps.streamingRollingAnomalySql,
     "events_rolling_anomaly"   -> EventOps.eventsRollingAnomalySql,
     "dedup_events"             -> EventOps.dedupEventsSql,
     "json_props_extract"       -> EventOps.jsonPropsExtractSql,

@@ -794,4 +794,109 @@ object StreamingOps {
     """SELECT CAST(k AS BIGINT) AS k, v, CAST(seq AS BIGINT) AS seq
       |FROM (VALUES (1, 'a2', 3), (2, 'b', 2), (3, 'c', 4)) AS t(k, v, seq)
       |ORDER BY k""".stripMargin
+
+  /** Bounded-history anomaly processor: per event-type key, a ring of
+    * the trailing ≤50 integer-cents values lives in `ValueState`; each
+    * arriving event is z-scored against that ring (which excludes the
+    * event itself), flagged at |z| > 3 with ≥ 20 observations and
+    * strictly positive exact-integer variance, then pushed into the
+    * ring. This is EXACTLY the state a 100 TB deployment keeps — 50
+    * longs per key, independent of stream length — which is why the
+    * batch [[graft.operators.EventOps.eventsRollingAnomaly]] names it
+    * as its scale path. Within a batch the rows are sorted by
+    * (event-time, event_id) before folding, so the fold order equals
+    * the batch window's total order whatever the shuffle delivered;
+    * across batches the caller feeds time-ordered chunks. The z doubles
+    * come from the same exact-integer → IEEE expression tree as the
+    * batch query, so streaming, batch, and the DuckDB oracle agree
+    * bit-for-bit. */
+  final class RollingAnomalyProcessor
+      extends StatefulProcessor[String, (Long, Long, String, Long), (Long, String, Long, Double)] {
+    @transient private var ring: ValueState[Tuple1[Seq[Long]]] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getValueState("ring",
+        Encoders.product[Tuple1[Seq[Long]]], TTLConfig.NONE)
+    override def handleInputRows(key: String,
+        rows: Iterator[(Long, Long, String, Long)],
+        timers: TimerValues): Iterator[(Long, String, Long, Double)] = {
+      var hist = if (ring.exists()) ring.get()._1.toVector else Vector.empty[Long]
+      val out = rows.toVector.sortBy(r => (r._2, r._1)).flatMap { case (id, _, _, c) =>
+        val n = hist.length.toLong
+        var s = 0L; var s2 = 0L
+        hist.foreach { v => s += v; s2 += v * v }
+        val flagged =
+          if (n >= 20 && n * s2 - s * s > 0) {
+            val std = math.sqrt((s2.toDouble - s.toDouble * s.toDouble / n) / (n - 1))
+            if (math.abs(c - s.toDouble / n) > 3 * std)
+              Some((id, key, n, (c - s.toDouble / n) / std))
+            else None
+          } else None
+        hist = (hist :+ c).takeRight(50)
+        flagged
+      }
+      ring.update(Tuple1(hist))
+      out.iterator
+    }
+  }
+
+  /** Driver-contract wrapper: the first 1200 events replayed through
+    * [[RollingAnomalyProcessor]] as a REAL 3-micro-batch stream (RocksDB
+    * state store), proving the batch detector's bounded-state streaming
+    * twin produces the identical alarms — the oracle is the batch
+    * window SQL over the same slice, not a transcript. The `.collect()`
+    * feeds the fixture MemoryStream in time order (harness, not hot
+    * path; chunk boundaries respect the global order so per-key state
+    * sees the same prefix the batch window does). */
+  def streamingRollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val fixture = graft.Tables.events(s, dir)
+      .filter($"event_id" < 1200)
+      .select($"event_id", expr("unix_micros(ts)").as("us"), $"event_type",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"))
+      .orderBy($"us", $"event_id")
+      .as[(Long, Long, String, Long)].collect()
+    val in = MemoryStream[(Long, Long, String, Long)](numPartitions = 1)
+    val name = "graft_ra_" + UUID.randomUUID().toString.replace("-", "")
+    val q = in.toDS()
+      .groupByKey(_._3)
+      .transformWithState(new RollingAnomalyProcessor,
+        TimeMode.None(), OutputMode.Append(),
+        Encoders.product[(Long, String, Long, Double)])
+      .toDF("event_id", "event_type", "baseline_n", "z")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try {
+      fixture.grouped(math.max(1, fixture.length / 3 + 1)).foreach { chunk =>
+        in.addData(chunk.toSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(name).orderBy($"event_id")
+  }
+
+  val streamingRollingAnomalySql: String =
+    """WITH ev AS (
+      |  SELECT event_id, ts, event_type,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events WHERE event_id < 1200),
+      |hist AS (
+      |  SELECT event_id, event_type, c,
+      |    count(*) OVER w AS n,
+      |    sum(c) OVER w AS s,
+      |    sum(c * c) OVER w AS s2
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+      |               ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, event_type, n AS baseline_n,
+      |  (c - CAST(s AS DOUBLE) / n) /
+      |    sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) AS z
+      |FROM hist
+      |WHERE n >= 20 AND n * s2 - s * s > 0
+      |  AND abs(c - CAST(s AS DOUBLE) / n) >
+      |    3 * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
+      |ORDER BY event_id""".stripMargin
 }

@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
   * MemoryStream, stateful concat prefixes, file roundtrip. */
 class StreamingSpec extends SparkTestBase {
 
+  test("streaming_rolling_anomaly alarms bit-equal the batch detector on the same slice") {
+    val spark0 = spark
+    import spark0.implicits._
+    // independent implementations: StatefulProcessor ring fold vs the
+    // batch 50-row window — same slice must yield identical alarms,
+    // including the z DOUBLES (same exact-integer -> IEEE tree)
+    val streamed = SparkEntry.queries("streaming_rolling_anomaly")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty, "no streamed alarms at test SF — spec is vacuous")
+    val batch = SparkEntry.queries("events_rolling_anomaly")(spark, sfDir)
+      .filter($"event_id" < 1200)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getDouble(4)))
+    assert(streamed.sortBy(_._1).toSeq == batch.sortBy(_._1).toSeq,
+      s"streaming/batch drift: streamed=${streamed.length} batch=${batch.length}")
+    // the state really is bounded: no alarm cites more than 50 baselines
+    assert(streamed.forall(a => a._3 >= 20 && a._3 <= 50))
+  }
+
   test("streaming_incremental_dedup swallows the re-fed hash across batches") {
     val out = SparkEntry.queries("streaming_incremental_dedup")(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -209,6 +209,8 @@ object SparkEntry {
     "similarity_topk"          -> (SimilarityOps.similarityTopk(_, _)),
     "similarity_ann_lsh"       -> (SimilarityOps.similarityAnnLsh(_, _)),
     "similarity_ivf"           -> (SimilarityOps.similarityIvf(_, _)),
+    // full corpus k-NN graph from same-cell candidates (n*cell, not n^2)
+    "similarity_knn_graph"     -> (SimilarityOps.similarityKnnGraph(_, _)),
     // IVF-PQ: same candidate lists, ADC re-rank on product-quantization
     // codes (the memory-scale ANN variant)
     "similarity_ivfpq"         -> (SimilarityOps.similarityIvfPq(_, _)),
@@ -494,6 +496,7 @@ object SparkEntry {
     "similarity_topk"          -> SimilarityOps.similarityTopkSql,
     "similarity_ann_lsh"       -> SimilarityOps.similarityAnnLshSql,
     "similarity_ivf"           -> SimilarityOps.similarityIvfSql,
+    "similarity_knn_graph"     -> SimilarityOps.similarityKnnGraphSql,
     "similarity_ivfpq"         -> SimilarityOps.similarityIvfPqSql,
     "similarity_recall_report" -> SimilarityOps.similarityRecallReportSql,
     "text_tfidf_topterms"      -> PipelineOps.textTfidfTopTermsSql,

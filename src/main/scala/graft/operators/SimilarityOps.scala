@@ -995,4 +995,59 @@ object SimilarityOps {
        |FROM spine s LEFT JOIN hits h
        |  ON s.variant = h.variant AND s.query_id = h.query_id
        |ORDER BY s.variant, s.query_id""".stripMargin
+
+  /** k-NN GRAPH (`similarity_knn_graph`): every corpus vector's top-3
+    * same-cell neighbors (exact cosine, deterministic tie-break) — the
+    * artifact graph-based curation actually consumes: SemDeDup-style
+    * cluster pruning, connected-component near-dup groups, and
+    * graph-community domain discovery all start from "each vector's
+    * nearest neighbors", not from a handful of query probes
+    * ([[similarityTopk]] covers 1% query vectors; this covers ALL of
+    * them, which is why it must NOT be the O(n²) all-pairs join).
+    *
+    * Scale shape: neighbors are drawn from the vector's OWN coarse
+    * cell — a self equi-join of the memoized [[ivfAssign]] stage on
+    * pivot_id, hash-partitioned by cell, so total work is n·cell-width
+    * (≈64), not n². The exact-cosine re-rank touches only those pairs,
+    * and the per-vector top-3 window sorts within cells. Cells come
+    * from the deterministic pivot rule so the DuckDB oracle reproduces
+    * the graph bit-for-bit; the trained-centroid assignment
+    * ([[similarityIvfTrained]]) is the drop-in at real scale, same as
+    * for semantic dedup. Boundary effects (true neighbor in an adjacent
+    * cell) are the standard IVF trade — measured centrally in
+    * [[similarityRecallReport]]. */
+  def similarityKnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val n = quantized(spark, dir)
+    val asg = ivfAssign(spark, dir)
+    val pairs = asg.as("a").join(asg.as("b"),
+        $"a.pivot_id" === $"b.pivot_id" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vid"), $"b.vec_id".as("neighbor_id"))
+    val scored = pairs
+      .join(n.select($"vec_id".as("vid"), $"q".as("qq"), $"n2".as("qn2")), "vid")
+      .join(n.select($"vec_id".as("neighbor_id"), $"q", $"n2"), "neighbor_id")
+      .select($"vid", $"neighbor_id", cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+    val w = Window.partitionBy($"vid").orderBy($"cos_sim".desc, $"neighbor_id".asc)
+    scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"vid".as("vec_id"), $"neighbor_id", $"cos_sim", $"rk")
+      .orderBy($"vec_id", $"rk")
+  }
+
+  lazy val similarityKnnGraphSql: String =
+    s"""WITH $quantizedCte,
+       |$assignCte,
+       |pairs AS (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id
+       |  FROM assign a JOIN assign b
+       |    ON a.pivot_id = b.pivot_id AND a.vec_id <> b.vec_id),
+       |scored AS (
+       |  SELECT p.vec_id, p.neighbor_id, ${cosineSql("a", "b")} AS cos_sim
+       |  FROM pairs p JOIN n a ON a.vec_id = p.vec_id
+       |               JOIN n b ON b.vec_id = p.neighbor_id)
+       |SELECT vec_id, neighbor_id, cos_sim, rk FROM (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 3
+       |ORDER BY vec_id, rk""".stripMargin
 }

@@ -1748,6 +1748,38 @@ class OperatorSpec extends SparkTestBase {
     assert(got.keySet.subsetOf(legal), s"unknown tokens: ${got.keySet -- legal}")
   }
 
+  test("similarity_knn_graph matches a brute-force same-cell rebuild") {
+    val spark0 = spark
+    import spark0.implicits._
+    import graft.operators.SimilarityOps
+    val vecs = SimilarityOps.quantized(spark, sfDir)
+      .select($"vec_id", $"q").as[(Long, Seq[Long])].collect().toMap
+    val cells = SimilarityOps.ivfAssign(spark, sfDir)
+      .select($"vec_id", $"pivot_id").as[(Long, Long)].collect()
+    def cos(a: Seq[Long], b: Seq[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L
+      a.indices.foreach { i => dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    val expected = cells.groupBy(_._2).iterator.flatMap { case (_, members) =>
+      val ids = members.map(_._1).toSeq
+      ids.flatMap { v =>
+        ids.filter(_ != v)
+          .map(nb => (nb, cos(vecs(v), vecs(nb))))
+          .sortBy { case (nb, c) => (-c, nb) }
+          .take(3).zipWithIndex
+          .map { case ((nb, c), i) => (v, nb, c, i + 1) }
+      }
+    }.toSet
+    val got = SparkEntry.queries("similarity_knn_graph")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"graph drift: missing ${(expected -- got).take(3)}, spurious ${(got -- expected).take(3)}")
+    // every vector that shares a cell with anyone has >= 1 edge
+    val nonSingleton = cells.groupBy(_._2).values.filter(_.length > 1).flatMap(_.map(_._1)).toSet
+    assert(got.map(_._1) == nonSingleton, "some non-singleton vector has no edges")
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

@@ -258,6 +258,8 @@ object SparkEntry {
     "curation_train_val_test"  -> (CurationOps.curationTrainValTest(_, _)),
     // composite keep/drop verdict with first-failing-rule audit reason
     "curation_quality_gate"    -> (CurationOps.curationQualityGate(_, _)),
+    // classifier-vs-rule-gate calibration by probability decile
+    "curation_model_calibration" -> (CurationOps.curationModelCalibration(_, _)),
     // flagship end-to-end: gate -> dedup -> train split -> pack, one plan
     "curation_training_extract" -> (CurationOps.curationTrainingExtract(_, _)),
     // same end-to-end extract, with the MinHash-CC canonical keeper set
@@ -519,6 +521,7 @@ object SparkEntry {
     "curation_length_buckets"  -> CurationOps.lengthBucketsSql,
     "curation_train_val_test"  -> CurationOps.curationTrainValTestSql,
     "curation_quality_gate"    -> CurationOps.curationQualityGateSql,
+    "curation_model_calibration" -> CurationOps.curationModelCalibrationSql,
     "curation_training_extract" -> CurationOps.curationTrainingExtractSql,
     "curation_training_extract_neardup" ->
       CurationOps.curationTrainingExtractNearDupSql,

@@ -1230,4 +1230,56 @@ object CurationOps {
        |        / (CAST(corpus_chars AS DOUBLE) / $NumShards), 6) AS skew
        |FROM per_shard, tot
        |ORDER BY shard""".stripMargin
+
+  /** Model-vs-rules calibration (`curation_model_calibration`): the
+    * learned quality classifier's keep-probability bucketed into deciles
+    * against the rule gate's verdict on the same documents — per decile,
+    * how many docs land there and what fraction the rule gate keeps
+    * (exact per-mille). This is the table a pipeline owner reads before
+    * swapping the rule gate for the classifier: a well-calibrated model
+    * shows gate agreement rising monotonically with prob_keep, and the
+    * disagreement deciles are exactly where to spend labeling budget.
+    *
+    * Scale shape: both inputs are single-pass per-document projections
+    * already keyed by doc_id; the calibration itself is one doc_id
+    * equi-join plus an 11-bucket agg (decile grid), so the report adds
+    * no new corpus-sized shuffle beyond what its two inputs do. Decile
+    * via floor(prob·10) is parity-safe: prob_keep is already rounded to
+    * 6 dp by the classifier in BOTH engines, so the bucket boundary
+    * arithmetic sees identical doubles. */
+  def curationModelCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = TextOps.textQualityLogreg(spark, dir).select($"doc_id", $"prob_keep")
+    val gate = curationQualityGate(spark, dir).select($"doc_id", $"keep")
+    model.join(gate, "doc_id")
+      .withColumn("prob_decile", floor($"prob_keep" * 10).cast("int"))
+      .groupBy($"prob_decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_gate_keep"))
+      .select($"prob_decile", $"n_docs", $"n_gate_keep",
+        expr("(n_gate_keep * 1000) div n_docs").as("gate_keep_permille"))
+      .orderBy($"prob_decile")
+  }
+
+  /** Composed from the two component oracles verbatim (their ORDER BY
+    * stripped), so the calibration oracle can never drift from what
+    * `text_quality_logreg` / `curation_quality_gate` individually
+    * verify. */
+  lazy val curationModelCalibrationSql: String = {
+    val m = TextOps.textQualityLogregSql.trim
+    val g = curationQualityGateSql.trim
+    require(m.endsWith("ORDER BY doc_id") && g.endsWith("ORDER BY doc_id"),
+      "component oracles changed shape — recompose the calibration oracle")
+    s"""WITH model AS (${m.stripSuffix("ORDER BY doc_id")}),
+       |gate AS (${g.stripSuffix("ORDER BY doc_id")}),
+       |joined AS (
+       |  SELECT CAST(floor(m.prob_keep * 10) AS INT) AS prob_decile, g.keep
+       |  FROM model m JOIN gate g ON g.doc_id = m.doc_id)
+       |SELECT prob_decile, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_gate_keep,
+       |  (CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) * 1000)
+       |    // count(*) AS gate_keep_permille
+       |FROM joined GROUP BY prob_decile
+       |ORDER BY prob_decile""".stripMargin
+  }
 }

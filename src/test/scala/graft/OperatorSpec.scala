@@ -1780,6 +1780,23 @@ class OperatorSpec extends SparkTestBase {
     assert(got.map(_._1) == nonSingleton, "some non-singleton vector has no edges")
   }
 
+  test("curation_model_calibration is the exact decile x gate contingency") {
+    val model = SparkEntry.queries("text_quality_logreg")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(5) * 10).toInt).toMap
+    val gate = SparkEntry.queries("curation_quality_gate")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(model.keySet == gate.keySet, "component queries cover different docs")
+    val expected = model.groupBy(_._2).view.mapValues { ds =>
+      val keep = ds.count(d => gate(d._1)).toLong
+      (ds.size.toLong, keep, keep * 1000 / ds.size)
+    }.toMap
+    val got = SparkEntry.queries("curation_model_calibration")(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, s"contingency drift: got $got want $expected")
+    // every doc is in exactly one bucket
+    assert(got.values.map(_._1).sum == model.size.toLong)
+  }
+
   test("shared quantized/ivf-candidate stages are memoized per (session, dir)") {
     import graft.operators.SimilarityOps
     // same SESSION object back both times — the cache key is (session,

@@ -201,6 +201,7 @@ object SparkEntry {
     // Lee et al. 2022, as a K-gram lattice + gaps-and-islands merge)
     "dedup_repeated_substrings" -> (DedupOps.dedupRepeatedSubstrings(_, _)),
     "dedup_connected_components" -> (PipelineOps.dedupConnectedComponents(_, _)),
+    "dedup_cluster_sizes"      -> (PipelineOps.dedupClusterSizes(_, _)),
     // keep/drop decision per near-dup cluster (canonical representative)
     "dedup_canonical_pick"     -> (PipelineOps.dedupCanonicalPick(_, _)),
     // chunk-level dedup over text_chunk_overlap's content hashes
@@ -232,6 +233,7 @@ object SparkEntry {
     "text_tfidf_topterms"      -> (PipelineOps.textTfidfTopTerms(_, _)),
     "text_normalize"           -> (PipelineOps.textNormalize(_, _)),
     "sample_hash_docs"         -> (PipelineOps.sampleHashDocs(_, _)),
+    "sample_weighted_docs"     -> (PipelineOps.sampleWeightedDocs(_, _)),
     "sample_stratified_events" -> (PipelineOps.sampleStratifiedEvents(_, _)),
     "sample_topk_per_group"    -> (PipelineOps.sampleTopkPerGroup(_, _)),
     "merge_upsert_customers"   -> (PipelineOps.mergeUpsertCustomers(_, _)),
@@ -247,6 +249,7 @@ object SparkEntry {
     "curation_contamination_by_source" -> (CurationOps.contaminationBySource(_, _)),
     // per-stage funnel counts for the gate→decontaminate→dedup pipeline
     "curation_funnel_report"   -> (CurationOps.curationFunnelReport(_, _)),
+    "curation_dedup_rate_by_source" -> (CurationOps.curationDedupRateBySource(_, _)),
     "pack_sequences"           -> (CurationOps.packSequences(_, _)),
     // curate → dedup → pack closed loop: packs only dedup_chunks keepers
     "pack_sequences_deduped"   -> (CurationOps.packSequencesDeduped(_, _)),
@@ -493,6 +496,7 @@ object SparkEntry {
     "dedup_edit_distance"      -> DedupOps.dedupEditDistanceSql,
     "dedup_repeated_substrings" -> DedupOps.dedupRepeatedSubstringsSql,
     "dedup_connected_components" -> PipelineOps.dedupConnectedComponentsSql,
+    "dedup_cluster_sizes"      -> PipelineOps.dedupClusterSizesSql,
     "dedup_canonical_pick"     -> PipelineOps.dedupCanonicalPickSql,
     "dedup_chunks"             -> TextOps.dedupChunksSql,
     "similarity_topk"          -> SimilarityOps.similarityTopkSql,
@@ -504,6 +508,7 @@ object SparkEntry {
     "text_tfidf_topterms"      -> PipelineOps.textTfidfTopTermsSql,
     "text_normalize"           -> PipelineOps.textNormalizeSql,
     "sample_hash_docs"         -> PipelineOps.sampleHashDocsSql,
+    "sample_weighted_docs"     -> PipelineOps.sampleWeightedDocsSql,
     "sample_stratified_events" -> PipelineOps.sampleStratifiedEventsSql,
     "sample_topk_per_group"    -> PipelineOps.sampleTopkPerGroupSql,
     "merge_upsert_customers"   -> PipelineOps.mergeUpsertCustomersSql,
@@ -513,6 +518,7 @@ object SparkEntry {
     "curation_decontaminate"   -> CurationOps.curationDecontaminateSql,
     "curation_contamination_by_source" -> CurationOps.contaminationBySourceSql,
     "curation_funnel_report"   -> CurationOps.curationFunnelReportSql,
+    "curation_dedup_rate_by_source" -> CurationOps.curationDedupRateBySourceSql,
     "pack_sequences"           -> CurationOps.packSequencesSql,
     "pack_sequences_deduped"   -> CurationOps.packSequencesDedupedSql,
     "sample_domain_quota"      -> CurationOps.sampleDomainQuotaSql,

@@ -1021,6 +1021,67 @@ object CurationOps {
       |FROM funnel
       |ORDER BY stage_ord""").stripMargin
 
+  /** Per-source dedup-rate triage (`curation_dedup_rate_by_source`):
+    * for every source, its document count, within-source exact-dup mass
+    * (docs beyond the first per content hash), the near-dup documents a
+    * canonical-pick pass would drop there, and exact-integer per-mille
+    * rates — the table that localizes a duplication problem to the
+    * crawl/source that produced it (a healthy corpus dups at noise
+    * level everywhere; one hot source = a re-crawled or mirrored feed
+    * worth fixing upstream instead of paying dedup for forever).
+    *
+    * Plan shape: one documents pass produces the per-source
+    * (count, distinct-content) aggregate; the near-dup side reuses the
+    * CC canonical-pick labels (proportional to the CLUSTERED set, not
+    * the corpus) joined back to sources by doc_id; the final join is
+    * bounded by #sources. Same content hash (`md5(lower(text))`) as
+    * [[DedupOps.dedupExactDocs]], same drop decision as
+    * [[PipelineOps.dedupCanonicalPick]], so the three reports can never
+    * disagree about what "duplicate" means. */
+  def curationDedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val bySource = docs.groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(lower($"text"))).as("n_distinct"))
+    val drops = PipelineOps.dedupCanonicalPick(spark, dir)
+      .filter(!$"keep")
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source").agg(count(lit(1)).as("drops"))
+    bySource.join(drops, Seq("source"), "left")
+      .select($"source", $"n_docs",
+        ($"n_docs" - $"n_distinct").as("n_exact_dup"),
+        coalesce($"drops", lit(0L)).as("n_neardup_drop"))
+      .withColumn("exact_dup_permille",
+        expr("n_exact_dup * 1000 div greatest(n_docs, 1)"))
+      .withColumn("neardup_permille",
+        expr("n_neardup_drop * 1000 div greatest(n_docs, 1)"))
+      .orderBy($"source")
+  }
+
+  lazy val curationDedupRateBySourceSql: String =
+    s"""${PipelineOps.canonicalCtes},
+       |drops AS (
+       |  SELECT d.source, count(*) AS n_neardup_drop
+       |  FROM labeled l
+       |  JOIN canon c ON l.comp_id = c.comp_id AND c.rn = 1
+       |  JOIN documents d ON d.doc_id = l.doc_id
+       |  WHERE l.doc_id <> c.canonical_id
+       |  GROUP BY d.source),
+       |base AS (
+       |  SELECT source, count(*) AS n_docs,
+       |         count(DISTINCT md5(lower(text))) AS n_distinct
+       |  FROM documents GROUP BY source)
+       |SELECT b.source, b.n_docs,
+       |  b.n_docs - b.n_distinct AS n_exact_dup,
+       |  CAST(coalesce(dr.n_neardup_drop, 0) AS BIGINT) AS n_neardup_drop,
+       |  (b.n_docs - b.n_distinct) * 1000 // greatest(b.n_docs, 1)
+       |    AS exact_dup_permille,
+       |  CAST(coalesce(dr.n_neardup_drop, 0) AS BIGINT) * 1000
+       |    // greatest(b.n_docs, 1) AS neardup_permille
+       |FROM base b LEFT JOIN drops dr USING (source)
+       |ORDER BY b.source""".stripMargin
+
   /** Epoch-plan materialization (`curation_epoch_sample`) — the step
     * after [[curationEpochPlan]]: turn each language's fractional epoch
     * count into a CONCRETE per-document repeat count the dataloader's

@@ -116,6 +116,61 @@ object PipelineOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Expected sample size for [[sampleWeightedDocs]] — the K in
+    * p_i = K·w_i/W. Shared with the oracle string so both engines state
+    * the same inclusion rule. */
+  private val WeightedSampleK = 64L
+
+  /** Weighted (length-proportional) Bernoulli document sample
+    * (`sample_weighted_docs`): each document is kept with probability
+    * p_i = K·n_chars_i/Σn_chars — the sampler a mixture/epoch plan
+    * actually calls once shares are decided in char or token mass rather
+    * than doc count (a 10× longer document should be 10× as likely to
+    * represent its stratum). K = 64 expected picks.
+    *
+    * Determinism and exactness: the coin is the md5-derived u32 (never
+    * `rand()` — same kept set on any engine/partitioning/rerun, the
+    * [[sampleHashDocs]] contract), and the inclusion test
+    * `u32·W < K·n_chars·2³²` is EXACT integer arithmetic in
+    * DECIMAL(38,0)/HUGEINT — u32·W overflows BIGINT at corpus char
+    * masses beyond ~2⁶³/2³² ≈ 2 G chars, i.e. well under 100 TB — so no
+    * float boundary can flap a row (the [[CurationOps.curationEpochSample]]
+    * rule). Documents with K·n_chars ≥ W saturate at p = 1
+    * automatically (u32 < 2³² always).
+    *
+    * Plan shape: ONE 1-row total-mass aggregate broadcast back, then a
+    * narrow codegen'd filter — no corpus-sized shuffle at any scale.
+    * `weight_ppm` (exact integer parts-per-million of the char mass)
+    * rides along for the audit log. */
+  def sampleWeightedDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"doc_id", $"lang", $"source", $"n_chars")
+    val tot = docs.agg(sum($"n_chars").as("total_chars"))
+    docs.crossJoin(broadcast(tot))
+      .withColumn("u32",
+        conv(substring(md5($"doc_id".cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .filter(
+        $"u32".cast("decimal(20,0)") * $"total_chars".cast("decimal(20,0)") <
+          (lit(WeightedSampleK) * $"n_chars").cast("decimal(20,0)") *
+            lit(4294967296L).cast("decimal(20,0)"))
+      .select($"doc_id", $"lang", $"source", $"n_chars",
+        expr("(1000000 * n_chars) div total_chars").as("weight_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  lazy val sampleWeightedDocsSql: String =
+    s"""WITH tot AS (
+       |  SELECT CAST(sum(n_chars) AS BIGINT) AS total_chars FROM documents)
+       |SELECT doc_id, lang, source, n_chars,
+       |       (1000000 * n_chars) // total_chars AS weight_ppm
+       |FROM documents, tot
+       |WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS HUGEINT)
+       |        * total_chars
+       |      < CAST($WeightedSampleK AS HUGEINT) * n_chars * 4294967296
+       |ORDER BY doc_id""".stripMargin
+
   /** Text normalization (the cleaning pass before dedup/tokenization):
     * lowercase → strip non-alphanumerics → collapse whitespace → trim,
     * fingerprinted with md5. Narrow projection, fully codegen'd — the
@@ -560,7 +615,11 @@ object PipelineOps {
       .orderBy($"doc_id")
   }
 
-  lazy val dedupCanonicalPickSql: String =
+  /** [[ccCtes]] extended with the canonical-pick CTEs (`labeled`,
+    * `canon`): single source for the canonical-pick oracle and every
+    * oracle that consumes its keep/drop decision
+    * ([[CurationOps.curationDedupRateBySource]]). */
+  private[operators] lazy val canonicalCtes: String =
     s"""$ccCtes,
        |labeled AS (
        |  SELECT cc.doc_id, cc.comp_id, d.n_chars
@@ -569,11 +628,49 @@ object PipelineOps {
        |  SELECT comp_id, doc_id AS canonical_id,
        |         row_number() OVER (PARTITION BY comp_id
        |                            ORDER BY n_chars DESC, doc_id) AS rn
-       |  FROM labeled)
+       |  FROM labeled)""".stripMargin
+
+  lazy val dedupCanonicalPickSql: String =
+    s"""$canonicalCtes
        |SELECT l.doc_id, l.comp_id, c.canonical_id,
        |       l.doc_id = c.canonical_id AS keep
        |FROM labeled l JOIN canon c ON l.comp_id = c.comp_id AND c.rn = 1
        |ORDER BY l.doc_id""".stripMargin
+
+  /** Near-dup cluster-size histogram (`dedup_cluster_sizes`): for each
+    * cluster size s, how many MinHash connected components have exactly
+    * s members, how many documents they hold, and the excess (s−1 per
+    * cluster) a canonical-pick pass would drop — the one-page answer to
+    * "is the near-dup mass a few huge clusters or many pairs?", which
+    * decides whether plain canonical-pick suffices or a template/
+    * boilerplate investigation is warranted (a 10 000-member cluster is
+    * a crawler artifact, not ordinary duplication).
+    *
+    * Plan shape: both aggregations sit on top of the CC label stage and
+    * are proportional to the CLUSTERED set, not the corpus — one count
+    * per comp_id (hash agg on the component key), then a bounded
+    * histogram agg whose key space is the distinct cluster sizes. */
+  def dedupClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = dedupConnectedComponents(spark, dir)
+      .groupBy($"comp_id").agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy($"cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum($"cluster_size").as("n_docs"),
+        sum($"cluster_size" - 1).as("n_excess_docs"))
+      .orderBy($"cluster_size")
+  }
+
+  lazy val dedupClusterSizesSql: String =
+    s"""$ccCtes,
+       |sizes AS (
+       |  SELECT comp_id, count(*) AS cluster_size FROM cc GROUP BY comp_id)
+       |SELECT cluster_size, count(*) AS n_clusters,
+       |       CAST(sum(cluster_size) AS BIGINT) AS n_docs,
+       |       CAST(sum(cluster_size - 1) AS BIGINT) AS n_excess_docs
+       |FROM sizes
+       |GROUP BY cluster_size
+       |ORDER BY cluster_size""".stripMargin
 
   /** Corpus health report: the one-page summary a curation pipeline
     * emits before cutting a training extract — corpus size, exact-dup

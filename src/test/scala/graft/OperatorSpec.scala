@@ -1808,6 +1808,68 @@ class OperatorSpec extends SparkTestBase {
     assert(!(SimilarityOps.ivfCandidates(spark, sfDir, nprobe = 2) eq
       SimilarityOps.ivfCandidates(spark, sfDir)))
   }
+
+  test("dedup_cluster_sizes: histogram reconciles with the CC labels") {
+    val hist = SparkEntry.queries("dedup_cluster_sizes")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val labels = SparkEntry.queries("dedup_connected_components")(spark, sfDir)
+      .collect().map(_.getLong(1))
+    // recompute the histogram driver-side from the labels
+    val expected = labels.groupBy(identity).map(_._2.length.toLong)
+      .groupBy(identity).map { case (s, cs) =>
+        (s, cs.size.toLong, s * cs.size, (s - 1) * cs.size) }
+      .toSeq.sorted
+    assert(hist.toSeq == expected, s"histogram drift: got ${hist.toSeq}")
+    // CC labels cover only clustered docs, so every cluster has >= 2 members
+    assert(hist.forall(_._1 >= 2), "singleton cluster in the CC histogram")
+    assert(hist.forall { case (_, nc, nd, ex) => ex == nd - nc },
+      "excess != docs - clusters")
+  }
+
+  test("sample_weighted_docs: exact inclusion rule, reproducible, length-weighted") {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = docs.values.sum
+    def u32(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    // the documented rule: keep iff u32·W < K·n_chars·2^32 (exact ints)
+    val expected = docs.collect { case (id, w)
+      if BigInt(u32(id)) * BigInt(total) < BigInt(64) * BigInt(w) * BigInt(4294967296L) => id
+    }.toSet
+    val got = SparkEntry.queries("sample_weighted_docs")(spark, sfDir).collect()
+    assert(got.map(_.getLong(0)).toSet == expected, "kept set != documented rule")
+    assert(got.nonEmpty && got.length < docs.size)
+    // weight_ppm is the exact integer char-mass share
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(4) == 1000000L * docs(id) / total,
+        s"weight_ppm drift for doc $id")
+    }
+  }
+
+  test("curation_dedup_rate_by_source: reconciles with corpus and canonical-pick totals") {
+    val rows = SparkEntry.queries("curation_dedup_rate_by_source")(spark, sfDir)
+      .collect()
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == corpus, "per-source docs != corpus")
+    val ccDrops = SparkEntry.queries("dedup_canonical_pick")(spark, sfDir)
+      .collect().count(!_.getBoolean(3))
+    assert(rows.map(_.getLong(3)).sum == ccDrops.toLong,
+      "near-dup drops != canonical-pick drops")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 0 && r.getLong(2) < r.getLong(1),
+        s"exact-dup mass out of range for ${r.getString(0)}")
+      Seq(4, 5).foreach { i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= 1000,
+          s"per-mille out of range for ${r.getString(0)}")
+      }
+    }
+  }
 }
 
 /** JVM-static fault flag for the write-stage retry test (local mode =

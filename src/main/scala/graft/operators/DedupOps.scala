@@ -1161,6 +1161,11 @@ object DedupOps {
       timed("simhash_sketch") { simhashSketch(spark, dir).count(); () },
       timed("ngram_pairs") { dedupNgramJaccard(spark, dir).count(); () },
       timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () },
+      // CC label fixpoint (r10): five consumers (components, canonical
+      // pick, cluster sizes, near-dup extract, per-source dedup rates) —
+      // the iterative build gets its own line for the same reason
+      timed("cc_labels") {
+        PipelineOps.dedupConnectedComponents(spark, dir).count(); () },
       timed("dup_windows") { TextOps.dupWindows(spark, dir).count(); () },
       timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
       timed("ivf_assign") { SimilarityOps.ivfAssign(spark, dir).count(); () },

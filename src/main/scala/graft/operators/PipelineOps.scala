@@ -206,8 +206,25 @@ object PipelineOps {
     * the driver only orchestrates (one convergence CHECK per iteration,
     * never a row collect). Iterations are bounded by component diameter,
     * logarithmic-ish on real dup clusters, capped defensively. The
-    * oracle computes the same fixpoint with a recursive CTE. */
-  def dedupConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    * oracle computes the same fixpoint with a recursive CTE.
+    *
+    * The labels are memoized per (session, dir) like the dedup-family
+    * sketches: five queries consume them (`dedup_connected_components`,
+    * `dedup_canonical_pick`, `dedup_cluster_sizes`,
+    * `curation_training_extract_neardup`,
+    * `curation_dedup_rate_by_source`), and without memoization each
+    * re-ran the whole iterative fixpoint — ~3 join+agg jobs plus a
+    * convergence-witness aggregate per iteration, the most job-heavy
+    * build in the library. The memoized DataFrame reads the final
+    * localCheckpoint's blocks, so no extra persist is needed;
+    * `cc_labels` is its own prewarm ledger line so the fixpoint cost
+    * never bills to whichever consumer runs first alphabetically. */
+  def dedupConnectedComponents(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"cc_labels:$dir") {
+      computeConnectedComponents(spark, dir)
+    }
+
+  private def computeConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pairs = DedupOps.minhashEstimates(spark, dir)
       .filter($"est_jaccard" >= 0.5).select($"doc_a", $"doc_b")

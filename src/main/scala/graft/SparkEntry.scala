@@ -142,6 +142,7 @@ object SparkEntry {
     "quality_skew_report"      -> (PipelineOps.qualitySkewReport(_, _)),
     "agg_histogram_price"      -> (PipelineOps.aggHistogramPrice(_, _)),
     // §2.9 event analytics
+    "events_downsample"        -> (EventOps.eventsDownsample(_, _)),
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
     "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
     "events_session_windows"   -> (EventOps.eventsSessionWindows(_, _)),
@@ -230,6 +231,7 @@ object SparkEntry {
     // recall@3 scorecard of every oracle-checkable ANN variant vs exact
     "similarity_recall_report" -> (SimilarityOps.similarityRecallReport(_, _)),
     // pipeline utilities: scoring, sampling, normalization
+    "text_feature_hashing"     -> (TextOps.textFeatureHashing(_, _)),
     "text_tfidf_topterms"      -> (PipelineOps.textTfidfTopTerms(_, _)),
     "text_normalize"           -> (PipelineOps.textNormalize(_, _)),
     "sample_hash_docs"         -> (PipelineOps.sampleHashDocs(_, _)),
@@ -452,6 +454,7 @@ object SparkEntry {
     "quality_referential_check" -> PipelineOps.qualityReferentialCheckSql,
     "quality_skew_report"      -> PipelineOps.qualitySkewReportSql,
     "agg_histogram_price"      -> PipelineOps.aggHistogramPriceSql,
+    "events_downsample"        -> EventOps.eventsDownsampleSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,
     "events_session_windows"   -> EventOps.eventsSessionWindowsSql,
@@ -505,6 +508,7 @@ object SparkEntry {
     "similarity_knn_graph"     -> SimilarityOps.similarityKnnGraphSql,
     "similarity_ivfpq"         -> SimilarityOps.similarityIvfPqSql,
     "similarity_recall_report" -> SimilarityOps.similarityRecallReportSql,
+    "text_feature_hashing"     -> TextOps.textFeatureHashingSql,
     "text_tfidf_topterms"      -> PipelineOps.textTfidfTopTermsSql,
     "text_normalize"           -> PipelineOps.textNormalizeSql,
     "sample_hash_docs"         -> PipelineOps.sampleHashDocsSql,

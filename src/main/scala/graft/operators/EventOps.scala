@@ -45,6 +45,46 @@ object EventOps {
       |GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Telemetry decimation (`events_downsample`): keep the LAST event per
+    * (user, minute) — the standard high-frequency-stream downsampling
+    * before retention/cohort analytics, cutting a per-second feed ~60×
+    * while preserving each user's most recent state per bucket. Ties
+    * (same timestamp) break to the highest event_id, so the kept row is
+    * engine-independent.
+    *
+    * Scale shape: ONE partial+final `max(struct(ts, event_id, …))`
+    * hash aggregation — map-side combine collapses each partition to
+    * one candidate row per (user, minute) BEFORE the exchange, so the
+    * shuffle carries the output size, not the input. The naive
+    * keep-last formulation (`row_number() OVER (PARTITION BY …)` then
+    * `rk = 1`, which the oracle uses as an independent restatement)
+    * sort-shuffles the ENTIRE feed — the agg form is why this survives
+    * a 100× feed. */
+  def eventsDownsample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.events(spark, dir)
+      .groupBy($"user_id",
+        window($"ts", "1 minute").getField("start").as("m_ts"))
+      .agg(max(struct($"ts", $"event_id", $"event_type", $"value")).as("last"))
+      .select($"user_id", unix_timestamp($"m_ts").as("m_start"),
+        $"last.event_id".as("event_id"), $"last.event_type".as("event_type"),
+        unix_micros($"last.ts").as("ts_us"), $"last.value".as("value"))
+      .orderBy($"user_id", $"m_start")
+  }
+
+  val eventsDownsampleSql: String =
+    """SELECT user_id,
+      |       CAST(epoch(time_bucket(INTERVAL '1 minute', ts)) AS BIGINT) AS m_start,
+      |       event_id, event_type,
+      |       CAST(epoch_us(ts) AS BIGINT) AS ts_us, value
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, time_bucket(INTERVAL '1 minute', ts)
+      |    ORDER BY ts DESC, event_id DESC) AS rk
+      |  FROM events) t
+      |WHERE rk = 1
+      |ORDER BY user_id, m_start""".stripMargin
+
   /** Z-score anomaly detection per event_type: flag events more than 3
     * standard deviations from their type's mean. Mean/stddev are derived
     * from exact decimal sums (sum, sum-of-squares) so both engines compute

@@ -62,6 +62,47 @@ object TextOps {
       |GROUP BY token
       |ORDER BY n DESC, token""".stripMargin
 
+  /** Feature-hashing (hashing-trick) document featurizer
+    * (`text_feature_hashing`, Weinberger et al. 2009): every token
+    * hashes to one of 64 feature buckets with a ±1 sign bit drawn from
+    * the same hash, and the per-(doc, bucket) SIGNED counts are the
+    * sparse feature vector a linear classifier (fastText-class quality
+    * models, spam gates) trains on — vocabulary-free, so the feature
+    * space is FIXED at any corpus size and needs no dictionary build,
+    * broadcast, or OOV path; the sign makes collisions cancel in
+    * expectation instead of biasing the estimate upward.
+    *
+    * Determinism: bucket and sign both come from the md5-derived u32
+    * (bit 0 = sign, the rest = bucket), exact integer arithmetic in
+    * both engines. Plan shape: one narrow token explode → codegen'd
+    * hash projection → ONE partial+final aggregation on
+    * (doc_id, bucket) — map-side combine bounds each partition's
+    * shuffle contribution at 64 rows/doc; no joins, no windows. */
+  def textFeatureHashing(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+      .withColumn("u32",
+        conv(substring(md5($"token"), 1, 8), 16, 10).cast("long"))
+      .groupBy($"doc_id", (shiftright($"u32", 1) % 64).as("bucket"))
+      .agg(sum(when($"u32" % 2 === 0, 1L).otherwise(-1L)).as("feat"))
+      .orderBy($"doc_id", $"bucket")
+  }
+
+  val textFeatureHashingSql: String =
+    """SELECT doc_id, (u32 // 2) % 64 AS bucket,
+      |       CAST(sum(CASE WHEN u32 % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS feat
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(concat('0x', substr(md5(token), 1, 8)) AS BIGINT) AS u32
+      |  FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      |    FROM documents) t
+      |  WHERE token <> '') h
+      |GROUP BY doc_id, (u32 // 2) % 64
+      |ORDER BY doc_id, bucket""".stripMargin
+
   /** Per-language marker-token lists for the n-gram/stopword language-ID
     * heuristic. Deterministic, engine-independent scoring: count marker
     * hits per language, predict the argmax (ties broken by fixed language

@@ -1852,6 +1852,41 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("text_feature_hashing: exact signed-count reconstruction, fixed 64-dim space") {
+    val feats = SparkEntry.queries("text_feature_hashing")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(feats.keys.forall { case (_, b) => b >= 0 && b < 64 },
+      "bucket outside the fixed 64-dim feature space")
+    // driver-side recompute from the documented hash rule
+    def u32(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect().foreach { r =>
+      r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).foreach { tok =>
+        val u = u32(tok)
+        val k = (r.getLong(0), (u >> 1) % 64)
+        expected(k) = expected.getOrElse(k, 0L) + (if (u % 2 == 0) 1L else -1L)
+      }
+    }
+    assert(feats == expected.toMap, "feature vectors != documented hash rule")
+  }
+
+  test("events_downsample: keeps exactly the last event per (user, minute)") {
+    val kept = SparkEntry.queries("events_downsample")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(4), r.getLong(2))).toMap
+    val raw = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = raw.groupBy { case (u, ts, _) => (u, ts / 60000000L * 60L) }
+      .map { case (k, evs) => k -> evs.map { case (_, ts, id) => (ts, id) }.max }
+    assert(kept == expected, "kept rows != per-bucket (ts, event_id) maxima")
+    // decimation really happened: fewer rows than the raw feed
+    assert(kept.size < raw.length)
+  }
+
   test("curation_dedup_rate_by_source: reconciles with corpus and canonical-pick totals") {
     val rows = SparkEntry.queries("curation_dedup_rate_by_source")(spark, sfDir)
       .collect()

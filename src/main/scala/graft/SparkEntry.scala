@@ -252,6 +252,7 @@ object SparkEntry {
     // per-stage funnel counts for the gate→decontaminate→dedup pipeline
     "curation_funnel_report"   -> (CurationOps.curationFunnelReport(_, _)),
     "curation_dedup_rate_by_source" -> (CurationOps.curationDedupRateBySource(_, _)),
+    "curation_snapshot_diff"   -> (CurationOps.curationSnapshotDiff(_, _)),
     "pack_sequences"           -> (CurationOps.packSequences(_, _)),
     // curate → dedup → pack closed loop: packs only dedup_chunks keepers
     "pack_sequences_deduped"   -> (CurationOps.packSequencesDeduped(_, _)),
@@ -523,6 +524,7 @@ object SparkEntry {
     "curation_contamination_by_source" -> CurationOps.contaminationBySourceSql,
     "curation_funnel_report"   -> CurationOps.curationFunnelReportSql,
     "curation_dedup_rate_by_source" -> CurationOps.curationDedupRateBySourceSql,
+    "curation_snapshot_diff"   -> CurationOps.curationSnapshotDiffSql,
     "pack_sequences"           -> CurationOps.packSequencesSql,
     "pack_sequences_deduped"   -> CurationOps.packSequencesDedupedSql,
     "sample_domain_quota"      -> CurationOps.sampleDomainQuotaSql,

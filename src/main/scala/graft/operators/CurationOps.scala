@@ -1082,6 +1082,66 @@ object CurationOps {
        |FROM base b LEFT JOIN drops dr USING (source)
        |ORDER BY b.source""".stripMargin
 
+  /** Snapshot-to-snapshot corpus changelog (`curation_snapshot_diff`):
+    * the added/deleted/changed document list between two crawl
+    * snapshots — what a lakehouse table diff (Iceberg/Delta snapshot
+    * compare) emits, and the input that turns a full recompute into an
+    * incremental one (only `changed`+`added` re-enter the
+    * dedup/gate/pack pipeline; `deleted` retracts downstream
+    * aggregates). The corpus ships as one snapshot, so snapshot B is
+    * DERIVED from it by expressions both engines evaluate identically
+    * (the [[TextOps.textPiiScrub]] planted-pattern contract): every
+    * 103rd doc is deleted, every 101st carries revised content, and
+    * every 107th spawns a new doc at id+10⁷ (a doc divisible by both
+    * 101 and 103 deletes — deletion wins in both engines by
+    * construction).
+    *
+    * Scale shape: both sides reduce to (doc_id, 16-byte content hash)
+    * in narrow codegen'd projections BEFORE the join, so the full-outer
+    * hash join on doc_id — co-partitioned for free under id-bucketed
+    * storage — moves digests, never text; output is proportional to
+    * the CHANGE SET (unchanged rows are filtered pre-sort). */
+  def curationSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+    val a = base.select($"doc_id", md5(lower($"text")).as("hash_a"))
+    val b = base.filter(pmod($"doc_id", lit(103)) =!= 0)
+      .select($"doc_id", md5(lower(
+        when(pmod($"doc_id", lit(101)) === 0, concat($"text", lit(" rev2")))
+          .otherwise($"text"))).as("hash_b"))
+      .union(base.filter(pmod($"doc_id", lit(107)) === 0)
+        .select(($"doc_id" + 10000000L).as("doc_id"),
+          md5(lower(concat($"text", lit(" new")))).as("hash_b")))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"hash_a".isNull, "added")
+          .when($"hash_b".isNull, "deleted")
+          .when($"hash_a" =!= $"hash_b", "changed")
+          .otherwise("unchanged").as("status"))
+      .filter($"status" =!= "unchanged")
+      .orderBy($"doc_id")
+  }
+
+  val curationSnapshotDiffSql: String =
+    """WITH a AS (SELECT doc_id, md5(lower(text)) AS hash_a FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(lower(CASE WHEN doc_id % 101 = 0 THEN text || ' rev2'
+      |              ELSE text END)) AS hash_b
+      |  FROM documents WHERE doc_id % 103 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, md5(lower(text || ' new'))
+      |  FROM documents WHERE doc_id % 107 = 0)
+      |SELECT doc_id, status FROM (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN b.doc_id IS NULL THEN 'deleted'
+      |         WHEN a.hash_a <> b.hash_b THEN 'changed'
+      |         ELSE 'unchanged' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id) t
+      |WHERE status <> 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   /** Epoch-plan materialization (`curation_epoch_sample`) — the step
     * after [[curationEpochPlan]]: turn each language's fractional epoch
     * count into a CONCRETE per-document repeat count the dataloader's

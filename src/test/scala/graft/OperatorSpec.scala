@@ -1887,6 +1887,20 @@ class OperatorSpec extends SparkTestBase {
     assert(kept.size < raw.length)
   }
 
+  test("curation_snapshot_diff: changelog matches the planted snapshot rules") {
+    val got = SparkEntry.queries("curation_snapshot_diff")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    val expected = (
+      ids.filter(_ % 103 == 0).map(_ -> "deleted") ++
+      ids.filter(id => id % 101 == 0 && id % 103 != 0).map(_ -> "changed") ++
+      ids.filter(_ % 107 == 0).map(id => (id + 10000000L) -> "added")).toMap
+    assert(got == expected, s"changelog drift: got $got")
+    // unchanged docs are absent — output is change-set-proportional
+    assert(got.size < ids.length)
+  }
+
   test("curation_dedup_rate_by_source: reconciles with corpus and canonical-pick totals") {
     val rows = SparkEntry.queries("curation_dedup_rate_by_source")(spark, sfDir)
       .collect()

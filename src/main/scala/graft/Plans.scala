@@ -92,7 +92,21 @@ object Plans {
         "per document (exchange barrier after the hash projection, " +
         "nullability-folded so no inferred isnotnull filter re-inlines " +
         "it), band equi-join fans out 8 skinny rows per item — never " +
-        "all-pairs, never tower-per-candidate.")
+        "all-pairs, never tower-per-candidate."),
+    "sample_weighted_docs" ->
+      ("Weighted Bernoulli sample: ONE 1-row total-mass aggregate comes " +
+        "back as a BroadcastExchange and the inclusion test is a narrow " +
+        "codegen'd filter — no corpus-sized shuffle anywhere in the plan."),
+    "events_downsample" ->
+      ("Keep-last decimation as ONE partial+final max(struct) hash " +
+        "aggregation: partial agg below the single exchange, so the " +
+        "shuffle carries one candidate per (user, minute) per partition " +
+        "— never the raw feed, and no Window sort anywhere."),
+    "curation_snapshot_diff" ->
+      ("Snapshot changelog: both sides reduce to (doc_id, md5) narrow " +
+        "projections BEFORE the full-outer SortMergeJoin on doc_id, so " +
+        "the join moves 16-byte digests; co-partitioned for free under " +
+        "id-bucketed storage.")
   )
 
   /** Counts physical operators by their numbered detail-section headers

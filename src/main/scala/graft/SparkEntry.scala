@@ -35,6 +35,7 @@ object SparkEntry {
     // real Structured Streaming executions (MemoryStream-driven)
     "streaming_window_max"     -> (graft.streaming.StreamingOps.streamingWindowMax(_, _)),
     "streaming_concat_prefixes" -> (graft.streaming.StreamingOps.streamingConcatPrefixes(_, _)),
+    "streaming_downsample"     -> (graft.streaming.StreamingOps.streamingDownsample(_, _)),
     "streaming_dedup"          -> (graft.streaming.StreamingOps.streamingDedup(_, _)),
     // continuous-ingest dedup vs a static hash registry (cross-batch state)
     "streaming_incremental_dedup" -> (graft.streaming.StreamingOps.streamingIncrementalDedup(_, _)),
@@ -212,6 +213,7 @@ object SparkEntry {
     "similarity_ann_lsh"       -> (SimilarityOps.similarityAnnLsh(_, _)),
     "similarity_ivf"           -> (SimilarityOps.similarityIvf(_, _)),
     // full corpus k-NN graph from same-cell candidates (n*cell, not n^2)
+    "similarity_cell_balance"  -> (SimilarityOps.similarityCellBalance(_, _)),
     "similarity_knn_graph"     -> (SimilarityOps.similarityKnnGraph(_, _)),
     // IVF-PQ: same candidate lists, ADC re-rank on product-quantization
     // codes (the memory-scale ANN variant)
@@ -374,6 +376,7 @@ object SparkEntry {
     "tumbling_window_max"      -> ReferenceParity.tumblingWindowMaxSql,
     "streaming_window_max"     -> graft.streaming.StreamingOps.streamingWindowMaxSql,
     "streaming_concat_prefixes" -> graft.streaming.StreamingOps.streamingConcatPrefixesSql,
+    "streaming_downsample"     -> graft.streaming.StreamingOps.streamingDownsampleSql,
     "streaming_dedup"          -> graft.streaming.StreamingOps.streamingDedupSql,
     "streaming_incremental_dedup" -> graft.streaming.StreamingOps.streamingIncrementalDedupSql,
     "streaming_stream_join"    -> graft.streaming.StreamingOps.streamingStreamJoinSql,
@@ -506,6 +509,7 @@ object SparkEntry {
     "similarity_topk"          -> SimilarityOps.similarityTopkSql,
     "similarity_ann_lsh"       -> SimilarityOps.similarityAnnLshSql,
     "similarity_ivf"           -> SimilarityOps.similarityIvfSql,
+    "similarity_cell_balance"  -> SimilarityOps.similarityCellBalanceSql,
     "similarity_knn_graph"     -> SimilarityOps.similarityKnnGraphSql,
     "similarity_ivfpq"         -> SimilarityOps.similarityIvfPqSql,
     "similarity_recall_report" -> SimilarityOps.similarityRecallReportSql,

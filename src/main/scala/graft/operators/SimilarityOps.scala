@@ -1033,6 +1033,47 @@ object SimilarityOps {
       .orderBy($"vec_id", $"rk")
   }
 
+  /** IVF index-health report (`similarity_cell_balance`): per coarse
+    * cell, its inverted-list size, per-mille share of the corpus, and a
+    * balance index (1000 = perfectly even split) — the scorecard an ANN
+    * service reads before rolling an index out, because probe latency is
+    * bounded by the LARGEST probed list: a cell at 4× the even share
+    * means nprobe hits of that cell cost 4× the budget, and the fix
+    * (retrain centroids / split the hot cell) has to be decided from
+    * exactly this table. Complements [[similarityRecallReport]] (quality
+    * side) with the cost side of the same rollout gate.
+    *
+    * Plan shape: one count aggregation over the memoized [[ivfAssign]]
+    * stage (n skinny cached rows), a 1-row total broadcast back, and
+    * exact-integer ratios — output bounded by the cell count. */
+  def similarityCellBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = ivfAssign(spark, dir)
+      .groupBy($"pivot_id").agg(count(lit(1)).as("n_vectors"))
+    val tot = counts.agg(sum($"n_vectors").as("total"),
+      count(lit(1)).as("n_cells"))
+    counts.crossJoin(broadcast(tot))
+      .select($"pivot_id", $"n_vectors",
+        expr("n_vectors * 1000 div total").as("share_permille"),
+        expr("n_vectors * n_cells * 1000 div total").as("balance_x1000"))
+      .orderBy($"pivot_id")
+  }
+
+  lazy val similarityCellBalanceSql: String =
+    s"""WITH $quantizedCte,
+       |$assignCte,
+       |counts AS (
+       |  SELECT pivot_id, count(*) AS n_vectors FROM assign GROUP BY pivot_id),
+       |tot AS (
+       |  SELECT CAST(sum(n_vectors) AS BIGINT) AS total,
+       |         count(*) AS n_cells
+       |  FROM counts)
+       |SELECT pivot_id, n_vectors,
+       |  n_vectors * 1000 // total AS share_permille,
+       |  n_vectors * n_cells * 1000 // total AS balance_x1000
+       |FROM counts, tot
+       |ORDER BY pivot_id""".stripMargin
+
   lazy val similarityKnnGraphSql: String =
     s"""WITH $quantizedCte,
        |$assignCte,

@@ -899,4 +899,52 @@ object StreamingOps {
       |  AND abs(c - CAST(s AS DOUBLE) / n) >
       |    3 * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
       |ORDER BY event_id""".stripMargin
+
+  /** Streaming keep-last downsampling (`streaming_downsample`): the
+    * batch [[graft.operators.EventOps.eventsDownsample]] semantics run
+    * as a REAL incremental stream — per (user, minute), the stateful
+    * `max(struct(ts, event_id, value))` aggregation keeps only the
+    * latest event, and a second micro-batch UPDATES a bucket the first
+    * batch already aggregated (user 1's minute advances from event 102
+    * to 104) plus exercises the exact-tie rule (user 2 gets two events
+    * at the SAME timestamp; the higher event_id wins, deterministically
+    * in both the batch and streaming forms). State per key is ONE
+    * struct — the bounded-state posture a 100 TB feed needs — and the
+    * same single-aggregation plan as the batch form, just state-backed.
+    * Oracle: VALUES fixture of the final decimated table. */
+  def streamingDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(spark)
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val in = MemoryStream[(Long, Long, Long, Double)]
+    val name = "graft_ds_" + UUID.randomUUID().toString.replace("-", "")
+    val agg = in.toDF()
+      .select($"_1".as("user_id"), timestamp_seconds($"_2").as("ts"),
+        $"_3".as("event_id"), $"_4".as("value"))
+      .groupBy($"user_id",
+        window($"ts", "1 minute").getField("start").as("m_ts"))
+      .agg(max(struct($"ts", $"event_id", $"value")).as("last"))
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("complete").start()
+    try {
+      in.addData((1L, 1700000010L, 101L, 1.0), (1L, 1700000020L, 102L, 2.0),
+        (2L, 1700000070L, 103L, 3.0))
+      q.processAllAvailable()
+      in.addData((1L, 1700000030L, 104L, 4.0), (2L, 1700000070L, 105L, 5.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name)
+      .select($"user_id", unix_timestamp($"m_ts").as("m_start"),
+        $"last.event_id".as("event_id"), $"last.value".as("value"))
+      .orderBy($"user_id", $"m_start")
+  }
+
+  val streamingDownsampleSql: String =
+    // fixture: user 1's minute [1699999980] ends at event 104 (batch-2
+    // update), user 2's minute [1700000040] resolves the ts tie to the
+    // higher event_id 105
+    """SELECT user_id, m_start, event_id, CAST(value AS DOUBLE) AS value
+      |FROM (VALUES (1, 1699999980, 104, 4.0), (2, 1700000040, 105, 5.0))
+      |  AS t(user_id, m_start, event_id, value)
+      |ORDER BY user_id, m_start""".stripMargin
 }

@@ -1887,6 +1887,36 @@ class OperatorSpec extends SparkTestBase {
     assert(kept.size < raw.length)
   }
 
+  test("similarity_cell_balance: reconciles with the assign stage, exact shares") {
+    import graft.operators.SimilarityOps
+    val rows = SparkEntry.queries("similarity_cell_balance")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val assign = SimilarityOps.ivfAssign(spark, sfDir).collect()
+      .map(_.getLong(1))
+    val counts = assign.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    assert(rows.map(r => r._1 -> r._2).toMap == counts,
+      "cell counts != assign stage")
+    val total = assign.length.toLong
+    val nCells = counts.size.toLong
+    rows.foreach { case (p, n, share, bal) =>
+      assert(share == n * 1000 / total, s"share drift for cell $p")
+      assert(bal == n * nCells * 1000 / total, s"balance drift for cell $p")
+    }
+    // floor rounding: shares sum to 1000 minus at most one per cell
+    val shareSum = rows.map(_._3).sum
+    assert(shareSum <= 1000 && shareSum > 1000 - nCells, s"share sum $shareSum")
+  }
+
+  test("streaming_downsample: cross-batch bucket update and exact-tie rule") {
+    val rows = SparkEntry.queries("streaming_downsample")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // batch 2 must have REPLACED user 1's batch-1 winner (event 102) with
+    // the later event 104, and user 2's same-timestamp tie must resolve
+    // to the higher event_id
+    assert(rows.toSeq == Seq((1L, 1699999980L, 104L, 4.0),
+      (2L, 1700000040L, 105L, 5.0)), s"decimated table drift: ${rows.toSeq}")
+  }
+
   test("curation_snapshot_diff: changelog matches the planted snapshot rules") {
     val got = SparkEntry.queries("curation_snapshot_diff")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

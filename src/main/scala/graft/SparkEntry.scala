@@ -143,6 +143,7 @@ object SparkEntry {
     "quality_skew_report"      -> (PipelineOps.qualitySkewReport(_, _)),
     "agg_histogram_price"      -> (PipelineOps.aggHistogramPrice(_, _)),
     // §2.9 event analytics
+    "events_active_users"      -> (EventOps.eventsActiveUsers(_, _)),
     "events_downsample"        -> (EventOps.eventsDownsample(_, _)),
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
     "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
@@ -236,6 +237,7 @@ object SparkEntry {
     "text_feature_hashing"     -> (TextOps.textFeatureHashing(_, _)),
     "text_tfidf_topterms"      -> (PipelineOps.textTfidfTopTerms(_, _)),
     "text_normalize"           -> (PipelineOps.textNormalize(_, _)),
+    "sample_bottomk_docs"      -> (PipelineOps.sampleBottomkDocs(_, _)),
     "sample_hash_docs"         -> (PipelineOps.sampleHashDocs(_, _)),
     "sample_weighted_docs"     -> (PipelineOps.sampleWeightedDocs(_, _)),
     "sample_stratified_events" -> (PipelineOps.sampleStratifiedEvents(_, _)),
@@ -458,6 +460,7 @@ object SparkEntry {
     "quality_referential_check" -> PipelineOps.qualityReferentialCheckSql,
     "quality_skew_report"      -> PipelineOps.qualitySkewReportSql,
     "agg_histogram_price"      -> PipelineOps.aggHistogramPriceSql,
+    "events_active_users"      -> EventOps.eventsActiveUsersSql,
     "events_downsample"        -> EventOps.eventsDownsampleSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,
@@ -516,6 +519,7 @@ object SparkEntry {
     "text_feature_hashing"     -> TextOps.textFeatureHashingSql,
     "text_tfidf_topterms"      -> PipelineOps.textTfidfTopTermsSql,
     "text_normalize"           -> PipelineOps.textNormalizeSql,
+    "sample_bottomk_docs"      -> PipelineOps.sampleBottomkDocsSql,
     "sample_hash_docs"         -> PipelineOps.sampleHashDocsSql,
     "sample_weighted_docs"     -> PipelineOps.sampleWeightedDocsSql,
     "sample_stratified_events" -> PipelineOps.sampleStratifiedEventsSql,

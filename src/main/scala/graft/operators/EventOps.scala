@@ -45,6 +45,60 @@ object EventOps {
       |GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Daily/weekly active users (`events_active_users`): per observed
+    * day, the exact distinct-user counts for that day (DAU) and the
+    * trailing 7-day window (WAU) — the canonical engagement pair every
+    * product dashboard opens with, EXACT rather than sketched so the
+    * DuckDB oracle pins it (the HLL swap for 100 TB dashboards is the
+    * same one `curation_corpus_report_sketch` demonstrates).
+    *
+    * Scale shape: the corpus-sized work is ONE distinct over
+    * (day, user) — a hash agg whose output is active pairs, not events.
+    * WAU contributions come from a BOUNDED ×7 fan-out of those pairs
+    * (`sequence(day, day+6)` explode) into a second distinct agg — an
+    * equi-key plan end to end, deliberately avoiding the
+    * `datediff BETWEEN 0 AND 6` range self-join a naive WAU writes,
+    * which Spark can only execute as a nested-loop join. The trailing
+    * semi join keeps only days that exist in the feed. */
+  def eventsActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val days = pairs.select($"day").distinct()
+    val dau = pairs.groupBy($"day").agg(count(lit(1)).as("dau"))
+    val wau = pairs
+      .select(explode(sequence($"day", date_add($"day", 6))).as("day"),
+        $"user_id")
+      .join(days, Seq("day"), "left_semi")
+      .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(datediff($"day", lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_num"),
+        $"dau", $"wau")
+      .orderBy($"day_num")
+  }
+
+  val eventsActiveUsersSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |days AS (SELECT DISTINCT day FROM pairs),
+      |contrib AS (
+      |  SELECT CAST(unnest(generate_series(CAST(day AS TIMESTAMP),
+      |           CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+      |           INTERVAL 1 DAY)) AS DATE) AS day,
+      |         user_id
+      |  FROM pairs),
+      |wau AS (
+      |  SELECT c.day, count(DISTINCT c.user_id) AS wau
+      |  FROM contrib c JOIN days d ON d.day = c.day
+      |  GROUP BY c.day),
+      |dau AS (SELECT day, count(*) AS dau FROM pairs GROUP BY day)
+      |SELECT CAST(date_diff('day', DATE '1970-01-01', dau.day) AS BIGINT)
+      |         AS day_num,
+      |       dau.dau, wau.wau
+      |FROM dau JOIN wau ON dau.day = wau.day
+      |ORDER BY day_num""".stripMargin
+
   /** Telemetry decimation (`events_downsample`): keep the LAST event per
     * (user, minute) — the standard high-frequency-stream downsampling
     * before retention/cohort analytics, cutting a per-second feed ~60×

@@ -116,6 +116,37 @@ object PipelineOps {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Fixed-SIZE uniform sample (`sample_bottomk_docs`): the 100
+    * smallest md5(doc_id) keys — the distributed equivalent of
+    * reservoir sampling, and the complement of [[sampleHashDocs]]'
+    * fixed-RATE bucket filter: a monitoring/eval probe usually wants
+    * "exactly 100 documents" whatever the corpus size, and bottom-k by
+    * a content-independent hash key delivers that deterministically
+    * (same 100 docs on any engine, partitioning, or rerun).
+    *
+    * Plan shape: `TakeOrderedAndProject` — each partition keeps a
+    * 100-row heap and the driver merges #partitions×100 candidates;
+    * there is NO global sort of the corpus, which is what makes a
+    * fixed-size sample affordable at any width. */
+  def sampleBottomkDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", md5($"doc_id".cast("string")).as("sample_key"),
+        $"lang", $"source")
+      .orderBy($"sample_key", $"doc_id")
+      .limit(100)
+      .orderBy($"doc_id")
+  }
+
+  val sampleBottomkDocsSql: String =
+    """SELECT doc_id, sample_key, lang, source FROM (
+      |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+      |         lang, source
+      |  FROM documents
+      |  ORDER BY sample_key, doc_id
+      |  LIMIT 100) t
+      |ORDER BY doc_id""".stripMargin
+
   /** Expected sample size for [[sampleWeightedDocs]] — the K in
     * p_i = K·w_i/W. Shared with the oracle string so both engines state
     * the same inclusion rule. */

@@ -1887,6 +1887,34 @@ class OperatorSpec extends SparkTestBase {
     assert(kept.size < raw.length)
   }
 
+  test("sample_bottomk_docs: exactly the 100 smallest hash keys, any corpus size") {
+    val got = SparkEntry.queries("sample_bottomk_docs")(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    val all = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    def key(id: Long): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = all.sortBy(id => (key(id), id)).take(100).toSet
+    assert(got == expected, "kept set != 100 smallest md5 keys")
+    assert(got.size == 100)
+  }
+
+  test("events_active_users: WAU is the exact trailing-7-day distinct union") {
+    val rows = SparkEntry.queries("events_active_users")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairs = Tables.events(spark, sfDir)
+      .selectExpr("datediff(to_date(ts), date'1970-01-01') AS d", "user_id")
+      .distinct().collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val byDay = pairs.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { case (d, dau, wau) =>
+      assert(dau == byDay(d).size.toLong, s"DAU drift on day $d")
+      val expectedWau = (d - 6 to d).flatMap(byDay.get).flatten.toSet.size.toLong
+      assert(wau == expectedWau, s"WAU drift on day $d")
+      assert(wau >= dau, s"WAU < DAU on day $d")
+    }
+    assert(rows.map(_._1).toSet == byDay.keySet, "day coverage drift")
+  }
+
   test("similarity_cell_balance: reconciles with the assign stage, exact shares") {
     import graft.operators.SimilarityOps
     val rows = SparkEntry.queries("similarity_cell_balance")(spark, sfDir).collect()

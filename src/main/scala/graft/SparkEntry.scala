@@ -172,6 +172,7 @@ object SparkEntry {
     // anomaly_kmeans) — suite asserts monotone loss + teacher recovery
     "text_logreg_train"        -> (TextOps.textLogregTrain(_, _)),
     "text_token_count"         -> (TextOps.textTokenCount(_, _)),
+    "text_winnowing_fingerprint" -> (TextOps.textWinnowingFingerprint(_, _)),
     "text_fingerprint"         -> (TextOps.textFingerprint(_, _)),
     "text_bigram_collocations" -> (TextOps.textBigramCollocations(_, _)),
     "text_rarity_score"        -> (TextOps.textRarityScore(_, _)),
@@ -482,6 +483,7 @@ object SparkEntry {
     "text_quality_score"       -> TextOps.textQualityScoreSql,
     "text_quality_logreg"      -> TextOps.textQualityLogregSql,
     "text_token_count"         -> TextOps.textTokenCountSql,
+    "text_winnowing_fingerprint" -> TextOps.textWinnowingFingerprintSql,
     "text_fingerprint"         -> TextOps.textFingerprintSql,
     "text_bigram_collocations" -> TextOps.textBigramCollocationsSql,
     "text_rarity_score"        -> TextOps.textRarityScoreSql,

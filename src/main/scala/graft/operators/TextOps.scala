@@ -363,6 +363,62 @@ object TextOps {
     * token stream, no re-aggregation join (contrast: a lead()-window
     * formulation shuffles every word of the corpus). One map-only pass,
     * then only the presentation sort. */
+  /** Winnowing fingerprints (`text_winnowing_fingerprint`, Schleimer et
+    * al. 2003 — the MOSS scheme): per document, the rightmost-minimum
+    * 4-token-gram hash of every 5-hash winnowing window, deduplicated by
+    * position. Winnowing's guarantee is what min-hash fingerprints
+    * (`text_fingerprint`) lack: any shared run of ≥ 8 tokens between two
+    * documents shares at least one SELECTED fingerprint, so matching on
+    * the ~2/(w+1) density fingerprint set finds local overlap (plagiarism,
+    * quoted boilerplate, partial mirrors) without comparing full texts.
+    *
+    * Scale shape: the entire selection runs INSIDE per-row array
+    * expressions (k-gram hashing, per-window `array_min`, rightmost-tie
+    * `filter`+`array_max`, positional dedup) — a map-only codegen'd pass
+    * with ZERO pre-output shuffle at any corpus size; only the selected
+    * fingerprints (≈ n_tokens/3 rows/doc) leave the map side, hashed to
+    * u32 ints before they do. The downstream match join (not included;
+    * same shape as `dedup_minhash_lsh`'s band join) equi-keys on the
+    * fingerprint value. */
+  def textWinnowingFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select($"doc_id", split(lower($"text"), " ").as("ts"))
+      .filter(size($"ts") >= 8)
+      .select($"doc_id", expr(
+        """transform(sequence(1, size(ts) - 3),
+          |  i -> cast(conv(substr(md5(concat_ws(' ', slice(ts, i, 4))), 1, 8),
+          |                 16, 10) as bigint))""".stripMargin).as("hs"))
+      .select($"doc_id", $"hs", explode(expr(
+        """array_distinct(transform(sequence(1, size(hs) - 4),
+          |  j -> array_max(filter(sequence(j, j + 4),
+          |         p -> element_at(hs, p) = array_min(slice(hs, j, 5))))))"""
+          .stripMargin)).as("pos"))
+      .select($"doc_id", $"pos".cast("bigint").as("pos"),
+        expr("element_at(hs, pos)").as("fp"))
+      .orderBy($"doc_id", $"pos")
+  }
+
+  val textWinnowingFingerprintSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |hst AS (
+      |  SELECT doc_id,
+      |    list_transform(generate_series(1, len(ts) - 3),
+      |      i -> CAST(concat('0x',
+      |             substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8))
+      |           AS BIGINT)) AS hs
+      |  FROM toks WHERE len(ts) >= 8),
+      |sel AS (
+      |  SELECT doc_id, hs,
+      |    list_distinct(list_transform(generate_series(1, len(hs) - 4),
+      |      j -> list_max(list_filter(generate_series(j, j + 4),
+      |             p -> hs[p] = list_min(hs[j:j+4]))))) AS poss
+      |  FROM hst)
+      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hs[pos] AS fp
+      |FROM (SELECT doc_id, hs, unnest(poss) AS pos FROM sel) t
+      |ORDER BY doc_id, pos""".stripMargin
+
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, dir)

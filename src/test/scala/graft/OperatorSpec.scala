@@ -1887,6 +1887,32 @@ class OperatorSpec extends SparkTestBase {
     assert(kept.size < raw.length)
   }
 
+  test("text_winnowing_fingerprint: exact rightmost-min selection per window") {
+    def u32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = Tables.documents(spark, sfDir).select("doc_id", "text")
+      .collect().flatMap { r =>
+        val ts = r.getString(1).toLowerCase.split(" ")
+        if (ts.length < 8) Seq.empty
+        else {
+          val hs = (0 to ts.length - 4).map(i => u32(ts.slice(i, i + 4).mkString(" ")))
+          (0 to hs.length - 5).map { j =>
+            val w = hs.slice(j, j + 5)
+            j + w.lastIndexOf(w.min)
+          }.distinct.sorted.map(p => (r.getLong(0), (p + 1).toLong, hs(p)))
+        }
+      }.toSeq
+    val got = SparkEntry.queries("text_winnowing_fingerprint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected, "fingerprints != driver-side winnowing")
+    // winnowing density: ~2/(w+1)=1/3 of k-gram positions selected
+    val nGrams = expected.groupBy(_._1).size // just guard non-empty
+    assert(nGrams > 0 && got.nonEmpty)
+  }
+
   test("sample_bottomk_docs: exactly the 100 smallest hash keys, any corpus size") {
     val got = SparkEntry.queries("sample_bottomk_docs")(spark, sfDir).collect()
       .map(_.getLong(0)).toSet

@@ -173,6 +173,7 @@ object SparkEntry {
     "text_logreg_train"        -> (TextOps.textLogregTrain(_, _)),
     "text_token_count"         -> (TextOps.textTokenCount(_, _)),
     "text_winnowing_fingerprint" -> (TextOps.textWinnowingFingerprint(_, _)),
+    "dedup_winnowing_pairs"    -> (TextOps.dedupWinnowingPairs(_, _)),
     "text_fingerprint"         -> (TextOps.textFingerprint(_, _)),
     "text_bigram_collocations" -> (TextOps.textBigramCollocations(_, _)),
     "text_rarity_score"        -> (TextOps.textRarityScore(_, _)),
@@ -484,6 +485,7 @@ object SparkEntry {
     "text_quality_logreg"      -> TextOps.textQualityLogregSql,
     "text_token_count"         -> TextOps.textTokenCountSql,
     "text_winnowing_fingerprint" -> TextOps.textWinnowingFingerprintSql,
+    "dedup_winnowing_pairs"    -> TextOps.dedupWinnowingPairsSql,
     "text_fingerprint"         -> TextOps.textFingerprintSql,
     "text_bigram_collocations" -> TextOps.textBigramCollocationsSql,
     "text_rarity_score"        -> TextOps.textRarityScoreSql,

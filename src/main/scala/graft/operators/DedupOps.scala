@@ -1167,6 +1167,7 @@ object DedupOps {
       timed("cc_labels") {
         PipelineOps.dedupConnectedComponents(spark, dir).count(); () },
       timed("dup_windows") { TextOps.dupWindows(spark, dir).count(); () },
+      timed("winnow_fps") { TextOps.winnowFps(spark, dir).count(); () },
       timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
       timed("ivf_assign") { SimilarityOps.ivfAssign(spark, dir).count(); () },
       timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () },

@@ -380,27 +380,41 @@ object TextOps {
     * u32 ints before they do. The downstream match join (not included;
     * same shape as `dedup_minhash_lsh`'s band join) equi-keys on the
     * fingerprint value. */
+  /** Memoized winnowing selection `(doc_id, pos, fp)` — the map-only
+    * extraction shared by the fingerprint query and the match join
+    * ([[dedupWinnowingPairs]]); its own `winnow_fps` prewarm ledger line
+    * keeps the k-gram md5 pass from billing to whichever consumer runs
+    * first. */
+  private[operators] def winnowFps(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"winnow:$dir") {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", split(lower($"text"), " ").as("ts"))
+        .filter(size($"ts") >= 8)
+        .select($"doc_id", expr(
+          """transform(sequence(1, size(ts) - 3),
+            |  i -> cast(conv(substr(md5(concat_ws(' ', slice(ts, i, 4))), 1, 8),
+            |                 16, 10) as bigint))""".stripMargin).as("hs"))
+        .select($"doc_id", $"hs", explode(expr(
+          """array_distinct(transform(sequence(1, size(hs) - 4),
+            |  j -> array_max(filter(sequence(j, j + 4),
+            |         p -> element_at(hs, p) = array_min(slice(hs, j, 5))))))"""
+            .stripMargin)).as("pos"))
+        .select($"doc_id", $"pos".cast("bigint").as("pos"),
+          expr("element_at(hs, pos)").as("fp"))
+        .persist()
+    }
+
   def textWinnowingFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", split(lower($"text"), " ").as("ts"))
-      .filter(size($"ts") >= 8)
-      .select($"doc_id", expr(
-        """transform(sequence(1, size(ts) - 3),
-          |  i -> cast(conv(substr(md5(concat_ws(' ', slice(ts, i, 4))), 1, 8),
-          |                 16, 10) as bigint))""".stripMargin).as("hs"))
-      .select($"doc_id", $"hs", explode(expr(
-        """array_distinct(transform(sequence(1, size(hs) - 4),
-          |  j -> array_max(filter(sequence(j, j + 4),
-          |         p -> element_at(hs, p) = array_min(slice(hs, j, 5))))))"""
-          .stripMargin)).as("pos"))
-      .select($"doc_id", $"pos".cast("bigint").as("pos"),
-        expr("element_at(hs, pos)").as("fp"))
-      .orderBy($"doc_id", $"pos")
+    winnowFps(spark, dir).orderBy($"doc_id", $"pos")
   }
 
-  val textWinnowingFingerprintSql: String =
-    """WITH toks AS (
+  /** Oracle CTE chain ending in `wfp(doc_id, pos, fp)` — the one
+    * statement of the winnowing rule, shared by the fingerprint oracle
+    * and the match-join oracle. */
+  private lazy val winnowCtes: String =
+    """toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
       |hst AS (
       |  SELECT doc_id,
@@ -414,10 +428,58 @@ object TextOps {
       |    list_distinct(list_transform(generate_series(1, len(hs) - 4),
       |      j -> list_max(list_filter(generate_series(j, j + 4),
       |             p -> hs[p] = list_min(hs[j:j+4]))))) AS poss
-      |  FROM hst)
-      |SELECT doc_id, CAST(pos AS BIGINT) AS pos, hs[pos] AS fp
-      |FROM (SELECT doc_id, hs, unnest(poss) AS pos FROM sel) t
-      |ORDER BY doc_id, pos""".stripMargin
+      |  FROM hst),
+      |wfp AS (
+      |  SELECT doc_id, CAST(pos AS BIGINT) AS pos, hs[pos] AS fp
+      |  FROM (SELECT doc_id, hs, unnest(poss) AS pos FROM sel) t)""".stripMargin
+
+  lazy val textWinnowingFingerprintSql: String =
+    s"""WITH $winnowCtes
+       |SELECT doc_id, pos, fp FROM wfp
+       |ORDER BY doc_id, pos""".stripMargin
+
+  /** Winnowing match join (`dedup_winnowing_pairs`): document pairs
+    * sharing ≥ 5 distinct selected fingerprints — LOCAL-overlap
+    * detection (quoted boilerplate, partial mirrors, plagiarized spans)
+    * that whole-document sketches dilute away: MinHash estimates global
+    * Jaccard, so a 30-token shared run inside two long documents scores
+    * near zero there but leaves ≥ 5 shared winnowing fingerprints here
+    * by the scheme's coverage guarantee.
+    *
+    * Plan shape: distinct (doc, fp) projection off the memoized
+    * extraction, a ≤50-doc df-cap on the fingerprint value (the same
+    * fan-out bound the n-gram inverted index uses — a fingerprint in
+    * hundreds of documents is boilerplate, not provenance), then the
+    * self equi-join on the u32 fp key and one pair-count aggregation.
+    * Work is Σ_fp df², bounded by the cap — never all-pairs. */
+  def dedupWinnowingPairs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fp = winnowFps(spark, dir).select($"doc_id", $"fp").distinct()
+    val rare = fp.groupBy($"fp").agg(count(lit(1)).as("nd"))
+      .filter($"nd" <= 50).select($"fp")
+    val capped = fp.join(rare, "fp")
+    capped.as("a").join(capped.as("b"),
+        $"a.fp" === $"b.fp" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter($"n_shared" >= 5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  lazy val dedupWinnowingPairsSql: String =
+    s"""WITH $winnowCtes,
+       |dfp AS (SELECT DISTINCT doc_id, fp FROM wfp),
+       |rare AS (
+       |  SELECT fp FROM (SELECT fp, count(*) AS nd FROM dfp GROUP BY fp) t
+       |  WHERE nd <= 50),
+       |capped AS (SELECT d.doc_id, d.fp FROM dfp d JOIN rare USING (fp))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       count(*) AS n_shared
+       |FROM capped a JOIN capped b
+       |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING count(*) >= 5
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1913,6 +1913,20 @@ class OperatorSpec extends SparkTestBase {
     assert(nGrams > 0 && got.nonEmpty)
   }
 
+  test("dedup_winnowing_pairs: pair counts reconcile with the fingerprint table") {
+    val fps = SparkEntry.queries("text_winnowing_fingerprint")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byFp = fps.distinct.groupBy(_._2).view
+      .mapValues(_.map(_._1).sorted).filter(_._2.size <= 50)
+    val expected = byFp.values.flatMap { docs =>
+      (for (a <- docs; b <- docs if a < b) yield (a, b)).toSeq
+    }.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5).toMap
+    val got = SparkEntry.queries("dedup_winnowing_pairs")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == expected, "winnowing pairs != fingerprint-table recompute")
+  }
+
   test("sample_bottomk_docs: exactly the 100 smallest hash keys, any corpus size") {
     val got = SparkEntry.queries("sample_bottomk_docs")(spark, sfDir).collect()
       .map(_.getLong(0)).toSet

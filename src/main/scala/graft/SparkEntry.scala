@@ -144,6 +144,7 @@ object SparkEntry {
     "agg_histogram_price"      -> (PipelineOps.aggHistogramPrice(_, _)),
     // §2.9 event analytics
     "events_active_users"      -> (EventOps.eventsActiveUsers(_, _)),
+    "events_cusum_changepoint" -> (EventOps.eventsCusumChangepoint(_, _)),
     "events_downsample"        -> (EventOps.eventsDownsample(_, _)),
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
     "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
@@ -463,6 +464,7 @@ object SparkEntry {
     "quality_skew_report"      -> PipelineOps.qualitySkewReportSql,
     "agg_histogram_price"      -> PipelineOps.aggHistogramPriceSql,
     "events_active_users"      -> EventOps.eventsActiveUsersSql,
+    "events_cusum_changepoint" -> EventOps.eventsCusumChangepointSql,
     "events_downsample"        -> EventOps.eventsDownsampleSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,

@@ -45,6 +45,88 @@ object EventOps {
       |GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** CUSUM changepoint scan (`events_cusum_changepoint`, Page 1954):
+    * per event-type stream, the classic cumulative-sum drift statistic
+    * and the event where it peaks — the standard sequential test for
+    * "did this metric's level shift?", complementing the per-event
+    * z-score detectors (`events_rolling_anomaly`) which miss slow
+    * drifts that never spike.
+    *
+    * The textbook recurrence `S_i = max(0, S_{i-1} + d_i)` is
+    * NON-associative — as written it forces a sequential per-key fold
+    * (array collect or iterative state), the shape that dies on a
+    * 100 TB feed. This implementation uses the standard identity
+    * `S_i = P_i − min_{j≤i} P_j` (P = prefix sum of deviations): both
+    * terms are WINDOW functions over the same (ts, event_id) sort, so
+    * the whole scan is hash-partition-by-type → ONE local sort → two
+    * stacked window passes (Catalyst inserts no second exchange or
+    * sort — same partitioning and ordering) → a bounded per-type
+    * aggregate. Deviations are exact integers scaled by the type count
+    * (`n·c_i − Σc`, DECIMAL(38,0) — no mean division, no float drift);
+    * the reported peak casts to BIGINT, which a 10⁹-event×10⁶-cent
+    * stream still fits. */
+  def eventsCusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"event_type", $"ts",
+        ($"value".cast(Dec) * 100).cast("long").as("c"))
+    val typ = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+    val dev = ev.join(broadcast(typ), "event_type")
+      .select($"event_id", $"event_type", $"ts",
+        ($"n".cast("decimal(38,0)") * $"c" - $"s").as("d"))
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val drift = dev
+      .withColumn("cs", sum($"d").over(w))
+      // the identity's prefix minimum includes the EMPTY prefix P_0 = 0
+      // (an all-positive run must still measure from zero), hence the
+      // least(0, ·) cap on the windowed minimum
+      .withColumn("drift",
+        $"cs" - least(lit(0).cast("decimal(38,0)"), min($"cs").over(w)))
+    drift.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct($"drift", (-$"event_id").as("nid"))).as("p"))
+      .select($"event_type", $"n_events",
+        (-$"p.nid").as("peak_event_id"),
+        $"p.drift".cast("bigint").as("peak_drift"))
+      .orderBy($"event_type")
+  }
+
+  val eventsCusumChangepointSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, event_type, ts,
+      |         CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |typ AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s
+      |  FROM ev GROUP BY event_type),
+      |dev AS (
+      |  SELECT e.event_id, e.event_type, e.ts,
+      |         CAST(t.n AS HUGEINT) * e.c - t.s AS d
+      |  FROM ev e JOIN typ t USING (event_type)),
+      |cums AS (
+      |  SELECT event_id, event_type, ts,
+      |    sum(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                 ROWS UNBOUNDED PRECEDING) AS cs
+      |  FROM dev),
+      |drift AS (
+      |  SELECT event_id, event_type,
+      |    cs - least(CAST(0 AS HUGEINT),
+      |               min(cs) OVER (PARTITION BY event_type ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING)) AS drift
+      |  FROM cums),
+      |sel AS (
+      |  SELECT event_type, event_id, drift,
+      |    count(*) OVER (PARTITION BY event_type) AS n_events,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY drift DESC, event_id) AS rk
+      |  FROM drift)
+      |SELECT event_type, n_events, event_id AS peak_event_id,
+      |       CAST(drift AS BIGINT) AS peak_drift
+      |FROM sel WHERE rk = 1
+      |ORDER BY event_type""".stripMargin
+
   /** Daily/weekly active users (`events_active_users`): per observed
     * day, the exact distinct-user counts for that day (DAU) and the
     * trailing 7-day window (WAU) — the canonical engagement pair every

@@ -1887,6 +1887,40 @@ class OperatorSpec extends SparkTestBase {
     assert(kept.size < raw.length)
   }
 
+  test("events_cusum_changepoint: peak equals the textbook max(0,·) recurrence") {
+    val got = SparkEntry.queries("events_cusum_changepoint")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("event_id", "event_type", "unix_micros(ts) AS ts_us",
+        "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(0), r.getLong(3)))
+    val expected = ev.groupBy(_._1).map { case (tpe, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val n = BigInt(sorted.length)
+      val s = sorted.map(e => BigInt(e._4)).sum
+      // the sequential CUSUM recurrence the query restates as
+      // prefix-sum minus running-min
+      var cusum = BigInt(0); var peak = BigInt(0); var peakId = -1L
+      sorted.foreach { e =>
+        cusum = (cusum + n * BigInt(e._4) - s).max(BigInt(0))
+        if (cusum > peak || (cusum == peak && peakId == -1L)) {
+          peak = cusum; peakId = e._3
+        }
+      }
+      // tie rule: the query takes the SMALLEST event_id among peaks
+      val prefix = sorted.scanLeft(BigInt(0))((acc, e) => acc + n * BigInt(e._4) - s).tail
+      var runMin = BigInt(0); var best = BigInt(-1); var bestId = -1L
+      prefix.zip(sorted).foreach { case (p, e) =>
+        runMin = runMin.min(p)
+        val drift = p - runMin
+        if (drift > best) { best = drift; bestId = e._3 }
+      }
+      assert(best == peak, s"identity violated for $tpe: $best != $peak")
+      tpe -> ((sorted.length.toLong, bestId, best.toLong))
+    }
+    assert(got == expected, "CUSUM peaks != driver recompute")
+  }
+
   test("text_winnowing_fingerprint: exact rightmost-min selection per window") {
     def u32(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")

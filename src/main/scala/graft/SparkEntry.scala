@@ -248,6 +248,7 @@ object SparkEntry {
     "merge_upsert_customers"   -> (PipelineOps.mergeUpsertCustomers(_, _)),
     "sort_zorder_events"       -> (PipelineOps.sortZorderEvents(_, _)),
     // corpus curation: repetition, contamination, packing, quotas, PII
+    "quality_score_drift"      -> (TextOps.qualityScoreDrift(_, _)),
     "quality_repetition_score" -> (CurationOps.qualityRepetitionScore(_, _)),
     "contamination_ngram_overlap" -> (CurationOps.contaminationNgramOverlap(_, _)),
     // the drop decision the contamination report drives (exact-integer 5%)
@@ -532,6 +533,7 @@ object SparkEntry {
     "sample_topk_per_group"    -> PipelineOps.sampleTopkPerGroupSql,
     "merge_upsert_customers"   -> PipelineOps.mergeUpsertCustomersSql,
     "sort_zorder_events"       -> PipelineOps.sortZorderEventsSql,
+    "quality_score_drift"      -> TextOps.qualityScoreDriftSql,
     "quality_repetition_score" -> CurationOps.qualityRepetitionScoreSql,
     "contamination_ngram_overlap" -> CurationOps.contaminationNgramOverlapSql,
     "curation_decontaminate"   -> CurationOps.curationDecontaminateSql,

@@ -25,7 +25,7 @@ object TextOps {
     * strings — one constant so the feature definition cannot drift
     * between call sites or between engines. Declared first: object vals
     * initialize in source order and the oracle strings below read it. */
-  private[operators] val StopWords = Seq("the", "a", "of", "and", "to")
+  private[graft] val StopWords = Seq("the", "a", "of", "and", "to")
 
   /** [[StopWords]] as a SQL IN-list fragment, shared by the oracle
     * strings so both engines read the same constant. Embedded single
@@ -61,6 +61,114 @@ object TextOps {
       |WHERE token <> ''
       |GROUP BY token
       |ORDER BY n DESC, token""".stripMargin
+
+  /** Per-source quality-distribution drift (`quality_score_drift`): for
+    * every ingest source, the Kolmogorov–Smirnov statistic of its
+    * stopword-ratio distribution against the whole corpus, on a fixed
+    * 20-bucket grid, plus the bucket where the CDFs diverge most — the
+    * monitor that catches a source whose QUALITY SHAPE shifted (new
+    * template, new spam mix, a crawler change) even when its mean still
+    * looks fine; per-source means alone miss bimodal drift.
+    *
+    * Exactness: documents bucket on the exact integer rule
+    * `least(19, 20·n_stop div n_tokens)` — never on the float score —
+    * and the CDF gap is the cross-multiplied exact integer
+    * `|cum_src·n_all − cum_all·n_src|` (DECIMAL(38,0)/HUGEINT; the
+    * normalized statistic divides exact integers identically in both
+    * engines). Scale shape: ONE corpus pass to (source, bucket) counts,
+    * then everything — dense spine, two shared-sort cumulative windows,
+    * the join and the max — runs on ≤ #sources×20 rows. */
+  def qualityScoreDrift(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select($"source",
+        size(split($"text", " ")).cast("bigint").as("n_tokens"),
+        size(filter(split(lower($"text"), " "),
+          t => t.isInCollection(StopWords))).cast("bigint").as("n_stop"))
+      .select($"source",
+        least(lit(19L), expr("20 * n_stop div greatest(n_tokens, 1)"))
+          .as("bucket"))
+    val counts = docs.groupBy($"source", $"bucket").agg(count(lit(1)).as("cnt"))
+    // dense (source × bucket) spine so empty buckets still carry the CDF
+    val spine = counts.select($"source").distinct()
+      .crossJoin(spark.range(20).select($"id".as("bucket")))
+    val dense = spine.join(counts, Seq("source", "bucket"), "left")
+      .select($"source", $"bucket", coalesce($"cnt", lit(0L)).as("cnt"))
+    val wCum = Window.partitionBy($"source").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val src = dense
+      .withColumn("cum_src", sum($"cnt").over(wCum))
+      .withColumn("n_src", sum($"cnt").over(Window.partitionBy($"source")))
+    val all = dense.groupBy($"bucket").agg(sum($"cnt").as("acnt"))
+      .withColumn("cum_all", sum($"acnt").over(
+        Window.orderBy($"bucket")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = all.agg(sum($"acnt").as("n_all"))
+    src.join(all.select($"bucket", $"cum_all"), "bucket")
+      .crossJoin(broadcast(tot))
+      .select($"source", $"bucket", $"n_src", $"n_all",
+        abs($"cum_src".cast("decimal(38,0)") * $"n_all" -
+          $"cum_all".cast("decimal(38,0)") * $"n_src").as("gap"))
+      .groupBy($"source")
+      .agg(max($"n_src").as("n_docs"),
+        max(struct($"gap", (-$"bucket").as("nb"))).as("p"),
+        max($"n_src".cast("decimal(38,0)") * $"n_all").as("denom"))
+      .select($"source", $"n_docs",
+        round($"p.gap".cast("double") / $"denom".cast("double"), 6)
+          .as("ks_stat"),
+        (-$"p.nb").as("worst_bucket"))
+      .orderBy($"source")
+  }
+
+  lazy val qualityScoreDriftSql: String =
+    s"""WITH b AS (
+       |  SELECT source,
+       |    least(19, 20 * n_stop // greatest(n_tokens, 1)) AS bucket
+       |  FROM (
+       |    SELECT source,
+       |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |      CAST(len(list_filter(string_split(lower(text), ' '),
+       |        t -> t IN ($StopWordsSql))) AS BIGINT) AS n_stop
+       |    FROM documents) t),
+       |counts AS (
+       |  SELECT source, bucket, count(*) AS cnt FROM b GROUP BY source, bucket),
+       |spine AS (
+       |  SELECT s.source, g.bucket
+       |  FROM (SELECT DISTINCT source FROM counts) s
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 19)) AS bucket) g),
+       |dense AS (
+       |  SELECT sp.source, sp.bucket, CAST(coalesce(c.cnt, 0) AS BIGINT) AS cnt
+       |  FROM spine sp LEFT JOIN counts c
+       |    ON c.source = sp.source AND c.bucket = sp.bucket),
+       |src AS (
+       |  SELECT source, bucket, cnt,
+       |    sum(cnt) OVER (PARTITION BY source ORDER BY bucket
+       |                   ROWS UNBOUNDED PRECEDING) AS cum_src,
+       |    sum(cnt) OVER (PARTITION BY source) AS n_src
+       |  FROM dense),
+       |alls AS (
+       |  SELECT bucket, sum(cnt) AS acnt FROM dense GROUP BY bucket),
+       |allc AS (
+       |  SELECT bucket,
+       |    sum(acnt) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum_all
+       |  FROM alls),
+       |tot AS (SELECT CAST(sum(acnt) AS BIGINT) AS n_all FROM alls),
+       |gaps AS (
+       |  SELECT s.source, s.bucket, s.n_src,
+       |    abs(CAST(s.cum_src AS HUGEINT) * t.n_all
+       |        - CAST(a.cum_all AS HUGEINT) * s.n_src) AS gap
+       |  FROM src s JOIN allc a USING (bucket) CROSS JOIN tot t),
+       |sel AS (
+       |  SELECT source, n_src, bucket, gap,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY gap DESC, bucket) AS rk,
+       |    CAST(n_src AS HUGEINT) * (SELECT n_all FROM tot) AS denom
+       |  FROM gaps)
+       |SELECT source, CAST(n_src AS BIGINT) AS n_docs,
+       |  round(CAST(gap AS DOUBLE) / CAST(denom AS DOUBLE), 6) AS ks_stat,
+       |  bucket AS worst_bucket
+       |FROM sel WHERE rk = 1
+       |ORDER BY source""".stripMargin
 
   /** Feature-hashing (hashing-trick) document featurizer
     * (`text_feature_hashing`, Weinberger et al. 2009): every token

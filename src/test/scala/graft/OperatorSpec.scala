@@ -1887,6 +1887,36 @@ class OperatorSpec extends SparkTestBase {
     assert(kept.size < raw.length)
   }
 
+  test("quality_score_drift: exact KS-on-grid against a driver recompute") {
+    import graft.operators.TextOps
+    val got = SparkEntry.queries("quality_score_drift")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val docs = Tables.documents(spark, sfDir).select("source", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val stop = toks.map(_.toLowerCase).count(TextOps.StopWords.contains)
+        val b = math.min(19L, 20L * stop / math.max(toks.length, 1))
+        (r.getString(0), b)
+      }
+    val nAll = docs.length.toLong
+    val allCum = (0L to 19L).map(b => b -> docs.count(_._2 <= b).toLong).toMap
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val nSrc = ds.length.toLong
+      val (gap, worst) = (0L to 19L).map { b =>
+        val cumSrc = ds.count(_._2 <= b).toLong
+        (BigInt(cumSrc) * nAll - BigInt(allCum(b)) * nSrc).abs -> b
+      }.maxBy { case (g, b) => (g, -b) }
+      val (gn, ks, wb) = got(src)
+      assert(gn == nSrc, s"doc count drift for $src")
+      assert(wb == worst, s"worst bucket drift for $src: $wb != $worst")
+      val expKs = BigDecimal(
+        gap.toDouble / (nSrc.toDouble * nAll.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(ks - expKs) < 1e-9, s"KS drift for $src: $ks != $expKs")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+  }
+
   test("events_cusum_changepoint: peak equals the textbook max(0,·) recurrence") {
     val got = SparkEntry.queries("events_cusum_changepoint")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap

@@ -291,6 +291,7 @@ object SparkEntry {
     // size-balanced output-shard assignment + the manifest a writer emits
     "curation_shard_manifest"  -> (CurationOps.curationShardManifest(_, _)),
     // Gopher-style duplicate-10-gram fraction (sub-document repetition)
+    "text_ngram_novelty"       -> (TextOps.textNgramNovelty(_, _)),
     "text_dup_ngram_fraction"  -> (TextOps.textDupNgramFraction(_, _)),
     // CCNet-style unigram-LM mean log-prob quality signal
     "text_lm_logprob"          -> (TextOps.textLmLogprob(_, _)),
@@ -558,6 +559,7 @@ object SparkEntry {
     "curation_epoch_plan"      -> CurationOps.curationEpochPlanSql,
     "curation_epoch_sample"    -> CurationOps.curationEpochSampleSql,
     "curation_shard_manifest"  -> CurationOps.curationShardManifestSql,
+    "text_ngram_novelty"       -> TextOps.textNgramNoveltySql,
     "text_dup_ngram_fraction"  -> TextOps.textDupNgramFractionSql,
     "text_lm_logprob"          -> TextOps.textLmLogprobSql,
     "text_bigram_logprob"      -> TextOps.textBigramLogprobSql,

@@ -1102,6 +1102,64 @@ object TextOps {
     * `size(ts) >= 10` filter (inside [[dupWindows]]) keeps
     * `sequence(1, size-9)` from generating a DESCENDING sequence (Spark
     * infers step -1 when start > stop). */
+  /** Ingest-order novelty profile (`text_ngram_novelty`): per document,
+    * how many of its 10-token windows first appeared in an EARLIER
+    * document (by doc_id = ingest order) and the exact per-mille novelty
+    * of the remainder — the curriculum/mixing signal data-selection
+    * policies rank on (train on novel content first, down-weight feeds
+    * that re-ship what the corpus already holds), and the per-document
+    * complement of `text_dup_ngram_fraction`'s symmetric dup view
+    * (a window is "repeated" here only against PREDECESSORS, so the
+    * first copy stays novel and later copies pay).
+    *
+    * Plan shape: rides the memoized [[dupWindows]] stage; one min-per-
+    * gram aggregation (partial+final on the 16-byte key) gives each
+    * window content its first holder, one co-partitioned join back and
+    * a per-doc count — the same shuffle budget as the dup-fraction
+    * query. Windowless docs (< 10 tokens) report vacuous novelty 1000. */
+  def textNgramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val wins = dupWindows(spark, dir)
+    val firstSeen = wins.groupBy($"gram").agg(min($"doc_id").as("first_doc"))
+    val perDoc = wins.join(firstSeen, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_repeated"))
+    Tables.documents(spark, dir).select($"doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_repeated", lit(0L)).as("n_repeated"),
+        when(coalesce($"n_windows", lit(0L)) > 0,
+          expr("(n_windows - n_repeated) * 1000 div n_windows"))
+          .otherwise(lit(1000L)).as("novelty_permille"))
+      .orderBy($"doc_id")
+  }
+
+  val textNgramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
+      |wins AS (
+      |  SELECT doc_id, md5(array_to_string(ts[CAST(i AS INT):CAST(i + 9 AS INT)], ' ')) AS gram
+      |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8)) AS i
+      |        FROM toks WHERE len(ts) >= 10)),
+      |firstseen AS (
+      |  SELECT gram, min(doc_id) AS first_doc FROM wins GROUP BY gram),
+      |perdoc AS (
+      |  SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN f.first_doc < w.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_repeated
+      |  FROM wins w JOIN firstseen f USING (gram)
+      |  GROUP BY w.doc_id)
+      |SELECT d.doc_id,
+      |  COALESCE(p.n_windows, 0) AS n_windows,
+      |  COALESCE(p.n_repeated, 0) AS n_repeated,
+      |  CASE WHEN COALESCE(p.n_windows, 0) > 0
+      |       THEN (p.n_windows - p.n_repeated) * 1000 // p.n_windows
+      |       ELSE 1000 END AS novelty_permille
+      |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def textDupNgramFraction(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val wins = dupWindows(spark, dir)

@@ -1887,6 +1887,32 @@ class OperatorSpec extends SparkTestBase {
     assert(kept.size < raw.length)
   }
 
+  test("text_ngram_novelty: first copy stays novel, later copies pay") {
+    val rows = SparkEntry.queries("text_ngram_novelty")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // driver recompute of first-holder semantics
+    val wins = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .flatMap { r =>
+        val ts = r.getString(1).toLowerCase.split(" ")
+        if (ts.length < 10) Seq.empty
+        else (0 to ts.length - 10).map(i =>
+          (r.getLong(0), ts.slice(i, i + 10).mkString(" ")))
+      }
+    val firstDoc = wins.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expected = wins.groupBy(_._1).map { case (d, ws) =>
+      d -> ((ws.length.toLong, ws.count(w => firstDoc(w._2) < d).toLong))
+    }
+    rows.filter(_._2 > 0).foreach { case (d, n, rep, perm) =>
+      assert((n, rep) == expected(d), s"novelty counts drift for doc $d")
+      assert(perm == (n - rep) * 1000 / n)
+    }
+    // a dup-fraction repeated doc must show depressed novelty while its
+    // earlier twin stays fully novel: at least one doc has n_repeated > 0
+    assert(rows.exists(_._3 > 0), "no repeated windows found at all")
+    assert(rows.filter(_._2 > 0).exists(_._4 == 1000L),
+      "no fully-novel document with windows")
+  }
+
   test("quality_score_drift: exact KS-on-grid against a driver recompute") {
     import graft.operators.TextOps
     val got = SparkEntry.queries("quality_score_drift")(spark, sfDir).collect()

@@ -45,6 +45,47 @@ object EventOps {
       |GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Top event-type trigrams (`events_top_paths`): the 10 most common
+    * 3-step per-user event-type sequences — the "what do users actually
+    * do" path-mining staple behind funnel design (the funnel queries
+    * TEST a hypothesized path; this one DISCOVERS the paths worth
+    * testing), and the sequence-modeling prep step one order up from
+    * [[eventsMarkovTransitions]]' pair matrix.
+    *
+    * Plan shape: two `lead`s share ONE per-user window sort (the same
+    * sort-shuffle budget as any sessionization pass), then a
+    * partial+final count on the ≤|types|³ path key space and a global
+    * top-10 via `TakeOrderedAndProject` — per-partition heaps, no
+    * second full sort. Ties break lexicographically for determinism. */
+  def eventsTopPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(spark, dir)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("t2", lead($"event_type", 1).over(w))
+      .withColumn("t3", lead($"event_type", 2).over(w))
+      .filter($"t3".isNotNull)
+      .groupBy($"event_type".as("step1"), $"t2".as("step2"), $"t3".as("step3"))
+      .agg(count(lit(1)).as("n_paths"))
+      .orderBy($"n_paths".desc, $"step1", $"step2", $"step3")
+      .limit(10)
+  }
+
+  val eventsTopPathsSql: String =
+    """SELECT step1, step2, step3, n_paths FROM (
+      |  SELECT event_type AS step1, t2 AS step2, t3 AS step3,
+      |         count(*) AS n_paths
+      |  FROM (
+      |    SELECT event_type,
+      |      lead(event_type, 1) OVER w AS t2,
+      |      lead(event_type, 2) OVER w AS t3
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) t
+      |  WHERE t3 IS NOT NULL
+      |  GROUP BY 1, 2, 3) g
+      |ORDER BY n_paths DESC, step1, step2, step3
+      |LIMIT 10""".stripMargin
+
   /** CUSUM changepoint scan (`events_cusum_changepoint`, Page 1954):
     * per event-type stream, the classic cumulative-sum drift statistic
     * and the event where it peaks — the standard sequential test for

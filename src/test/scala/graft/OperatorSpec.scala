@@ -1913,6 +1913,21 @@ class OperatorSpec extends SparkTestBase {
       "no fully-novel document with windows")
   }
 
+  test("events_top_paths: exact top-10 trigram paths with deterministic ties") {
+    val got = SparkEntry.queries("events_top_paths")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us", "event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = ev.groupBy(_._1).values.flatMap { evs =>
+      val seq = evs.sortBy(e => (e._2, e._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).map(t => (t(0), t(1), t(2)))
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b, c), n) => (a, b, c, n) }
+      .sortBy { case (a, b, c, n) => (-n, a, b, c) }.take(10)
+    assert(got.toSeq == expected, s"top paths drift: ${got.toSeq}")
+  }
+
   test("quality_score_drift: exact KS-on-grid against a driver recompute") {
     import graft.operators.TextOps
     val got = SparkEntry.queries("quality_score_drift")(spark, sfDir).collect()

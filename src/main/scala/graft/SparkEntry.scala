@@ -146,6 +146,7 @@ object SparkEntry {
     "events_active_users"      -> (EventOps.eventsActiveUsers(_, _)),
     "events_cusum_changepoint" -> (EventOps.eventsCusumChangepoint(_, _)),
     "events_top_paths"         -> (EventOps.eventsTopPaths(_, _)),
+    "events_velocity_features" -> (EventOps.eventsVelocityFeatures(_, _)),
     "events_downsample"        -> (EventOps.eventsDownsample(_, _)),
     "events_tumbling_stats"    -> (EventOps.eventsTumblingStats(_, _)),
     "events_sliding_stats"     -> (EventOps.eventsSlidingStats(_, _)),
@@ -469,6 +470,7 @@ object SparkEntry {
     "events_active_users"      -> EventOps.eventsActiveUsersSql,
     "events_cusum_changepoint" -> EventOps.eventsCusumChangepointSql,
     "events_top_paths"         -> EventOps.eventsTopPathsSql,
+    "events_velocity_features" -> EventOps.eventsVelocityFeaturesSql,
     "events_downsample"        -> EventOps.eventsDownsampleSql,
     "events_tumbling_stats"    -> EventOps.eventsTumblingStatsSql,
     "events_sliding_stats"     -> EventOps.eventsSlidingStatsSql,

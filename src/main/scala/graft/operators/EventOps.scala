@@ -45,6 +45,62 @@ object EventOps {
       |GROUP BY time_bucket(INTERVAL '5 minutes', ts), event_type
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** Per-user velocity features (`events_velocity_features`): event
+    * count, distinct active days, events per active day (exact
+    * per-mille), peak events in any single minute, and the peak-to-mean
+    * burstiness ratio — the feature row an abuse/fraud scorer consumes
+    * (humans are diurnal and bursty-bounded; scripted traffic shows
+    * flat-high velocity or pathological single-minute peaks).
+    *
+    * Plan shape: one (user, minute) pre-aggregation feeds the per-user
+    * rollup — both are partial+final hash aggs on the user key, so the
+    * second costs one co-partitioned pass over minute-bucket rows, and
+    * the distinct-day count rides the same rollup. Output is one row
+    * per user (the featurizer's contract); every ratio is exact-integer
+    * per-mille so no float boundary flaps the hash compare. */
+  def eventsVelocityFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perMinDay = Tables.events(spark, dir)
+      .groupBy($"user_id",
+        expr("unix_micros(ts) div 60000000").as("minute"))
+      .agg(count(lit(1)).as("n_min"))
+    val perDay = Tables.events(spark, dir)
+      .select($"user_id", expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+      .groupBy($"user_id").agg(count(lit(1)).as("n_days"))
+    perMinDay.groupBy($"user_id")
+      .agg(sum($"n_min").as("n_events"), max($"n_min").as("peak_minute"),
+        count(lit(1)).as("n_minutes"))
+      .join(perDay, "user_id")
+      .select($"user_id", $"n_events", $"n_days",
+        expr("n_events * 1000 div n_days").as("events_per_day_x1000"),
+        $"peak_minute",
+        expr("peak_minute * n_minutes * 1000 div n_events")
+          .as("burstiness_x1000"))
+      .orderBy($"user_id")
+  }
+
+  val eventsVelocityFeaturesSql: String =
+    """WITH permin AS (
+      |  SELECT user_id, epoch_us(ts) // 60000000 AS minute,
+      |         count(*) AS n_min
+      |  FROM events GROUP BY 1, 2),
+      |perday AS (
+      |  SELECT user_id, count(*) AS n_days FROM (
+      |    SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      |    FROM events) t
+      |  GROUP BY user_id),
+      |rollup_u AS (
+      |  SELECT user_id, CAST(sum(n_min) AS BIGINT) AS n_events,
+      |         max(n_min) AS peak_minute, count(*) AS n_minutes
+      |  FROM permin GROUP BY user_id)
+      |SELECT r.user_id, r.n_events, d.n_days,
+      |  r.n_events * 1000 // d.n_days AS events_per_day_x1000,
+      |  r.peak_minute,
+      |  r.peak_minute * r.n_minutes * 1000 // r.n_events AS burstiness_x1000
+      |FROM rollup_u r JOIN perday d USING (user_id)
+      |ORDER BY r.user_id""".stripMargin
+
   /** Top event-type trigrams (`events_top_paths`): the 10 most common
     * 3-step per-user event-type sequences — the "what do users actually
     * do" path-mining staple behind funnel design (the funnel queries

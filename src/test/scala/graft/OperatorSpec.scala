@@ -1913,6 +1913,25 @@ class OperatorSpec extends SparkTestBase {
       "no fully-novel document with windows")
   }
 
+  test("events_velocity_features: exact per-user rollups from raw events") {
+    val got = SparkEntry.queries("events_velocity_features")(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val ev = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(ts) AS ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ev.groupBy(_._1).map { case (u, es) =>
+      val n = es.length.toLong
+      val mins = es.groupBy(e => e._2 / 60000000L).values.map(_.length.toLong)
+      val days = es.map(e => e._2 / 86400000000L).distinct.length.toLong
+      val peak = mins.max
+      u -> ((n, days, n * 1000 / days, peak, peak * mins.size * 1000 / n))
+    }
+    assert(got == expected, "velocity features != driver recompute")
+    // burstiness floor: a perfectly flat stream scores exactly 1000
+    got.values.foreach { case (_, _, _, _, burst) => assert(burst >= 1000L) }
+  }
+
   test("events_top_paths: exact top-10 trigram paths with deterministic ties") {
     val got = SparkEntry.queries("events_top_paths")(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))

@@ -309,6 +309,7 @@ object SparkEntry {
     // — no oracle; greedy-score/composition invariants in OperatorSpec)
     "text_bpe_train"           -> (TextOps.textBpeTrain(_, _)),
     // apply side: trained merges replayed at word-type granularity
+    "text_tokenizer_fertility" -> (TextOps.textTokenizerFertility(_, _)),
     "text_bpe_encode"          -> (TextOps.textBpeEncode(_, _)),
     // directed shingle containment (subsumption pairs Jaccard misses)
     "dedup_containment"        -> (DedupOps.dedupContainment(_, _)),

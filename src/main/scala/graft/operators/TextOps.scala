@@ -1058,6 +1058,50 @@ object TextOps {
       .orderBy($"token")
   }
 
+  /** Tokenizer fertility report (`text_tokenizer_fertility`, no oracle —
+    * model-based like `text_bpe_encode`): per language, words, word
+    * types, emitted BPE tokens under the trained merge table, and the
+    * exact per-mille fertility (tokens per word ×1000) — THE metric a
+    * tokenizer rollout is judged on (fertility ≈ cost: a language at
+    * 2× fertility pays 2× the sequence length for the same text, which
+    * is how under-represented languages end up over-paying; the
+    * lang-temperature mixture and this table are read together).
+    *
+    * Scale shape: the encode fold runs at word-TYPE granularity over
+    * the Zipf-bounded distinct-word table (the `text_bpe_encode`
+    * contract — each type tokenized once, frequency rides along); the
+    * per-(lang, word) counts join the ≤types-sized encode result on the
+    * word key, and the final rollup is bounded by #languages. Suite
+    * asserts the exact cross-query invariant: total emitted tokens here
+    * ≡ Σ occurrences in `text_bpe_encode`'s histogram. */
+  def textTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val merges = bpeMerges(spark, dir)
+    require(merges.forall(m => m._2.matches("[a-z0-9]+") && m._3.matches("[a-z0-9]+")),
+      "merge symbols must stay in [a-z0-9]+ — they are interpolated into expr strings")
+    val wordLang = Tables.documents(spark, dir)
+      .select($"lang",
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
+    val types = wordLang.select($"w").distinct()
+      .select($"w", expr("split(w, '')").as("syms"))
+    val encoded = merges.foldLeft(types) { case (df, (_, l, r, m, _)) =>
+      df.withColumn("syms", expr(
+        s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+           |  if(size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r',
+           |     concat(slice(acc, 1, size(acc) - 1), array('$m')),
+           |     concat(acc, array(s))))""".stripMargin))
+    }
+    wordLang
+      .join(encoded.select($"w", size($"syms").cast("bigint").as("n_tok")), "w")
+      .groupBy($"lang")
+      .agg(sum($"cnt").as("n_words"),
+        countDistinct($"w").as("n_word_types"),
+        sum($"cnt" * $"n_tok").as("n_tokens"))
+      .withColumn("fertility_x1000", expr("n_tokens * 1000 div n_words"))
+      .orderBy($"lang")
+  }
+
   /** Memoized, persisted 10-token rolling-window hash stream feeding the
     * two aggregations inside [[textDupNgramFraction]] (the dup-gram set
     * and the per-window join). Unlike the shingle stage this cache has a

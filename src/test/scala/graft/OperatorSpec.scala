@@ -1913,6 +1913,26 @@ class OperatorSpec extends SparkTestBase {
       "no fully-novel document with windows")
   }
 
+  test("text_tokenizer_fertility: bounds and the cross-query token-mass invariant") {
+    val rows = SparkEntry.queries("text_tokenizer_fertility")(spark, sfDir)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, nWords, nTypes, nTokens, fert) =>
+      assert(nTypes <= nWords, s"$lang: more types than words")
+      // every word emits >= 1 token, merges only shrink vs char count
+      assert(nTokens >= nWords, s"$lang: fewer tokens than words")
+      assert(fert == nTokens * 1000 / nWords, s"$lang: fertility arithmetic")
+      assert(fert >= 1000L, s"$lang: fertility below 1 token/word")
+    }
+    // exact invariant: total emitted tokens == the BPE-encode histogram's
+    // occurrence mass (same merges, same word-type granularity)
+    val histTotal = SparkEntry.queries("text_bpe_encode")(spark, sfDir)
+      .collect().map(_.getLong(1)).sum
+    assert(rows.map(_._4).sum == histTotal,
+      s"fertility token mass ${rows.map(_._4).sum} != encode histogram $histTotal")
+  }
+
   test("events_velocity_features: exact per-user rollups from raw events") {
     val got = SparkEntry.queries("events_velocity_features")(spark, sfDir)
       .collect().map(r => r.getLong(0) ->

@@ -1074,8 +1074,15 @@ object SimilarityOps {
        |FROM counts, tot
        |ORDER BY pivot_id""".stripMargin
 
-  lazy val similarityKnnGraphSql: String =
-    s"""WITH $quantizedCte,
+  /** Shared k-NN-edge CTE prefix (`n` → `assign` → `pairs` → `scored` →
+    * `knn`): the ONE oracle-side statement of the same-cell top-3 edge
+    * rule, reused by [[similarityKnnGraphSql]] and the graph-analytics
+    * oracles ([[GraphOps]]) exactly as the Spark side shares the memoized
+    * [[GraphOps.knnEdges]] stage — a change to the edge rule cannot
+    * silently diverge between the knn-graph oracle and the PageRank /
+    * triangle oracles built on it. */
+  private[operators] lazy val knnEdgesCte: String =
+    s"""$quantizedCte,
        |$assignCte,
        |pairs AS (
        |  SELECT a.vec_id, b.vec_id AS neighbor_id
@@ -1084,11 +1091,16 @@ object SimilarityOps {
        |scored AS (
        |  SELECT p.vec_id, p.neighbor_id, ${cosineSql("a", "b")} AS cos_sim
        |  FROM pairs p JOIN n a ON a.vec_id = p.vec_id
-       |               JOIN n b ON b.vec_id = p.neighbor_id)
-       |SELECT vec_id, neighbor_id, cos_sim, rk FROM (
-       |  SELECT *, row_number() OVER (
-       |    PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rk
-       |  FROM scored) t
-       |WHERE rk <= 3
+       |               JOIN n b ON b.vec_id = p.neighbor_id),
+       |knn AS (
+       |  SELECT vec_id, neighbor_id, cos_sim, rk FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM scored) t
+       |  WHERE rk <= 3)""".stripMargin
+
+  lazy val similarityKnnGraphSql: String =
+    s"""WITH $knnEdgesCte
+       |SELECT vec_id, neighbor_id, cos_sim, rk FROM knn
        |ORDER BY vec_id, rk""".stripMargin
 }

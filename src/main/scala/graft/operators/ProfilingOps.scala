@@ -1,0 +1,283 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data profiling + distribution summaries — the "look at the table
+  * before you trust it" operators every warehouse ships (cf. DuckDB
+  * `SUMMARIZE`, Deequ/Great-Expectations profilers).
+  *
+  *  - `profile_columns` — one row per `lineitem` column: null count,
+  *    exact distinct count, min/max (typed lanes: numeric as rounded
+  *    doubles, everything else as strings). The ingest-gate artifact a
+  *    pipeline diffs between crawl generations to catch schema/value
+  *    drift before training on it.
+  *  - `agg_equidepth_histogram` — 10-bin equi-DEPTH histogram of
+  *    `l_extendedprice` (each bin ≈ same row count); the complement of
+  *    [[PipelineOps.aggHistogramPrice]]'s fixed-width bins, and the
+  *    shape optimizers actually store (selectivity estimation wants
+  *    quantile boundaries, not uniform buckets).
+  *  - `agg_rfm_segments` — classic RFM (recency/frequency/monetary)
+  *    customer segmentation: per-customer aggregates, global quintile
+  *    boundaries, 125-cell segment summary.
+  *
+  * Scale story (100 TB):
+  *  - `profile_columns` runs one PRUNED single-column aggregation per
+  *    column (see the method doc for why the one-pass multi-distinct
+  *    Expand(×11) formulation is a measured 30× worse); each shuffle
+  *    carries only that column's distinct partials. At real corpus
+  *    scale the drop-in is `approx_count_distinct` (HLL, constant
+  *    state — see `agg_approx_distinct`), which DOES fuse into one
+  *    pass; the exact form is the oracle-checkable variant.
+  *  - the histogram avoids the global-sort trap: a single `ntile(10)`
+  *    window over an un-partitioned ORDER BY would funnel the corpus
+  *    through one task. Instead: pass 1 computes the 9 exact decile
+  *    boundaries (partial+final `percentile`, one row out), pass 2
+  *    bins every row against the broadcast boundary array and
+  *    hash-aggregates — both passes fully parallel at any scale (at
+  *    100 TB, swap pass 1 to `approx_percentile` and keep pass 2).
+  *  - RFM aggregates orders per customer (hash agg), then reduces the
+  *    per-customer table twice more (boundary row, segment cells) —
+  *    data volume drops at every step; every join is against a
+  *    broadcast 1-row boundary frame.
+  *
+  * Determinism: doubles are never summed directly — money flows as
+  * exact integer cents (`BIGINT`) and is divided back out once, like
+  * [[Relational.aggCorrQuantityPrice]]; percentile boundaries are the
+  * same interpolated doubles on both engines (see `agg_percentiles`);
+  * bin membership uses strict `>` against boundaries so a 1-ulp
+  * boundary difference cannot flip an integer-valued observation.
+  */
+object ProfilingOps {
+
+  private val ProfiledCols: Seq[(String, String)] = Seq(
+    // (column, lane): numeric lanes profile min/max as rounded doubles,
+    // string/timestamp lanes as strings — doubles stringify differently
+    // across engines, strings compare exactly
+    "l_orderkey" -> "num", "l_partkey" -> "num", "l_suppkey" -> "num",
+    "l_linenumber" -> "num", "l_quantity" -> "num",
+    "l_extendedprice" -> "num", "l_discount" -> "num", "l_tax" -> "num",
+    "l_returnflag" -> "str", "l_linestatus" -> "str", "l_shipdate" -> "ts")
+
+  /** Column profiler (`profile_columns`): one PRUNED single-column
+    * aggregation per column, unioned. The tempting "one pass, 11
+    * countDistincts" formulation plans as Expand(×11) — it SHUFFLES
+    * eleven copies of the table keyed by (gid, value), which measured
+    * 23 s at sf0.1 vs well under a second this way: columnar parquet
+    * makes 11 single-column scans read the same total bytes as one
+    * full-width scan, and each distinct is then a standard partial+final
+    * two-phase agg on its own column only. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val perCol: Seq[DataFrame] = ProfiledCols.map { case (c, lane) =>
+      val mm: Seq[Column] = lane match {
+        case "num" => Seq(
+          round(min(col(c)).cast("double"), 6).as("min_num"),
+          round(max(col(c)).cast("double"), 6).as("max_num"),
+          lit(null).cast("string").as("min_str"),
+          lit(null).cast("string").as("max_str"))
+        case _ => Seq(
+          lit(null).cast("double").as("min_num"),
+          lit(null).cast("double").as("max_num"),
+          min(col(c).cast("string")).as("min_str"),
+          max(col(c).cast("string")).as("max_str"))
+      }
+      val aggs: Seq[Column] = Seq(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("n_distinct")) ++ mm
+      li.select(col(c))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_num"), col("max_num"),
+          col("min_str"), col("max_str"))
+    }
+    perCol.reduce(_.unionByName(_)).orderBy($"column_name")
+  }
+
+  lazy val profileColumnsSql: String = {
+    val selects = ProfiledCols.map { case (c, lane) =>
+      val mm = lane match {
+        case "num" =>
+          s"""round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+             |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+             |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str""".stripMargin
+        case _ =>
+          s"""CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+             |  min(CAST($c AS VARCHAR)) AS min_str, max(CAST($c AS VARCHAR)) AS max_str""".stripMargin
+      }
+      s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_nulls,
+         |  count(DISTINCT $c) AS n_distinct,
+         |  $mm
+         |FROM lineitem""".stripMargin
+    }
+    selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
+
+  /** 10-bin equi-depth histogram of `l_extendedprice`
+    * (`agg_equidepth_histogram`): bin = 1 + #{decile boundaries < x}. */
+  def aggEquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val deciles = (1 to 9).map(i => s"0.${i}D").mkString(", ")
+    val bounds = li.agg(
+      expr(s"percentile(l_extendedprice, array($deciles))").as("bounds"))
+    li.crossJoin(broadcast(bounds))
+      .select($"l_extendedprice".as("x"),
+        expr("1 + aggregate(bounds, 0, (acc, b) -> acc + if(x > b, 1, 0))").as("bin"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("lo"), max($"x").as("hi"),
+        sum($"cents").as("sum_cents"))
+      .select($"bin", $"n_rows", $"lo", $"hi",
+        round($"sum_cents" / 100.0 / $"n_rows", 6).as("avg_price"))
+      .orderBy($"bin")
+  }
+
+  lazy val aggEquidepthHistogramSql: String = {
+    val deciles = (1 to 9).map(i => s"quantile_cont(l_extendedprice, 0.$i)").mkString(", ")
+    s"""WITH bounds AS (SELECT [$deciles] AS bs FROM lineitem),
+       |binned AS (
+       |  SELECT l_extendedprice AS x,
+       |         1 + list_sum(list_transform(bs,
+       |               b -> CASE WHEN l_extendedprice > b THEN 1 ELSE 0 END)) AS bin,
+       |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+       |  FROM lineitem, bounds)
+       |SELECT CAST(bin AS INT) AS bin, count(*) AS n_rows,
+       |       min(x) AS lo, max(x) AS hi,
+       |       round(sum(cents) / 100.0 / count(*), 6) AS avg_price
+       |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+  }
+
+  /** Benford's-law first-digit literals log₁₀(1 + 1/d), computed once on
+    * the driver and inlined as the SAME double literals into both
+    * engines' plans (the projection-matrix trick of [[SimilarityOps]]) —
+    * cross-engine `log10` calls could differ in the last ulp; a shared
+    * literal cannot. */
+  private lazy val BenfordP: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** Benford first-digit audit of `o_totalprice`
+    * (`quality_benford_totalprice`): observed leading-digit counts vs
+    * the Benford expectation, with per-digit χ² contributions — the
+    * classic fabricated-data / unit-mixup smell test a profiler runs on
+    * any money column. (TPC-H-style synthetic uniforms FAIL Benford —
+    * loudly visible in the chi2 column — which is exactly what the audit
+    * is for: flagging distributions that don't look organically grown.)
+    *
+    * Scale: first digit extracted from the exact integer cents' decimal
+    * string (BIGINT→VARCHAR renders identically on both engines; no
+    * float log10 in the row path), one 9-group hash agg, one 1-row total
+    * broadcast back. */
+  def qualityBenfordTotalprice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val digits = Tables.orders(spark, dir)
+      .select(substring(
+        expr("cast(cast(round(o_totalprice * 100) as bigint) as string)"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n_obs"))
+    val tot = digits.agg(sum($"n_obs").as("n_total"))
+    val expected = typedLit(BenfordP.map { case (d, p) => d -> p })
+    digits.crossJoin(broadcast(tot))
+      .withColumn("p", element_at(expected, $"digit"))
+      .select($"digit", $"n_obs",
+        expr("n_obs * 1000 div n_total").as("obs_permille"),
+        round($"p" * 1000, 3).as("benford_permille"),
+        round(($"n_obs" - $"n_total" * $"p") * ($"n_obs" - $"n_total" * $"p") /
+          ($"n_total" * $"p"), 6).as("chi2_term"))
+      .orderBy($"digit")
+  }
+
+  lazy val qualityBenfordTotalpriceSql: String = {
+    val pCase = (1 to 9)
+      .map(d => s"WHEN $d THEN CAST(${BenfordP(d)} AS DOUBLE)")
+      .mkString(" ")
+    s"""WITH digits AS (
+       |  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit,
+       |         count(*) AS n_obs
+       |  FROM orders GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM digits),
+       |withp AS (
+       |  SELECT digit, n_obs, n_total,
+       |         CASE digit $pCase END AS p
+       |  FROM digits, tot)
+       |SELECT digit, n_obs,
+       |       n_obs * 1000 // n_total AS obs_permille,
+       |       round(p * 1000, 3) AS benford_permille,
+       |       round((n_obs - n_total * p) * (n_obs - n_total * p)
+       |             / (n_total * p), 6) AS chi2_term
+       |FROM withp ORDER BY digit""".stripMargin
+  }
+
+  /** RFM segmentation over orders (`agg_rfm_segments`): per-customer
+    * (recency_days, frequency, monetary_cents), quintile scores (5 =
+    * best: most recent / most orders / most revenue), segment rollup. */
+  def aggRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val quintiles = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    val perCust = Tables.orders(spark, dir)
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("monetary_cents"))
+    val refDate = Tables.orders(spark, dir).agg(max($"o_orderdate").as("ref_date"))
+    val rfm = perCust.crossJoin(broadcast(refDate))
+      .select($"o_custkey",
+        datediff(to_date($"ref_date"), to_date($"last_order")).as("recency_days"),
+        $"frequency", $"monetary_cents")
+    val bounds = rfm.agg(
+      expr(s"percentile(recency_days, $quintiles)").as("rb"),
+      expr(s"percentile(frequency, $quintiles)").as("fb"),
+      expr(s"percentile(monetary_cents, $quintiles)").as("mb"))
+    rfm.crossJoin(broadcast(bounds))
+      .select($"o_custkey", $"monetary_cents",
+        // recency: SMALLER is better → invert the count-of-exceeded-bounds
+        expr("5 - aggregate(rb, 0, (acc, b) -> acc + if(recency_days > b, 1, 0))").as("r_score"),
+        expr("1 + aggregate(fb, 0, (acc, b) -> acc + if(frequency > b, 1, 0))").as("f_score"),
+        expr("1 + aggregate(mb, 0, (acc, b) -> acc + if(monetary_cents > b, 1, 0))").as("m_score"))
+      .groupBy($"r_score", $"f_score", $"m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"monetary_cents").as("seg_cents"))
+      .select($"r_score", $"f_score", $"m_score", $"n_customers",
+        round($"seg_cents" / 100.0 / $"n_customers", 6).as("avg_monetary"))
+      .orderBy($"r_score", $"f_score", $"m_score")
+  }
+
+  lazy val aggRfmSegmentsSql: String =
+    """WITH per_cust AS (
+      |  SELECT o_custkey, max(o_orderdate) AS last_order,
+      |         count(*) AS frequency,
+      |         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+      |  FROM orders GROUP BY o_custkey),
+      |ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+      |rfm AS (
+      |  SELECT o_custkey,
+      |         date_diff('day', CAST(last_order AS DATE), CAST(ref_date AS DATE)) AS recency_days,
+      |         frequency, monetary_cents
+      |  FROM per_cust, ref),
+      |bounds AS (
+      |  SELECT [quantile_cont(recency_days, 0.2), quantile_cont(recency_days, 0.4),
+      |          quantile_cont(recency_days, 0.6), quantile_cont(recency_days, 0.8)] AS rb,
+      |         [quantile_cont(frequency, 0.2), quantile_cont(frequency, 0.4),
+      |          quantile_cont(frequency, 0.6), quantile_cont(frequency, 0.8)] AS fb,
+      |         [quantile_cont(monetary_cents, 0.2), quantile_cont(monetary_cents, 0.4),
+      |          quantile_cont(monetary_cents, 0.6), quantile_cont(monetary_cents, 0.8)] AS mb
+      |  FROM rfm),
+      |scored AS (
+      |  SELECT o_custkey, monetary_cents,
+      |         5 - list_sum(list_transform(rb, b -> CASE WHEN recency_days > b THEN 1 ELSE 0 END)) AS r_score,
+      |         1 + list_sum(list_transform(fb, b -> CASE WHEN frequency > b THEN 1 ELSE 0 END)) AS f_score,
+      |         1 + list_sum(list_transform(mb, b -> CASE WHEN monetary_cents > b THEN 1 ELSE 0 END)) AS m_score
+      |  FROM rfm, bounds)
+      |SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+      |       CAST(m_score AS INT) AS m_score,
+      |       count(*) AS n_customers,
+      |       round(sum(monetary_cents) / 100.0 / count(*), 6) AS avg_monetary
+      |FROM scored
+      |GROUP BY r_score, f_score, m_score
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+}

@@ -1403,4 +1403,77 @@ object CurationOps {
        |FROM joined GROUP BY prob_decile
        |ORDER BY prob_decile""".stripMargin
   }
+
+  /** Pareto front of the corpus on (length, quality)
+    * (`curation_pareto_front`): the documents no other document beats on
+    * BOTH `len_chars` and `quality_score` — the skyline a curator reads
+    * when trading "long context samples" against "clean samples" without
+    * committing to a single scalarized score (every point on the front
+    * is optimal for SOME weighting of the two objectives).
+    *
+    * Dominance: B dominates A iff B.len ≥ A.len ∧ B.q ≥ A.q with at
+    * least one strict. Equal (len, q) pairs are mutually non-dominating
+    * and all kept.
+    *
+    * Scale shape — the naive skyline is an O(n²) NOT-EXISTS self-join
+    * (that IS the oracle, as the semantic spec); the engine instead runs
+    * the standard sweep, made distributed in two stages:
+    *   1. PRE-FILTER: bucket docs by `len_chars DIV 64`, take per-bucket
+    *      max quality (tiny hash agg), suffix-max it over strictly
+    *      greater buckets (window over the BOUNDED bucket table), and
+    *      keep only docs whose quality beats every strictly-longer
+    *      bucket's best. Provably drops only dominated docs (a
+    *      strictly-greater bucket implies strictly greater length), and
+    *      on non-adversarial data leaves O(buckets · log n) survivors
+    *      however large the corpus.
+    *   2. EXACT SWEEP on the survivors: two window passes (max quality
+    *      over strictly-longer rows via a RANGE frame, max quality
+    *      within the same length) — the only un-partitioned sort runs
+    *      on the tiny survivor set.
+    * Quality doubles come from the same per-row expression tree as
+    * `text_quality_score` (bit-equal across engines, no accumulation),
+    * so dominance comparisons agree exactly. */
+  def curationParetoFront(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = TextOps.textQualityScore(spark, dir)
+      .select($"doc_id", $"len_chars", $"quality_score")
+    val buckets = q.groupBy(($"len_chars" / 64).cast("bigint").as("bucket"))
+      .agg(max($"quality_score").as("bq"))
+    val wSuffix = Window.orderBy($"bucket".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val suffix = buckets.withColumn("suffix_bq", max($"bq").over(wSuffix))
+    val cand = q
+      .join(broadcast(suffix),
+        ($"len_chars" / 64).cast("bigint") === $"bucket")
+      .filter($"suffix_bq".isNull || $"quality_score" > $"suffix_bq")
+      .select($"doc_id", $"len_chars", $"quality_score")
+    val wLonger = Window.orderBy($"len_chars")
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val wSame = Window.partitionBy($"len_chars")
+    cand
+      .withColumn("maxq_longer", max($"quality_score").over(wLonger))
+      .withColumn("maxq_same", max($"quality_score").over(wSame))
+      .filter(($"maxq_longer".isNull || $"quality_score" > $"maxq_longer") &&
+        $"quality_score" === $"maxq_same")
+      .select($"doc_id", $"len_chars", $"quality_score")
+      .orderBy($"len_chars".desc, $"doc_id")
+  }
+
+  /** Oracle = the naive quantified dominance spec (NOT EXISTS), which the
+    * bucketed sweep must reproduce exactly. */
+  lazy val curationParetoFrontSql: String = {
+    val qs = TextOps.textQualityScoreSql.trim
+    require(qs.endsWith("ORDER BY doc_id"),
+      "text_quality_score oracle changed shape — recompose the pareto oracle")
+    s"""WITH q AS (
+       |  SELECT doc_id, len_chars, quality_score
+       |  FROM (${qs.stripSuffix("ORDER BY doc_id")}) t)
+       |SELECT doc_id, len_chars, quality_score
+       |FROM q a
+       |WHERE NOT EXISTS (
+       |  SELECT 1 FROM q b
+       |  WHERE b.len_chars >= a.len_chars AND b.quality_score >= a.quality_score
+       |    AND (b.len_chars > a.len_chars OR b.quality_score > a.quality_score))
+       |ORDER BY len_chars DESC, doc_id""".stripMargin
+  }
 }

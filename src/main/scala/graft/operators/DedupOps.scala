@@ -1125,6 +1125,64 @@ object DedupOps {
        |WHERE 2 * i.n_common >= sa.sz + sb.sz - i.n_common
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Dedup threshold sensitivity sweep (`dedup_threshold_sweep`): for
+    * each candidate Jaccard threshold 0.50…0.95, how many exact-Jaccard
+    * pairs survive, how many documents are touched, and how many the
+    * keep-smallest-id rule would drop. THE tuning artifact for "where do
+    * we set the near-dup bar": thresholds are a cliff (too low merges
+    * topic-mates, too high keeps boilerplate), and the decision should
+    * be read off one table instead of re-running the pipeline per guess.
+    *
+    * Cost: one pass over the memoized [[dedupPrefixFilter]] pair set
+    * (already ≥ 0.5, the sweep floor) crossed with a 10-row literal
+    * threshold frame — no new shingle work at any scale. Threshold
+    * comparison is exact-integer (`n_common·100 ≥ union_n·t100`), so no
+    * float-boundary flakiness on either engine. */
+  def dedupThresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val thresholds = (50 to 95 by 5).map(lit(_))
+    val pairs = dedupPrefixFilter(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_common", $"union_n")
+    val swept = pairs
+      .crossJoin(broadcast(
+        spark.range(1).select(explode(array(thresholds: _*)).as("t100"))))
+      .filter($"n_common" * 100 >= $"union_n" * $"t100")
+    val pairStats = swept.groupBy($"t100")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"doc_b").as("n_dropped"))
+    val docStats = swept
+      .select($"t100", explode(array($"doc_a", $"doc_b")).as("doc"))
+      .groupBy($"t100").agg(countDistinct($"doc").as("n_docs_touched"))
+    pairStats.join(docStats, "t100")
+      .select($"t100".cast("int").as("threshold_x100"),
+        $"n_pairs", $"n_docs_touched", $"n_dropped")
+      .orderBy($"threshold_x100")
+  }
+
+  lazy val dedupThresholdSweepSql: String = {
+    val pp = dedupPrefixFilterSql.trim
+    require(pp.endsWith("ORDER BY doc_a, doc_b"),
+      "ppjoin oracle changed shape — recompose the sweep oracle")
+    s"""WITH pp AS (${pp.stripSuffix("ORDER BY doc_a, doc_b")}),
+       |ts AS (SELECT unnest([${(50 to 95 by 5).mkString(", ")}]) AS t100),
+       |swept AS (
+       |  SELECT t100, doc_a, doc_b FROM pp, ts
+       |  WHERE n_common * 100 >= union_n * t100),
+       |pair_stats AS (
+       |  SELECT t100, count(*) AS n_pairs,
+       |         count(DISTINCT doc_b) AS n_dropped
+       |  FROM swept GROUP BY t100),
+       |doc_stats AS (
+       |  SELECT t100, count(DISTINCT doc) AS n_docs_touched FROM (
+       |    SELECT t100, doc_a AS doc FROM swept
+       |    UNION ALL SELECT t100, doc_b FROM swept) u
+       |  GROUP BY t100)
+       |SELECT CAST(p.t100 AS INT) AS threshold_x100, p.n_pairs,
+       |       d.n_docs_touched, p.n_dropped
+       |FROM pair_stats p JOIN doc_stats d USING (t100)
+       |ORDER BY threshold_x100""".stripMargin
+  }
+
   /** Timed materialization of every memoized shared stage, for benchmark
     * ledgers: builds (and caches) the shared shingle set, the MinHash
     * estimates, the SimHash sketch, the n-gram Jaccard pairs, and the

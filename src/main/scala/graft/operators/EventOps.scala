@@ -810,4 +810,51 @@ object EventOps {
       |  AND abs(c - CAST(s AS DOUBLE) / n) >
       |    3 * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))
       |ORDER BY event_id""".stripMargin
+
+  /** Audience overlap matrix (`events_audience_overlap`): for every
+    * unordered event-type pair, how many distinct users did BOTH, plus
+    * the overlap as a permille of the smaller audience (the containment
+    * coefficient — 1000 means one audience is a subset of the other).
+    * The product-analytics cousin of the dedup containment report: it
+    * decides whether two event streams measure the same cohort or
+    * different ones before anyone builds a funnel between them.
+    *
+    * Scale shape: dedup to distinct (user, type) first (hash agg — the
+    * only pass over raw events), then a self-join keyed on user_id whose
+    * per-user fan-out is bounded by the TYPE-ALPHABET choose 2 (≤10 here),
+    * never by event volume; per-type audience sizes are a 5-row broadcast
+    * joined twice. All counts exact integers; the permille is integer
+    * division. At 100 TB the same plan holds because every intermediate
+    * is either (users × alphabet) rows or alphabet-bounded. */
+  def eventsAudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ut = Tables.events(spark, dir)
+      .select($"user_id", $"event_type").distinct()
+    val sizes = ut.groupBy($"event_type").agg(count(lit(1)).as("n_users"))
+    val both = ut.as("a").join(ut.as("b"),
+        $"a.user_id" === $"b.user_id" && $"a.event_type" < $"b.event_type")
+      .groupBy($"a.event_type".as("type_a"), $"b.event_type".as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    both
+      .join(broadcast(sizes.select($"event_type".as("type_a"), $"n_users".as("n_a"))), "type_a")
+      .join(broadcast(sizes.select($"event_type".as("type_b"), $"n_users".as("n_b"))), "type_b")
+      .select($"type_a", $"type_b", $"n_a", $"n_b", $"n_both",
+        expr("n_both * 1000 div least(n_a, n_b)").as("containment_permille"))
+      .orderBy($"type_a", $"type_b")
+  }
+
+  val eventsAudienceOverlapSql: String =
+    """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      |sizes AS (SELECT event_type, count(*) AS n_users FROM ut GROUP BY event_type),
+      |ov AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+      |  FROM ut a JOIN ut b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n_users AS n_a, sb.n_users AS n_b, n_both,
+      |       n_both * 1000 // least(sa.n_users, sb.n_users) AS containment_permille
+      |FROM ov
+      |JOIN sizes sa ON sa.event_type = type_a
+      |JOIN sizes sb ON sb.event_type = type_b
+      |ORDER BY type_a, type_b""".stripMargin
 }

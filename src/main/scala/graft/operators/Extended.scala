@@ -1082,4 +1082,70 @@ object Extended {
       |  WHERE o_custkey % 100 = 0
       |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)) t
       |ORDER BY o_custkey, version""".stripMargin
+
+  /** CUME_DIST window function (`window_cume_dist`): per market segment,
+    * each customer's cumulative-distribution position on account balance
+    * — the "you are richer than X% of your segment" percentile readout,
+    * completing the ranking-window family (row_number / percent_rank /
+    * ntile already covered). cume_dist = (#rows ≤ current)/n is a pure
+    * rational of two ints, so the doubles agree bit-for-bit across
+    * engines with no rounding dance.
+    *
+    * Scale: one hash-partitioned window sort per segment — the same
+    * shape as every other ranking window here; no global sort. */
+  def windowCumeDist(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
+    Tables.customer(spark, dir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .withColumn("bal_cume", cume_dist().over(w))
+      .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
+  }
+
+  val windowCumeDistSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |       cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal) AS bal_cume
+      |FROM customer
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+
+  /** Deterministic per-group mode (`agg_mode_priority`): the modal order
+    * priority per order status, tie broken to the lexicographically
+    * smallest value. Spark 4 and DuckDB both ship a `mode()` aggregate,
+    * but neither pins tie-breaks — so the engine restates mode as
+    * count + max_by(struct) with an explicit total order, which is both
+    * hash-comparable and the only form safe to run twice in production
+    * (a nondeterministic mode flips downstream diffs on every run).
+    *
+    * Scale: two stacked hash aggs — (status, priority) counts (bounded
+    * key space), then one max_by per status; no window, no sort of the
+    * fact table. */
+  def aggModePriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"o_orderstatus")
+      .agg(
+        // composite min-key as a zero-padded string: (10^12 − cnt) sorts
+        // larger counts FIRST, then priority ascending breaks ties —
+        // DuckDB's min_by takes no ROW key, and one shared VARCHAR
+        // encoding beats two engine-specific struct orderings
+        min_by($"o_orderpriority",
+          concat(lpad((lit(1000000000000L) - $"cnt").cast("string"), 13, "0"),
+            lit("|"), $"o_orderpriority")).as("mode_priority"),
+        max($"cnt").as("mode_count"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val aggModePrioritySql: String =
+    """WITH counts AS (
+      |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT o_orderstatus,
+      |       min_by(o_orderpriority,
+      |              lpad(CAST(1000000000000 - cnt AS VARCHAR), 13, '0')
+      |                || '|' || o_orderpriority) AS mode_priority,
+      |       max(cnt) AS mode_count
+      |FROM counts GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 }

@@ -134,6 +134,9 @@ object SparkEntry {
     "pivot_orders_status"      -> (Extended.pivotOrdersStatus(_, _)),
     "unpivot_lineitem_measures" -> (Extended.unpivotLineitemMeasures(_, _)),
     "window_percent_rank"      -> (Extended.windowPercentRank(_, _)),
+    "window_cume_dist"         -> (Extended.windowCumeDist(_, _)),
+    // deterministic-tie-break per-group mode (count + min_by)
+    "agg_mode_priority"        -> (Extended.aggModePriority(_, _)),
     // SCD2 validity intervals via lag/lead (no self-join)
     "window_scd2_orders"       -> (Extended.windowScd2Orders(_, _)),
     "array_stats_embeddings"   -> (Extended.arrayStatsEmbeddings(_, _)),
@@ -165,6 +168,10 @@ object SparkEntry {
     // calendar-spine resampling with explicit zero days
     "events_gap_fill"          -> (EventOps.eventsGapFill(_, _)),
     "agg_salted_skew"          -> (EventOps.aggSaltedSkew(_, _)),
+    // audience-overlap / containment matrix between event-type cohorts
+    "events_audience_overlap"  -> (EventOps.eventsAudienceOverlap(_, _)),
+    // (length, quality) skyline: bucketed-prefilter distributed sweep
+    "curation_pareto_front"    -> (CurationOps.curationParetoFront(_, _)),
     // text analysis
     "text_token_counts"        -> (TextOps.textTokenCounts(_, _)),
     "text_language_id"         -> (TextOps.textLanguageId(_, _)),
@@ -303,6 +310,10 @@ object SparkEntry {
     "text_pii_scrub"           -> (TextOps.textPiiScrub(_, _)),
     // per-doc character-entropy quality signal (compression-ratio proxy)
     "text_char_entropy"        -> (TextOps.textCharEntropy(_, _)),
+    // threshold sensitivity sweep over the exact PPJoin pair set
+    "dedup_threshold_sweep"    -> (DedupOps.dedupThresholdSweep(_, _)),
+    // Benford first-digit audit of the money column
+    "quality_benford_totalprice" -> (ProfilingOps.qualityBenfordTotalprice(_, _)),
     // the removal action for dedup_repeated_substrings' spans
     "text_strip_repeated_spans" -> (DedupOps.textStripRepeatedSpans(_, _)),
     // multi-round BPE merge training on the word-type table (model-based
@@ -356,6 +367,13 @@ object SparkEntry {
     "multimodal_phash_dedup"   -> (MultimodalOps.multimodalPhashDedup(_, _)),
     // fused per-doc training example across all three modalities
     "multimodal_example_build" -> (MultimodalOps.multimodalExampleBuild(_, _)),
+    // graph analytics over the k-NN similarity graph
+    "graph_pagerank_knn"       -> (GraphOps.graphPagerankKnn(_, _)),
+    "graph_triangle_count"     -> (GraphOps.graphTriangleCount(_, _)),
+    // data profiling + distribution summaries
+    "profile_columns"          -> (ProfilingOps.profileColumns(_, _)),
+    "agg_equidepth_histogram"  -> (ProfilingOps.aggEquidepthHistogram(_, _)),
+    "agg_rfm_segments"         -> (ProfilingOps.aggRfmSegments(_, _)),
     // model-based anomaly detection (no oracle — rows-only check)
     "anomaly_kmeans"           -> (AnomalyOps.anomalyKmeans(_, _)),
   )
@@ -580,5 +598,16 @@ object SparkEntry {
     "multimodal_batch_tensor"  -> MultimodalOps.multimodalBatchTensorSql,
     "multimodal_phash_dedup"   -> MultimodalOps.multimodalPhashDedupSql,
     "multimodal_example_build" -> MultimodalOps.multimodalExampleBuildSql,
+    "graph_pagerank_knn"       -> GraphOps.graphPagerankKnnSql,
+    "graph_triangle_count"     -> GraphOps.graphTriangleCountSql,
+    "events_audience_overlap"  -> EventOps.eventsAudienceOverlapSql,
+    "curation_pareto_front"    -> CurationOps.curationParetoFrontSql,
+    "window_cume_dist"         -> Extended.windowCumeDistSql,
+    "agg_mode_priority"        -> Extended.aggModePrioritySql,
+    "dedup_threshold_sweep"    -> DedupOps.dedupThresholdSweepSql,
+    "quality_benford_totalprice" -> ProfilingOps.qualityBenfordTotalpriceSql,
+    "profile_columns"          -> ProfilingOps.profileColumnsSql,
+    "agg_equidepth_histogram"  -> ProfilingOps.aggEquidepthHistogramSql,
+    "agg_rfm_segments"         -> ProfilingOps.aggRfmSegmentsSql,
   )
 }

@@ -1780,6 +1780,219 @@ class OperatorSpec extends SparkTestBase {
     assert(got.map(_._1) == nonSingleton, "some non-singleton vector has no edges")
   }
 
+  test("graph_pagerank_knn matches a driver-side power-iteration rebuild") {
+    val spark0 = spark
+    import spark0.implicits._
+    val edges = graft.operators.SimilarityOps.similarityKnnGraph(spark, sfDir)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+    val nodes = graft.operators.SimilarityOps.quantized(spark, sfDir)
+      .select($"vec_id").as[Long].collect()
+    val n = nodes.length
+    val out = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+      edges.foreach { case (s, d) => contrib(d) += r(s) / out(s) }
+      r = nodes.map(v => v -> (0.15 / n + 0.85 * contrib(v))).toMap
+    }
+    val expected = r.map { case (v, x) =>
+      v -> BigDecimal(x * n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = SparkEntry.queries("graph_pagerank_knn")(spark, sfDir).collect()
+      .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(got == expected,
+      s"rank drift (first 3): ${(expected.toSet -- got.toSet).take(3)}")
+    // rank mass: without dangling redistribution the total can only LOSE
+    // mass vs 1, and never below the pure-teleport floor
+    val mass = r.values.sum
+    assert(mass <= 1.0 + 1e-9 && mass >= 0.15 - 1e-9, s"rank mass $mass out of range")
+    // a node nobody points at sits exactly on the teleport floor
+    val sinks = nodes.toSet -- edges.map(_._2).toSet
+    sinks.foreach { v => assert(got(v) == 0.15, s"in-degree-0 node $v has rank ${got(v)}") }
+  }
+
+  test("graph_triangle_count matches a brute-force rebuild") {
+    val spark0 = spark
+    import spark0.implicits._
+    val edges = graft.operators.SimilarityOps.similarityKnnGraph(spark, sfDir)
+      .select($"vec_id", $"neighbor_id").as[(Long, Long)].collect()
+    val nodes = graft.operators.SimilarityOps.quantized(spark, sfDir)
+      .select($"vec_id").as[Long].collect()
+    val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val adj = (und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = nodes.map { v =>
+      val nb = adj.getOrElse(v, Set.empty).toSeq
+      val deg = nb.size.toLong
+      val tri = (for {
+        i <- nb.indices; j <- (i + 1) until nb.size
+        if und.contains((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+      } yield 1).size.toLong
+      val cc = if (deg >= 2)
+        BigDecimal(2.0 * tri / (deg * (deg - 1.0)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      else 0.0
+      v -> ((deg, tri, cc))
+    }.toMap
+    val got = SparkEntry.queries("graph_triangle_count")(spark, sfDir).collect()
+      .map(row => row.getLong(0) -> ((row.getLong(1), row.getLong(2), row.getDouble(3)))).toMap
+    assert(got == expected,
+      s"triangle drift (first 3): ${(expected.toSet -- got.toSet).take(3)}")
+    // the graph at this sf actually has triangles (the test isn't vacuous)
+    assert(expected.values.map(_._2).sum > 0, "no triangles at this sf — fixture too sparse")
+  }
+
+  test("profile_columns: one exact row per lineitem column") {
+    val n = graft.Tables.lineitem(spark, sfDir).count()
+    val rows = SparkEntry.queries("profile_columns")(spark, sfDir).collect()
+    assert(rows.length == 11, s"expected 11 profiled columns, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(1) == n, s"${r.getString(0)}: n_rows ${r.getLong(1)} != $n")
+      assert(r.getLong(2) == 0L, s"${r.getString(0)}: unexpected nulls")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= n, s"${r.getString(0)}: distinct out of range")
+      // exactly one of the (num, str) min/max lanes is populated
+      assert(r.isNullAt(4) != r.isNullAt(6), s"${r.getString(0)}: both/neither lanes set")
+    }
+    val flag = rows.find(_.getString(0) == "l_returnflag").get
+    assert(flag.getLong(3) == 3L, "l_returnflag should have 3 distinct values")
+  }
+
+  test("agg_equidepth_histogram: 10 bins, near-equal depth, exact partition") {
+    val rows = SparkEntry.queries("agg_equidepth_histogram")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10), "bins must be exactly 1..10")
+    val counts = rows.map(_.getLong(1))
+    val n = graft.Tables.lineitem(spark, sfDir).count()
+    assert(counts.sum == n, "bins must partition the table")
+    assert(counts.max - counts.min <= 2,
+      s"equi-depth violated: counts ${counts.mkString(",")}")
+    // bins are ordered and non-overlapping: hi(k) <= lo(k+1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2), "bin ranges overlap")
+    }
+  }
+
+  test("agg_rfm_segments: scores in 1..5, customers partitioned exactly once") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rows = SparkEntry.queries("agg_rfm_segments")(spark, sfDir).collect()
+    rows.foreach { r =>
+      (0 to 2).foreach { i =>
+        assert(r.getInt(i) >= 1 && r.getInt(i) <= 5, s"score out of range: $r")
+      }
+      assert(r.getLong(3) >= 1L)
+    }
+    val nCust = graft.Tables.orders(spark, sfDir)
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(3)).sum == nCust,
+      "every customer must land in exactly one segment")
+  }
+
+  test("curation_pareto_front equals the naive O(n^2) skyline") {
+    val docs = SparkEntry.queries("text_quality_score")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(5)))
+    val expected = docs.filter { case (_, la, qa) =>
+      !docs.exists { case (_, lb, qb) =>
+        lb >= la && qb >= qa && (lb > la || qb > qa)
+      }
+    }.map { case (id, l, q) => (id, l, q) }.toSet
+    val got = SparkEntry.queries("curation_pareto_front")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"skyline drift: missing ${(expected -- got).take(3)}, spurious ${(got -- expected).take(3)}")
+    // the front is an antichain: strictly decreasing quality as length grows
+    val byLen = got.toSeq.sortBy(_._2)
+    byLen.sliding(2).foreach {
+      case Seq((_, l1, q1), (_, l2, q2)) =>
+        if (l2 > l1) assert(q2 < q1, "front not strictly trading off")
+      case _ =>
+    }
+  }
+
+  test("events_audience_overlap is the exact pairwise cohort intersection") {
+    val spark0 = spark
+    import spark0.implicits._
+    val ut = graft.Tables.events(spark, sfDir)
+      .select($"user_id", $"event_type").distinct()
+      .as[(Long, String)].collect()
+    val byType = ut.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val types = byType.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+      n = (byType(a) & byType(b)).size.toLong if n > 0
+    } yield (a, b, byType(a).size.toLong, byType(b).size.toLong, n,
+        n * 1000 / math.min(byType(a).size, byType(b).size))).toSet
+    val got = SparkEntry.queries("events_audience_overlap")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected,
+      s"overlap drift: missing ${(expected -- got).take(3)}, spurious ${(got -- expected).take(3)}")
+  }
+
+  test("dedup_threshold_sweep is monotone and anchored at the ppjoin floor") {
+    val sweep = SparkEntry.queries("dedup_threshold_sweep")(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(sweep.nonEmpty && sweep.head._1 == 50, "sweep must start at t=0.50")
+    // raising the threshold can only shrink every count
+    sweep.sliding(2).foreach {
+      case Array((_, p1, d1, x1), (_, p2, d2, x2)) =>
+        assert(p2 <= p1 && d2 <= d1 && x2 <= x1, "sweep not monotone")
+      case _ =>
+    }
+    val floor = SparkEntry.queries("dedup_prefix_filter")(spark, sfDir).count()
+    assert(sweep.head._2 == floor,
+      s"t=0.50 row (${sweep.head._2} pairs) must equal the ppjoin pair set ($floor)")
+    sweep.foreach { case (_, p, docs, dropped) =>
+      assert(dropped <= docs && docs <= 2 * p, "drop/touch counts inconsistent")
+    }
+  }
+
+  test("quality_benford_totalprice: exact digit partition, Benford shares") {
+    val rows = SparkEntry.queries("quality_benford_totalprice")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 9), "digits must be exactly 1..9")
+    val n = graft.Tables.orders(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == n, "digit counts must partition orders")
+    // the inlined Benford expectation is log10(1+1/d) to 3 decimals
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      val want = BigDecimal(math.log10(1.0 + 1.0 / d) * 1000)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == want, s"digit $d: benford_permille ${r.getDouble(3)} != $want")
+      assert(r.getDouble(4) >= 0.0, "chi2 term must be non-negative")
+    }
+  }
+
+  test("window_cume_dist is a per-segment CDF ending at exactly 1.0") {
+    val rows = SparkEntry.queries("window_cume_dist")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      assert(rs.last._3 == 1.0, s"$seg: CDF must end at 1.0")
+      rs.sliding(2).foreach {
+        case Array((_, b1, c1), (_, b2, c2)) =>
+          assert(b1 <= b2 && c1 <= c2, s"$seg: CDF not monotone")
+        case _ =>
+      }
+      // equal balances share one cume value (ties counted together)
+      rs.groupBy(_._2).values.foreach { ties =>
+        assert(ties.map(_._3).distinct.length == 1, s"$seg: tied balances differ in cume")
+      }
+    }
+  }
+
+  test("agg_mode_priority matches a driver-side rebuild with the pinned tie-break") {
+    val spark0 = spark
+    import spark0.implicits._
+    val counts = graft.Tables.orders(spark, sfDir)
+      .groupBy($"o_orderstatus", $"o_orderpriority").count()
+      .as[(String, String, Long)].collect()
+    val expected = counts.groupBy(_._1).view.mapValues { rs =>
+      val best = rs.map { case (_, p, c) => (-c, p) }.min
+      (best._2, -best._1)
+    }.toMap
+    val got = SparkEntry.queries("agg_mode_priority")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == expected, s"mode drift: got $got want $expected")
+  }
+
   test("curation_model_calibration is the exact decile x gate contingency") {
     val model = SparkEntry.queries("text_quality_logreg")(spark, sfDir).collect()
       .map(r => r.getLong(0) -> math.floor(r.getDouble(5) * 10).toInt).toMap

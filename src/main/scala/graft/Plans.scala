@@ -106,7 +106,29 @@ object Plans {
       ("Snapshot changelog: both sides reduce to (doc_id, md5) narrow " +
         "projections BEFORE the full-outer SortMergeJoin on doc_id, so " +
         "the join moves 16-byte digests; co-partitioned for free under " +
-        "id-bucketed storage.")
+        "id-bucketed storage."),
+    "graph_pagerank_knn" ->
+      ("Distributed PageRank: every iteration reads the CACHED 3n-row " +
+        "edge stage (InMemoryTableScan), joins ranks on src and " +
+        "partial+final-sums on dst; the only broadcasts are the 1-row " +
+        "node-count frames — nothing corpus-proportional, no window, " +
+        "no driver-side loop state beyond the unrolled plan itself."),
+    "profile_columns" ->
+      ("Profiler: eleven PRUNED single-column parquet scans (each " +
+        "ReadSchema is exactly one column), each feeding its own " +
+        "partial+final distinct aggregation — NOT the one-pass " +
+        "multi-distinct Expand(x11), which shuffles eleven copies of " +
+        "the table (measured 23 s vs 2.3 s at sf0.1)."),
+    "curation_pareto_front" ->
+      ("Skyline: the un-partitioned RANGE-frame window (the exact " +
+        "sweep) must sit ABOVE the bucketed suffix-max prefilter, so " +
+        "the global sort sees only the surviving candidates; the " +
+        "bucket-maxima frame arrives as a BroadcastExchange."),
+    "dedup_threshold_sweep" ->
+      ("Sweep: one pass over the CACHED PPJoin pair set crossed with " +
+        "the 10-row literal threshold frame — no shingle recomputation, " +
+        "no second pair join; both stat branches aggregate the same " +
+        "swept frame.")
   )
 
   /** Counts physical operators by their numbered detail-section headers

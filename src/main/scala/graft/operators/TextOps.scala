@@ -1013,6 +1013,42 @@ object TextOps {
     bpeMergeMemo.getOrElseUpdate(
       (System.identityHashCode(spark), dir), trainBpeMerges(spark, dir))
 
+  /** Memoized, PERSISTED encoded word-type table `(w, cnt, syms)` shared
+    * by [[textBpeEncode]] and [[textTokenizerFertility]] — the tokenizer
+    * apply-side twin of [[DedupOps.sharedShingles]]. The 8 trained merges
+    * are replayed as one chained leftmost-greedy fold over the
+    * Zipf-bounded word-TYPE table and the RESULT is persisted, so the
+    * 8-deep interpreted higher-order `aggregate` tower executes exactly
+    * once per (session, dir) at materialization time; every consumer
+    * (the token histogram's explode + distinct-agg Expand, fertility's
+    * per-language join) reads fixed-width cached rows instead of
+    * re-driving the tower. Before this stage existed the histogram
+    * query's Expand(×2) distinct-aggregate rewrite re-evaluated the
+    * collapsed 8-fold projection on both expanded copies of every
+    * exploded token row — measured 14.0 s vs 0.66 s for the identical
+    * tower consumed once (r10 verdict); now both queries share the one
+    * ~0.7 s build. `cnt` is the corpus frequency of the word type, so
+    * frequency-weighted consumers need no second corpus scan. */
+  private[operators] def bpeEncodedTypes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    DedupOps.cachedDf(spark, s"bpetypes:$dir") {
+      val merges = bpeMerges(spark, dir)
+      require(merges.forall(m => m._2.matches("[a-z0-9]+") && m._3.matches("[a-z0-9]+")),
+        "merge symbols must stay in [a-z0-9]+ — they are interpolated into expr strings")
+      val wordTypes = Tables.documents(spark, dir)
+        .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("cnt"))
+        .select($"w", $"cnt", expr("split(w, '')").as("syms"))
+      merges.foldLeft(wordTypes) { case (df, (_, l, r, m, _)) =>
+        df.withColumn("syms", expr(
+          s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
+             |  if(size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r',
+             |     concat(slice(acc, 1, size(acc) - 1), array('$m')),
+             |     concat(acc, array(s))))""".stripMargin))
+      }.persist()
+    }
+  }
+
   /** BPE encode (`text_bpe_encode`) — the APPLY side of
     * [[textBpeTrain]], closing the train→apply loop the same way
     * `text_quality_logreg` does for the quality model: the 8 trained
@@ -1026,31 +1062,20 @@ object TextOps {
     * went.
     *
     * Scale shape: encoding runs at WORD-TYPE granularity — the classic
-    * tokenizer-apply trick: the 8 narrow column transforms and the
-    * explode touch each distinct word once, however often it occurs;
-    * corpus frequency rides along as a count column. One vocab-keyed
-    * shuffle for the word-type agg, one bounded token agg; no UDFs, the
-    * merge fold is a codegen'd higher-order `aggregate`. No SQL oracle
-    * (the merges are trained parameters, like `anomaly_kmeans`'
-    * centroids); the spec rebuilds the full histogram from a driver-side
-    * re-encode instead. */
+    * tokenizer-apply trick: the merge fold touches each distinct word
+    * once, however often it occurs; corpus frequency rides along as a
+    * count column. The fold itself lives in the memoized
+    * [[bpeEncodedTypes]] stage shared with the fertility report, so
+    * this query is explode + one bounded token agg over cached rows —
+    * without the shared stage the distinct-aggregate Expand(×2) here
+    * re-evaluated the collapsed 8-fold interpreted tower on both copies
+    * of every exploded row (14.0 s vs 0.66 s, r10 verdict). No UDFs.
+    * No SQL oracle (the merges are trained parameters, like
+    * `anomaly_kmeans`' centroids); the spec rebuilds the full histogram
+    * from a driver-side re-encode instead. */
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeMerges(spark, dir)
-    require(merges.forall(m => m._2.matches("[a-z0-9]+") && m._3.matches("[a-z0-9]+")),
-      "merge symbols must stay in [a-z0-9]+ — they are interpolated into expr strings")
-    val wordTypes = Tables.documents(spark, dir)
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
-      .groupBy($"w").agg(count(lit(1)).as("cnt"))
-      .select($"w", $"cnt", expr("split(w, '')").as("syms"))
-    val encoded = merges.foldLeft(wordTypes) { case (df, (_, l, r, m, _)) =>
-      df.withColumn("syms", expr(
-        s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
-           |  if(size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r',
-           |     concat(slice(acc, 1, size(acc) - 1), array('$m')),
-           |     concat(acc, array(s))))""".stripMargin))
-    }
-    encoded
+    bpeEncodedTypes(spark, dir)
       .select($"w", $"cnt", explode($"syms").as("token"))
       .groupBy($"token")
       .agg(sum($"cnt").as("occurrences"),
@@ -1067,33 +1092,23 @@ object TextOps {
     * is how under-represented languages end up over-paying; the
     * lang-temperature mixture and this table are read together).
     *
-    * Scale shape: the encode fold runs at word-TYPE granularity over
-    * the Zipf-bounded distinct-word table (the `text_bpe_encode`
-    * contract — each type tokenized once, frequency rides along); the
-    * per-(lang, word) counts join the ≤types-sized encode result on the
-    * word key, and the final rollup is bounded by #languages. Suite
-    * asserts the exact cross-query invariant: total emitted tokens here
-    * ≡ Σ occurrences in `text_bpe_encode`'s histogram. */
+    * Scale shape: the encode fold runs at word-TYPE granularity inside
+    * the memoized [[bpeEncodedTypes]] stage shared with
+    * `text_bpe_encode` (each type tokenized once, frequency rides
+    * along); the per-(lang, word) counts join the ≤types-sized cached
+    * encode result on the word key, and the final rollup is bounded by
+    * #languages. Suite asserts the exact cross-query invariant: total
+    * emitted tokens here ≡ Σ occurrences in `text_bpe_encode`'s
+    * histogram. */
   def textTokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val merges = bpeMerges(spark, dir)
-    require(merges.forall(m => m._2.matches("[a-z0-9]+") && m._3.matches("[a-z0-9]+")),
-      "merge symbols must stay in [a-z0-9]+ — they are interpolated into expr strings")
     val wordLang = Tables.documents(spark, dir)
       .select($"lang",
         explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
       .groupBy($"lang", $"w").agg(count(lit(1)).as("cnt"))
-    val types = wordLang.select($"w").distinct()
-      .select($"w", expr("split(w, '')").as("syms"))
-    val encoded = merges.foldLeft(types) { case (df, (_, l, r, m, _)) =>
-      df.withColumn("syms", expr(
-        s"""aggregate(syms, cast(array() as array<string>), (acc, s) ->
-           |  if(size(acc) > 0 AND element_at(acc, -1) = '$l' AND s = '$r',
-           |     concat(slice(acc, 1, size(acc) - 1), array('$m')),
-           |     concat(acc, array(s))))""".stripMargin))
-    }
     wordLang
-      .join(encoded.select($"w", size($"syms").cast("bigint").as("n_tok")), "w")
+      .join(bpeEncodedTypes(spark, dir)
+        .select($"w", size($"syms").cast("bigint").as("n_tok")), "w")
       .groupBy($"lang")
       .agg(sum($"cnt").as("n_words"),
         countDistinct($"w").as("n_word_types"),

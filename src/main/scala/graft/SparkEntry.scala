@@ -245,6 +245,11 @@ object SparkEntry {
     "embedding_pca_project"    -> (SimilarityOps.embeddingPcaProject(_, _)),
     // recall@3 scorecard of every oracle-checkable ANN variant vs exact
     "similarity_recall_report" -> (SimilarityOps.similarityRecallReport(_, _)),
+    // full five-variant rollout scorecard incl. the trained paths
+    // (model-based rows → no SQL oracle; suite pins untrained rows ==
+    // similarity_recall_report and trained mean-recall floors)
+    "similarity_recall_report_trained" ->
+      (SimilarityOps.similarityRecallReportTrained(_, _)),
     // pipeline utilities: scoring, sampling, normalization
     "text_feature_hashing"     -> (TextOps.textFeatureHashing(_, _)),
     "text_tfidf_topterms"      -> (PipelineOps.textTfidfTopTerms(_, _)),

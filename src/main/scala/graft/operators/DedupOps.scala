@@ -1227,6 +1227,10 @@ object DedupOps {
       timed("dup_windows") { TextOps.dupWindows(spark, dir).count(); () },
       timed("winnow_fps") { TextOps.winnowFps(spark, dir).count(); () },
       timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
+      // brute-force exact top-5 (r11): the ground-truth side of
+      // similarity_topk and both recall scorecards — the O(n²/100) score
+      // join runs once here instead of per consumer per bench round
+      timed("exact_topk") { SimilarityOps.exactTopk(spark, dir).count(); () },
       timed("ivf_assign") { SimilarityOps.ivfAssign(spark, dir).count(); () },
       timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () },
       // trained-model stages (r10): k-means coarse quantizer shared by
@@ -1235,7 +1239,11 @@ object DedupOps {
       // bill to whichever consumer runs first alphabetically
       timed("kmeans_assign") { SimilarityOps.kmeansAssign(spark, dir).count(); () },
       timed("pq_codebook_trained") {
-        SimilarityOps.pqCodebookTrained(spark, dir).count(); () }).flatten
+        SimilarityOps.pqCodebookTrained(spark, dir).count(); () },
+      // encoded word-type table (r11): shared by text_bpe_encode +
+      // text_tokenizer_fertility — the 8-merge fold tower executes once
+      // here instead of (interpreted, under an Expand ×2) per consumer
+      timed("bpe_types") { TextOps.bpeEncodedTypes(spark, dir).count(); () }).flatten
   }
 
   /** LSH banding-threshold tuning report (`dedup_lsh_tuning`): every

@@ -1432,6 +1432,44 @@ class OperatorSpec extends SparkTestBase {
     assert(ivfHits >= 1, "IVF should recover at least one exact neighbor")
   }
 
+  test("similarity_recall_report_trained: five variants, untrained rows identical, trained floors") {
+    val full = SparkEntry.queries("similarity_recall_report_trained")(spark, sfDir).collect()
+    val variants = full.map(_.getString(0)).toSet
+    assert(variants == Set("ivf", "ivf_trained", "ivfpq", "ivfpq_trained", "lsh"))
+    val queries = full.map(_.getLong(1)).toSet
+    variants.foreach { v =>
+      assert(full.count(_.getString(0) == v) == queries.size,
+        s"variant $v missing queries")
+    }
+    // the three oracle-checkable rows must reproduce the plain report
+    // bit-for-bit: same exact side, same pipelines, just a wider union
+    val plain = SparkEntry.queries("similarity_recall_report")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    full.filter(r => Set("ivf", "ivfpq", "lsh")(r.getString(0))).foreach { r =>
+      assert(plain((r.getString(0), r.getLong(1))) == r.getLong(2),
+        s"untrained row drifted from similarity_recall_report: ${r.getString(0)}/${r.getLong(1)}")
+    }
+    // trained variants clear the same mean-recall floors the trained-query
+    // specs assert independently (ivf_trained >= 0.85 at nprobe 4)
+    def meanRecall(v: String): Double = {
+      val rs = full.filter(_.getString(0) == v)
+      rs.map(_.getLong(2)).sum.toDouble / (3.0 * rs.length)
+    }
+    val trained = meanRecall("ivf_trained")
+    info(f"mean recall@3: ivf=${meanRecall("ivf")}%.2f ivf_trained=$trained%.2f " +
+      f"ivfpq=${meanRecall("ivfpq")}%.2f ivfpq_trained=${meanRecall("ivfpq_trained")}%.2f")
+    assert(trained >= 0.85, s"trained-IVF mean recall below floor: $trained")
+    assert(trained >= meanRecall("ivf"),
+      "training the coarse quantizer must not lose recall vs the pivot rule")
+    // PQ's 8×16 code grid caps recall@3 well below the full-precision
+    // variants at this scale — the invariant (as in the ivfpq_trained
+    // spec) is that Lloyd training does not LOSE recall vs the fixed
+    // codebook, not an absolute floor
+    assert(meanRecall("ivfpq_trained") >= meanRecall("ivfpq"),
+      s"trained IVF-PQ lost recall vs fixed codebook: " +
+        s"${meanRecall("ivfpq_trained")} < ${meanRecall("ivfpq")}")
+  }
+
   test("curation_decontaminate_bloom: superset of exact drops, fpp-bounded overshoot") {
     val bloom = SparkEntry.queries("curation_decontaminate_bloom")(spark, sfDir)
       .collect().map(r => r.getLong(0) -> r).toMap

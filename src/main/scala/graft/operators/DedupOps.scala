@@ -1240,6 +1240,17 @@ object DedupOps {
       timed("kmeans_assign") { SimilarityOps.kmeansAssign(spark, dir).count(); () },
       timed("pq_codebook_trained") {
         SimilarityOps.pqCodebookTrained(spark, dir).count(); () },
+      // per-variant top-3 ANN results (r11): each is #queries×3 rows read
+      // by three consumers (the variant's own query + both recall
+      // scorecards) — built once here so the candidate join + window
+      // re-rank stops re-running per consumer per round
+      timed("ann_lsh") { SimilarityOps.similarityAnnLsh(spark, dir).count(); () },
+      timed("ann_ivf") { SimilarityOps.similarityIvf(spark, dir).count(); () },
+      timed("ann_ivf_trained") {
+        SimilarityOps.similarityIvfTrained(spark, dir).count(); () },
+      timed("ann_ivfpq") { SimilarityOps.similarityIvfPq(spark, dir).count(); () },
+      timed("ann_ivfpq_trained") {
+        SimilarityOps.similarityIvfPqTrained(spark, dir).count(); () },
       // encoded word-type table (r11): shared by text_bpe_encode +
       // text_tokenizer_fertility — the 8-merge fold tower executes once
       // here instead of (interpreted, under an Expand ×2) per consumer

@@ -147,6 +147,8 @@ object SparkEntry {
     "agg_histogram_price"      -> (PipelineOps.aggHistogramPrice(_, _)),
     // §2.9 event analytics
     "events_active_users"      -> (EventOps.eventsActiveUsers(_, _)),
+    // D0..D7 cohort retention matrix off one distinct user-day frame
+    "events_retention_cohorts" -> (EventOps.eventsRetentionCohorts(_, _)),
     "events_cusum_changepoint" -> (EventOps.eventsCusumChangepoint(_, _)),
     "events_top_paths"         -> (EventOps.eventsTopPaths(_, _)),
     "events_velocity_features" -> (EventOps.eventsVelocityFeatures(_, _)),
@@ -492,6 +494,7 @@ object SparkEntry {
     "quality_skew_report"      -> PipelineOps.qualitySkewReportSql,
     "agg_histogram_price"      -> PipelineOps.aggHistogramPriceSql,
     "events_active_users"      -> EventOps.eventsActiveUsersSql,
+    "events_retention_cohorts" -> EventOps.eventsRetentionCohortsSql,
     "events_cusum_changepoint" -> EventOps.eventsCusumChangepointSql,
     "events_top_paths"         -> EventOps.eventsTopPathsSql,
     "events_velocity_features" -> EventOps.eventsVelocityFeaturesSql,

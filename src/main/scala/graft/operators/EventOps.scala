@@ -278,6 +278,70 @@ object EventOps {
       |FROM dau JOIN wau ON dau.day = wau.day
       |ORDER BY day_num""".stripMargin
 
+  /** Cohort retention matrix (`events_retention_cohorts`): users are
+    * cohorted by their FIRST active day; for each cohort and horizon
+    * 0..7 days, the count still active at cohort_day + horizon and the
+    * exact per-mille retention — THE growth-analytics artifact (D1/D7
+    * retention) every event-stream deployment reads, and the batch twin
+    * of the DAU/WAU report ([[eventsActiveUsers]]).
+    *
+    * Scale shape: ONE distinct (day, user) projection; first-day via a
+    * partial+final min aggregation keyed by user; activity joins the
+    * cohort frame on user_id (both sides hash-partitioned by the join
+    * key — the shuffle carries distinct user-days, never raw events);
+    * everything after is bounded by #days × 8 horizons. Retention
+    * ratios are exact integer per-mille (`retained * 1000 div size`),
+    * engine-portable by construction. Every user is active on their
+    * first day, so the horizon-0 row IS the cohort size — no second
+    * pass to size cohorts. */
+  def eventsRetentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = Tables.events(spark, dir)
+      .select(to_date($"ts").as("day"), $"user_id").distinct()
+    val firsts = pairs.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+    val acts = pairs.join(firsts, "user_id")
+      .select($"cohort_day", datediff($"day", $"cohort_day").as("horizon"))
+      .filter($"horizon" <= 7)
+    val ret = acts.groupBy($"cohort_day", $"horizon")
+      .agg(count(lit(1)).as("retained"))
+    val sizes = ret.filter($"horizon" === 0)
+      .select($"cohort_day", $"retained".as("cohort_size"))
+    ret.join(sizes, "cohort_day")
+      .select(
+        datediff($"cohort_day", lit("1970-01-01").cast("date"))
+          .cast("bigint").as("cohort_day_num"),
+        $"cohort_size",
+        $"horizon".cast("bigint").as("horizon"),
+        $"retained",
+        expr("retained * 1000 div cohort_size").as("retention_permille"))
+      .orderBy($"cohort_day_num", $"horizon")
+  }
+
+  val eventsRetentionCohortsSql: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+      |firsts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM pairs GROUP BY user_id),
+      |acts AS (
+      |  SELECT f.cohort_day,
+      |         date_diff('day', f.cohort_day, p.day) AS horizon
+      |  FROM pairs p JOIN firsts f USING (user_id)
+      |  WHERE date_diff('day', f.cohort_day, p.day) <= 7),
+      |ret AS (
+      |  SELECT cohort_day, horizon, count(*) AS retained
+      |  FROM acts GROUP BY cohort_day, horizon),
+      |sizes AS (
+      |  SELECT cohort_day, retained AS cohort_size FROM ret WHERE horizon = 0)
+      |SELECT CAST(date_diff('day', DATE '1970-01-01', r.cohort_day) AS BIGINT)
+      |         AS cohort_day_num,
+      |       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+      |       CAST(r.horizon AS BIGINT) AS horizon,
+      |       CAST(r.retained AS BIGINT) AS retained,
+      |       CAST(r.retained * 1000 // s.cohort_size AS BIGINT)
+      |         AS retention_permille
+      |FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+      |ORDER BY cohort_day_num, horizon""".stripMargin
+
   /** Telemetry decimation (`events_downsample`): keep the LAST event per
     * (user, minute) — the standard high-frequency-stream downsampling
     * before retention/cohort analytics, cutting a per-second feed ~60×

@@ -2350,6 +2350,30 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.map(_._1).toSet == byDay.keySet, "day coverage drift")
   }
 
+  test("events_retention_cohorts: matches a driver-side rebuild, monotone horizons") {
+    val rows = SparkEntry.queries("events_retention_cohorts")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val pairs = Tables.events(spark, sfDir)
+      .selectExpr("datediff(to_date(ts), date'1970-01-01') AS d", "user_id")
+      .distinct().collect().map(r => (r.getInt(0).toLong, r.getLong(1)))
+    val firstDay = pairs.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val expected = pairs
+      .map { case (d, u) => (firstDay(u), d - firstDay(u)) }
+      .filter(_._2 <= 7)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { case (c, size, h, retained, permille) =>
+      assert(retained == expected((c, h)), s"retained drift at cohort $c horizon $h")
+      assert(size == expected((c, 0L)), s"cohort size drift at $c")
+      assert(permille == retained * 1000 / size, s"permille drift at $c/$h")
+      assert(retained <= size, s"retention above cohort size at $c/$h")
+    }
+    assert(rows.map(r => (r._1, r._3)).toSet == expected.keySet, "cell coverage drift")
+    // horizon 0 is always the full cohort
+    rows.filter(_._3 == 0L).foreach { case (c, size, _, retained, permille) =>
+      assert(retained == size && permille == 1000L, s"D0 != cohort at $c")
+    }
+  }
+
   test("similarity_cell_balance: reconciles with the assign stage, exact shares") {
     import graft.operators.SimilarityOps
     val rows = SparkEntry.queries("similarity_cell_balance")(spark, sfDir).collect()

@@ -172,6 +172,12 @@ object SparkEntry {
     "agg_salted_skew"          -> (EventOps.aggSaltedSkew(_, _)),
     // audience-overlap / containment matrix between event-type cohorts
     "events_audience_overlap"  -> (EventOps.eventsAudienceOverlap(_, _)),
+    // gaps-and-islands: per-user consecutive-day activity streaks
+    "events_user_streaks"      -> (EventOps.eventsUserStreaks(_, _)),
+    // hour-of-day seasonal baseline + exact-integer spike flags
+    "events_seasonal_baseline" -> (EventOps.eventsSeasonalBaseline(_, _)),
+    // Gopher-style named-rule quality battery, per-source rollup
+    "quality_gopher_rules"     -> (ProfilingOps.qualityGopherRules(_, _)),
     // (length, quality) skyline: bucketed-prefilter distributed sweep
     "curation_pareto_front"    -> (CurationOps.curationParetoFront(_, _)),
     // text analysis
@@ -609,6 +615,9 @@ object SparkEntry {
     "graph_pagerank_knn"       -> GraphOps.graphPagerankKnnSql,
     "graph_triangle_count"     -> GraphOps.graphTriangleCountSql,
     "events_audience_overlap"  -> EventOps.eventsAudienceOverlapSql,
+    "events_user_streaks"      -> EventOps.eventsUserStreaksSql,
+    "events_seasonal_baseline" -> EventOps.eventsSeasonalBaselineSql,
+    "quality_gopher_rules"     -> ProfilingOps.qualityGopherRulesSql,
     "curation_pareto_front"    -> CurationOps.curationParetoFrontSql,
     "window_cume_dist"         -> Extended.windowCumeDistSql,
     "agg_mode_priority"        -> Extended.aggModePrioritySql,

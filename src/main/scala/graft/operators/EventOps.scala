@@ -921,4 +921,117 @@ object EventOps {
       |JOIN sizes sa ON sa.event_type = type_a
       |JOIN sizes sb ON sb.event_type = type_b
       |ORDER BY type_a, type_b""".stripMargin
+
+  /** Per-user activity streaks (`events_user_streaks`): the classic
+    * gaps-and-islands rollup — for each user, total distinct active
+    * days, the number of maximal runs of CONSECUTIVE days, and the
+    * length of the longest such run. The engagement artifact behind
+    * "7-day streak" product features and the churn-model feature the
+    * retention matrix ([[eventsRetentionCohorts]]) doesn't expose
+    * (retention says WHO came back; streaks say how uninterruptedly).
+    *
+    * Islands via the textbook trick: within a user, sort distinct days
+    * and subtract `row_number`; consecutive days share the difference,
+    * so the island key is `(user_id, day_num - rn)` and never needs a
+    * self-join or a recursive pass.
+    *
+    * Scale shape: ONE distinct (user, day) projection is the only pass
+    * over raw events (hash agg, map-side partial). The window sort is
+    * partitioned by user_id — per-partition state is bounded by days
+    * in the feed (≤ retention horizon, never event volume), and the
+    * island + per-user aggs reuse the same user_id hash partitioning,
+    * so the whole tail after the distinct is one shuffle. All counts
+    * exact integers. */
+  def eventsUserStreaks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val days = Tables.events(spark, dir)
+      .select($"user_id",
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_num"))
+      .distinct()
+    val islands = days
+      .withColumn("rn",
+        row_number().over(Window.partitionBy($"user_id").orderBy($"day_num")))
+      .groupBy($"user_id", ($"day_num" - $"rn").as("island"))
+      .agg(count(lit(1)).as("run_len"))
+    islands.groupBy($"user_id")
+      .agg(
+        sum($"run_len").as("active_days"),
+        count(lit(1)).as("n_streaks"),
+        max($"run_len").as("longest_streak"))
+      .orderBy($"user_id")
+  }
+
+  val eventsUserStreaksSql: String =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id,
+      |         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num
+      |  FROM events),
+      |keyed AS (
+      |  SELECT user_id,
+      |         day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num) AS island
+      |  FROM days),
+      |islands AS (
+      |  SELECT user_id, island, count(*) AS run_len
+      |  FROM keyed
+      |  GROUP BY user_id, island)
+      |SELECT user_id, CAST(sum(run_len) AS BIGINT) AS active_days,
+      |       count(*) AS n_streaks,
+      |       max(run_len) AS longest_streak
+      |FROM islands
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  /** Hour-of-day seasonal baseline + spike flags
+    * (`events_seasonal_baseline`): traffic is periodic, so a global or
+    * trailing-window z-score ([[eventsRollingAnomaly]]) mistakes every
+    * daily peak for an anomaly. The standard fix is a SEASONAL
+    * baseline: compare each (day, hour-slot, type) bucket against the
+    * average of the SAME hour-of-day slot for that type across the
+    * whole feed, and flag buckets more than 2x their slot baseline.
+    *
+    * The spike predicate is exact integer cross-multiplication
+    * (`cnt * n_days > 2 * slot_total`), never a floating-point mean —
+    * engine-portable by construction, and the per-mille load factor is
+    * integer division for the same reason.
+    *
+    * Scale shape: one partial+final hash agg over raw events keyed by
+    * (day, hour, type) — the only corpus-sized pass; the slot baseline
+    * re-aggregates THAT bounded frame (days x 24 x alphabet rows) by
+    * (hour, type), and joins back as a broadcast (24 x alphabet rows).
+    * Output is bounded by the calendar, not event volume. */
+  def eventsSeasonalBaseline(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hourly = Tables.events(spark, dir)
+      .select(
+        datediff(to_date($"ts"), lit("1970-01-01").cast("date"))
+          .cast("bigint").as("day_num"),
+        hour($"ts").cast("bigint").as("hod"),
+        $"event_type")
+      .groupBy($"day_num", $"hod", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+    val slots = hourly.groupBy($"hod", $"event_type")
+      .agg(sum($"cnt").as("slot_total"), count(lit(1)).as("n_days"))
+    hourly.join(broadcast(slots), Seq("hod", "event_type"))
+      .select($"day_num", $"hod", $"event_type", $"cnt",
+        expr("cnt * n_days * 1000 div slot_total").as("load_permille"),
+        ($"cnt" * $"n_days" > $"slot_total" * lit(2L)).as("is_spike"))
+      .orderBy($"day_num", $"hod", $"event_type")
+  }
+
+  val eventsSeasonalBaselineSql: String =
+    """WITH hourly AS (
+      |  SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day_num,
+      |         CAST(hour(ts) AS BIGINT) AS hod, event_type, count(*) AS cnt
+      |  FROM events
+      |  GROUP BY 1, 2, 3),
+      |slots AS (
+      |  SELECT hod, event_type, CAST(sum(cnt) AS BIGINT) AS slot_total,
+      |         count(*) AS n_days
+      |  FROM hourly GROUP BY hod, event_type)
+      |SELECT day_num, h.hod, h.event_type, cnt,
+      |       CAST(cnt * n_days * 1000 // slot_total AS BIGINT) AS load_permille,
+      |       cnt * n_days > slot_total * 2 AS is_spike
+      |FROM hourly h JOIN slots s ON h.hod = s.hod AND h.event_type = s.event_type
+      |ORDER BY day_num, h.hod, h.event_type""".stripMargin
 }

@@ -363,14 +363,26 @@ object MultimodalOps {
   /** Perceptual-hash near-dup pairs over media payloads
     * (`multimodal_phash_dedup`) — the pHash/PDQ image-dedup shape with
     * the codec stubbed: a real pipeline decodes pixels and thresholds
-    * DCT coefficients against their median; here the "signal" is 64
+    * DCT coefficients against their median; here the "signal" is 128
     * evenly-spaced payload samples thresholded against their own mean
-    * (deterministic, codec-free), packed into a 64-bit hash held as two
-    * 32-bit BIGINT halves. Candidate generation is banded exactly like
-    * SimHash: 8 bands of 8 bits — two hashes within Hamming distance
-    * [[PhashMaxHamming]] = 7 differ in ≤ 7 bands, so some band matches
-    * exactly and the pair survives the equi-join (pigeonhole guarantee,
-    * zero false negatives at the threshold).
+    * (deterministic, codec-free), packed into a 128-bit hash held as
+    * four 32-bit BIGINT quarters (32-bit packing keeps every value
+    * positive — no sign-extension asymmetry between engines). Candidate
+    * generation is banded exactly like SimHash: 8 bands of 16 bits —
+    * two hashes within Hamming distance [[PhashMaxHamming]] = 7 differ
+    * in ≤ 7 bands, so some band matches exactly and the pair survives
+    * the equi-join (pigeonhole guarantee, zero false negatives at the
+    * threshold).
+    *
+    * WHY 128 bits: multi-index hashing (Norouzi et al. 2012) needs
+    * each band to carry ≥ log2(n) bits or band buckets saturate and
+    * candidate generation degenerates to all-pairs-within-bucket. The
+    * r10 64-bit form (8 bands × 8 bits = 256 buckets/band) was fine at
+    * 5k docs but measured QUADRATIC at the 10× scale probe: 4.7 s at
+    * sf0.1 → 237 s at sf1 (≈ n²/256 × 8 candidate pairs). 16-bit bands
+    * cut expected candidates by 256× (sf1: ≈ 0.15M pairs vs 39M) and
+    * keep headroom to ~1M docs; beyond that the same construction
+    * widens again (PDQ ships 256-bit for exactly this reason).
     *
     * The synthetic corpus has no binary near-dups (500 distinct texts),
     * so the query PLANTS them — the [[TextOps.textPiiScrub]] planted-
@@ -378,8 +390,8 @@ object MultimodalOps {
     * predecessor's payload with the first byte flipped (a re-encode /
     * one-pixel-edit stand-in, built from the same expression on both
     * engines), keeping the hamming join exercised on pairs that differ
-    * by 0-1 bits while the remaining corpus proves the no-false-
-    * positive side.
+    * by a few bits while the remaining corpus proves the
+    * no-false-positive side.
     *
     * Scale shape: hashing is one narrow codegen'd HOF projection (no
     * shuffle; the planting join is a doc_id equi-join a real pipeline
@@ -387,7 +399,7 @@ object MultimodalOps {
     * (band, band_val) — 8 skinny rows per item, never all-pairs; the
     * exact Hamming check runs only on band-collision survivors. All
     * arithmetic is exact integer (sampling positions, mean compare via
-    * `64·c > Σc`, shifts, bit_count), so both engines derive identical
+    * `128·c > Σc`, shifts, bit_count), so both engines derive identical
     * hashes. */
   private val PhashMaxHamming = 7
 
@@ -403,46 +415,46 @@ object MultimodalOps {
           .otherwise($"text").as("payload"))
     val hashes = payloads
       .select($"doc_id",
-        expr("""transform(sequence(0, 63),
-                i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 63 as int), 1)))""")
+        expr("""transform(sequence(0, 127),
+                i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 127 as int), 1)))""")
           .as("codes"))
       .select($"doc_id", $"codes",
         expr("aggregate(codes, 0L, (a, c) -> a + c)").as("s"))
       .select($"doc_id",
-        expr("transform(codes, c -> if(64 * c > s, 1L, 0L))").as("bits"))
+        expr("transform(codes, c -> if(128 * c > s, 1L, 0L))").as("bits"))
       // the coalesce(…, 0L) wrappers are NOT null-handling — they mark
       // the hash columns non-nullable so the self-join's inferred
-      // `isnotnull(h_lo)` constraint constant-folds away instead of being
+      // `isnotnull(q0)` constraint constant-folds away instead of being
       // pushed below every projection. Without them, predicate pushdown
       // SUBSTITUTES the whole interpreted lambda tower into the filter —
-      // with the per-bit threshold re-expanding the 64-sample mean, i.e.
-      // 64×64 substrings per row per hash half (measured 130+ s at
-      // sf0.1 vs ~3 s without the pushed filter).
-      .select($"doc_id",
-        coalesce(expr("""aggregate(zip_with(slice(bits, 1, 32), sequence(0, 31),
-                  (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x)"""), lit(0L)).as("h_lo"),
-        coalesce(expr("""aggregate(zip_with(slice(bits, 33, 32), sequence(0, 31),
-                  (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x)"""), lit(0L)).as("h_hi"))
+      // with the per-bit threshold re-expanding the 128-sample mean, i.e.
+      // 128×128 substrings per row per hash quarter (measured 130+ s at
+      // sf0.1 vs ~3 s without the pushed filter, on the r10 64-bit form).
+      .select($"doc_id" +: (0 to 3).map { q =>
+        coalesce(expr(s"""aggregate(zip_with(slice(bits, ${1 + 32 * q}, 32), sequence(0, 31),
+                  (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x)"""), lit(0L)).as(s"q$q")
+      }: _*)
       // cost barrier, not a data move: HOFs run interpreted, so the
-      // exchange materializes (doc_id, h_lo, h_hi) once per document
+      // exchange materializes (doc_id, q0..q3) once per document
       // before the band explode fans it out 8× into both join branches
       // (identical subtrees — AQE exchange reuse dedupes them at runtime)
       .repartition($"doc_id")
-    val bands = hashes.select($"doc_id", $"h_lo", $"h_hi",
+    val bands = hashes.select($"doc_id", $"q0", $"q1", $"q2", $"q3",
       explode(expr("""transform(sequence(0, 7), b -> named_struct(
           'band', b,
-          'band_val', if(b < 4, shiftright(h_lo, 8 * b) % 256,
-                                shiftright(h_hi, 8 * (b - 4)) % 256)))""")).as("bk"))
-      .select($"doc_id", $"h_lo", $"h_hi",
+          'band_val', shiftright(element_at(array(q0, q1, q2, q3), cast(1 + b div 2 as int)),
+                                 16 * (b % 2)) % 65536))""")).as("bk"))
+      .select($"doc_id", $"q0", $"q1", $"q2", $"q3",
         $"bk.band".as("band"), $"bk.band_val".as("band_val"))
-    val a = bands.select($"doc_id".as("doc_a"), $"h_lo".as("lo_a"),
-      $"h_hi".as("hi_a"), $"band", $"band_val")
-    val b = bands.select($"doc_id".as("doc_b"), $"h_lo".as("lo_b"),
-      $"h_hi".as("hi_b"), $"band", $"band_val")
+    val a = bands.select($"doc_id".as("doc_a"), $"q0".as("a0"), $"q1".as("a1"),
+      $"q2".as("a2"), $"q3".as("a3"), $"band", $"band_val")
+    val b = bands.select($"doc_id".as("doc_b"), $"q0".as("b0"), $"q1".as("b1"),
+      $"q2".as("b2"), $"q3".as("b3"), $"band", $"band_val")
     a.join(b, Seq("band", "band_val"))
       .filter($"doc_a" < $"doc_b")
       .select($"doc_a", $"doc_b",
-        (expr("bit_count(lo_a ^ lo_b)") + expr("bit_count(hi_a ^ hi_b)"))
+        (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)") +
+          expr("bit_count(a2 ^ b2)") + expr("bit_count(a3 ^ b3)"))
           .cast("bigint").as("hamming"))
       .filter($"hamming" <= PhashMaxHamming)
       .distinct()
@@ -459,32 +471,38 @@ object MultimodalOps {
        |  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
        |codes AS (
        |  SELECT doc_id,
-       |    list_transform(range(0, 64),
-       |      i -> ascii(substr(payload, CAST(1 + (i * (len(payload) - 1)) // 63 AS INT), 1))) AS cs
+       |    list_transform(range(0, 128),
+       |      i -> ascii(substr(payload, CAST(1 + (i * (len(payload) - 1)) // 127 AS INT), 1))) AS cs
        |  FROM aug),
        |bits AS (
        |  SELECT doc_id,
-       |    list_transform(cs, c -> CASE WHEN 64 * c > list_sum(cs)
+       |    list_transform(cs, c -> CASE WHEN 128 * c > list_sum(cs)
        |                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bs
        |  FROM codes),
        |hashes AS (
        |  SELECT doc_id,
        |    CAST(list_sum(list_transform(range(0, 32),
-       |      i -> bs[CAST(i + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS h_lo,
+       |      i -> bs[CAST(i + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q0,
        |    CAST(list_sum(list_transform(range(0, 32),
-       |      i -> bs[CAST(i + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS h_hi
+       |      i -> bs[CAST(i + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q1,
+       |    CAST(list_sum(list_transform(range(0, 32),
+       |      i -> bs[CAST(i + 65 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q2,
+       |    CAST(list_sum(list_transform(range(0, 32),
+       |      i -> bs[CAST(i + 97 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q3
        |  FROM bits),
        |bands AS (
-       |  SELECT doc_id, h_lo, h_hi, CAST(b AS INT) AS band,
-       |    CASE WHEN b < 4 THEN (h_lo >> CAST(8 * b AS INT)) % 256
-       |         ELSE (h_hi >> CAST(8 * (b - 4) AS INT)) % 256 END AS band_val
+       |  SELECT doc_id, q0, q1, q2, q3, CAST(b AS INT) AS band,
+       |    (([q0, q1, q2, q3][CAST(1 + b // 2 AS INT)]) >> CAST(16 * (b % 2) AS INT)) % 65536
+       |      AS band_val
        |  FROM hashes, range(0, 8) t(b))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) AS BIGINT)
+       |  CAST(bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+       |     + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) AS BIGINT)
        |    AS hamming
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi))
+       |WHERE bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
+       |    + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))
        |      <= $PhashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 }

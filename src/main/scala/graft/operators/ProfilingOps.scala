@@ -280,4 +280,106 @@ object ProfilingOps {
       |FROM scored
       |GROUP BY r_score, f_score, m_score
       |ORDER BY r_score, f_score, m_score""".stripMargin
+
+  /** Gopher-style rule-based quality gate (`quality_gopher_rules`):
+    * the named-boolean-rule battery of Rae et al. 2021 (Gopher, §A1.1;
+    * the same shape ships in Dolma/RefinedWeb/FineWeb pipelines),
+    * restated for this corpus — per document:
+    *
+    *  - `wc`   word count within [25, 5000]
+    *  - `mwl`  mean word length within [3, 10] chars
+    *  - `stop` stopword fraction >= 4% (the tiny shared
+    *           [[TextOps.StopWords]] list stands in for Gopher's)
+    *  - `ttr`  type-token ratio >= 40% (repetition guard)
+    *  - `maxw` longest word <= 15 chars (garbage/concat guard)
+    *
+    * rolled up per source: how many docs fail EACH rule plus the
+    * all-rules pass rate. This is the artifact a curation run reads
+    * before choosing filters: [[graft.operators.CurationOps]]'s
+    * quality gate scores documents on a weighted composite; Gopher
+    * rules instead attribute every rejection to a NAMED predicate, so
+    * a drop in pass rate points at the rule (and thus the crawler
+    * regression) that caused it.
+    *
+    * Exactness: every rule is an integer cross-multiplication on token
+    * counts (`n_stop*25 >= n_tok`, `3*n_tok <= chars <= 10*n_tok`) —
+    * no floating-point ratios anywhere, so both engines agree bit-for-
+    * bit; the pass rate is integer per-mille. Token chars are derived
+    * as `length(text) - (n_tok - 1)` (total minus separators) to keep
+    * the map phase to ONE pass over the string functions.
+    *
+    * Scale shape: the rule vector is a narrow map-only projection
+    * (split/filter/array_distinct are per-row, no shuffle); the only
+    * shuffle is the final partial+final hash agg keyed by source, whose
+    * state is #sources x 7 counters. Output bounded by the source
+    * alphabet at any corpus size. */
+  def qualityGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.documents(spark, dir)
+      .select($"source",
+        size(split($"text", " ")).cast("bigint").as("n_tok"),
+        size(filter(split(lower($"text"), " "),
+          t => t.isInCollection(TextOps.StopWords))).cast("bigint").as("n_stop"),
+        size(array_distinct(split(lower($"text"), " ")))
+          .cast("bigint").as("n_distinct"),
+        array_max(transform(split($"text", " "), t => length(t)))
+          .cast("bigint").as("max_word"),
+        (length($"text") - size(split($"text", " ")) + 1)
+          .cast("bigint").as("tok_chars"))
+    val rules = toks.select($"source",
+      ($"n_tok" >= 25L && $"n_tok" <= 5000L).as("r_wc"),
+      (lit(3L) * $"n_tok" <= $"tok_chars" &&
+        $"tok_chars" <= lit(10L) * $"n_tok").as("r_mwl"),
+      ($"n_stop" * 25L >= $"n_tok").as("r_stop"),
+      ($"n_distinct" * 5L >= $"n_tok" * 2L).as("r_ttr"),
+      ($"max_word" <= 15L).as("r_maxw"))
+    def fails(c: Column): Column = sum(when(c, 0L).otherwise(1L))
+    rules.groupBy($"source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        fails($"r_wc").as("fail_wc"),
+        fails($"r_mwl").as("fail_mwl"),
+        fails($"r_stop").as("fail_stop"),
+        fails($"r_ttr").as("fail_ttr"),
+        fails($"r_maxw").as("fail_maxw"),
+        sum(when($"r_wc" && $"r_mwl" && $"r_stop" && $"r_ttr" && $"r_maxw",
+          1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_permille", expr("n_pass * 1000 div n_docs"))
+      .orderBy($"source")
+  }
+
+  val qualityGopherRulesSql: String = {
+    val stop = TextOps.StopWords.map(w => s"'$w'").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT source,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    CAST(len(list_filter(string_split(lower(text), ' '),
+       |      x -> x IN ($stop))) AS BIGINT) AS n_stop,
+       |    CAST(len(list_distinct(string_split(lower(text), ' '))) AS BIGINT) AS n_distinct,
+       |    CAST(list_max(list_transform(string_split(text, ' '),
+       |      x -> len(x))) AS BIGINT) AS max_word,
+       |    CAST(len(text) - len(string_split(text, ' ')) + 1 AS BIGINT) AS tok_chars
+       |  FROM documents),
+       |rules AS (
+       |  SELECT source,
+       |    n_tok >= 25 AND n_tok <= 5000 AS r_wc,
+       |    3 * n_tok <= tok_chars AND tok_chars <= 10 * n_tok AS r_mwl,
+       |    n_stop * 25 >= n_tok AS r_stop,
+       |    n_distinct * 5 >= n_tok * 2 AS r_ttr,
+       |    max_word <= 15 AS r_maxw
+       |  FROM t)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN r_wc THEN 0 ELSE 1 END) AS BIGINT) AS fail_wc,
+       |  CAST(sum(CASE WHEN r_mwl THEN 0 ELSE 1 END) AS BIGINT) AS fail_mwl,
+       |  CAST(sum(CASE WHEN r_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop,
+       |  CAST(sum(CASE WHEN r_ttr THEN 0 ELSE 1 END) AS BIGINT) AS fail_ttr,
+       |  CAST(sum(CASE WHEN r_maxw THEN 0 ELSE 1 END) AS BIGINT) AS fail_maxw,
+       |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_stop AND r_ttr AND r_maxw
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  CAST(sum(CASE WHEN r_wc AND r_mwl AND r_stop AND r_ttr AND r_maxw
+       |      THEN 1 ELSE 0 END) * 1000 // count(*) AS BIGINT) AS pass_permille
+       |FROM rules
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
+  }
 }

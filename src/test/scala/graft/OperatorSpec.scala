@@ -2436,6 +2436,89 @@ class OperatorSpec extends SparkTestBase {
       }
     }
   }
+
+  test("events_user_streaks: matches a driver-side gaps-and-islands rebuild") {
+    val rows = SparkEntry.queries("events_user_streaks")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val pairs = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "datediff(to_date(ts), date'1970-01-01') AS d")
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1).toLong))
+    val byUser = pairs.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    def runs(ds: Seq[Long]): Seq[Long] =
+      ds.foldLeft(List.empty[(Long, Long)]) { // (lastDay, runLen) per run
+        case ((last, len) :: rest, d) if d == last + 1 => (d, len + 1) :: rest
+        case (acc, d)                                  => (d, 1L) :: acc
+      }.map(_._2)
+    rows.foreach { case (u, active, nStreaks, longest) =>
+      val rs = runs(byUser(u))
+      assert(active == rs.sum, s"active_days drift for user $u")
+      assert(nStreaks == rs.length.toLong, s"n_streaks drift for user $u")
+      assert(longest == rs.max, s"longest_streak drift for user $u")
+      assert(longest <= active && nStreaks <= active, s"inconsistent row for $u")
+    }
+    assert(rows.map(_._1).toSet == byUser.keySet, "user coverage drift")
+  }
+
+  test("events_seasonal_baseline: slot reconciliation and exact spike rule") {
+    val rows = SparkEntry.queries("events_seasonal_baseline")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    // slot totals recomposed from the output must match the raw feed
+    val raw = Tables.events(spark, sfDir)
+      .selectExpr("datediff(to_date(ts), date'1970-01-01') AS d",
+        "hour(ts) AS h", "event_type")
+      .collect().map(r => ((r.getInt(0).toLong, r.getInt(1).toLong, r.getString(2)), 1L))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r._1, r._2, r._3) -> r._4).toMap == raw,
+      "hourly counts != raw feed")
+    val slots = rows.groupBy(r => (r._2, r._3))
+    rows.foreach { case (d, h, t, cnt, load, spike) =>
+      val slot = slots((h, t))
+      val total = slot.map(_._4).sum
+      val nDays = slot.size.toLong
+      assert(load == cnt * nDays * 1000 / total, s"load drift at $d/$h/$t")
+      assert(spike == (cnt * nDays > 2 * total), s"spike drift at $d/$h/$t")
+    }
+    // a flat feed can't be >2x its own slot mean everywhere: spikes are rare
+    assert(rows.count(_._6) * 5 < rows.length, "spike flag fires on >20% of buckets")
+  }
+
+  test("quality_gopher_rules: per-source battery matches a driver-side rebuild") {
+    val rows = SparkEntry.queries("quality_gopher_rules")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val docs = Tables.documents(spark, sfDir)
+      .select("source", "text").collect().map { r =>
+        val text = r.getString(1)
+        val toks = text.split(" ", -1)
+        val lower = toks.map(_.toLowerCase)
+        val nTok = toks.length.toLong
+        val stop = Set("the", "a", "of", "and", "to")
+        val chars = text.length.toLong - nTok + 1
+        val rules = Seq(
+          nTok >= 25 && nTok <= 5000,
+          3 * nTok <= chars && chars <= 10 * nTok,
+          lower.count(stop) * 25 >= nTok,
+          lower.distinct.length * 5 >= nTok * 2,
+          toks.map(_.length).max <= 15)
+        (r.getString(0), rules)
+      }
+    val bySource = docs.groupBy(_._1)
+    rows.foreach { case (src, nDocs, fWc, fMwl, fStop, fTtr, fMaxw, nPass, pm) =>
+      val d = bySource(src).map(_._2)
+      assert(nDocs == d.length.toLong, s"n_docs drift for $src")
+      val fails = Seq(fWc, fMwl, fStop, fTtr, fMaxw)
+      fails.zipWithIndex.foreach { case (f, i) =>
+        assert(f == d.count(!_(i)).toLong, s"fail count drift for $src rule $i")
+      }
+      assert(nPass == d.count(_.forall(identity)).toLong, s"n_pass drift for $src")
+      assert(pm == nPass * 1000 / nDocs, s"pass_permille drift for $src")
+    }
+    assert(rows.map(_._1).toSet == bySource.keySet, "source coverage drift")
+    // the battery must discriminate on this corpus: neither all-pass nor all-fail
+    val (pass, tot) = (rows.map(_._8).sum, rows.map(_._2).sum)
+    assert(pass > 0 && pass < tot, s"degenerate battery: $pass/$tot pass")
+  }
 }
 
 /** JVM-static fault flag for the write-stage retry test (local mode =

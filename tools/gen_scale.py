@@ -112,8 +112,17 @@ def main(src: str, dst: str, k: int) -> None:
                     permute_embeddings(c["embedding"], rng, dim))
             copies.append(c)
         out = pa.concat_tables(copies)
-        pq.write_table(out, os.path.join(dst, f"{name}.parquet"))
-        print(f"{name}: {t.num_rows} -> {out.num_rows} rows")
+        # one row group PER COPY: the source dirs ship each table as a
+        # single row group, so a K x dataset must carry K row groups for
+        # scan parallelism to grow with data the way a real lake's file
+        # count does. pyarrow's default (1M-row groups) instead serializes
+        # whole-table scans into 1-2 tasks and the probe then measures the
+        # fixture layout, not the plan (events at K=10 was ONE 1M-row
+        # group = a single-task scan for every narrow phase).
+        pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
+                       row_group_size=max(t.num_rows, 1))
+        print(f"{name}: {t.num_rows} -> {out.num_rows} rows "
+              f"({k} row groups of {t.num_rows})")
 
 
 if __name__ == "__main__":

@@ -2,8 +2,6 @@ package graft.functions
 
 import java.nio.ByteBuffer
 
-import scala.collection.mutable.ArrayBuffer
-
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
@@ -11,6 +9,41 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StructType}
+
+/** Bounded top-k buffer: two parallel unboxed long arrays kept sorted by
+  * (sort_val DESC, tie_val ASC). The per-row path is a bounds check plus
+  * a binary-search insert (an O(k) `arraycopy`, no allocation, no boxing,
+  * no comparator dispatch) — the cost that dominates a
+  * TypedImperativeAggregate at a billion rows per group, where the
+  * original sort-per-row formulation paid O(k log k) boxed comparisons
+  * and two tuple allocations on every accepted row.
+  */
+final class TopKBuffer(val k: Int) {
+  val sorts = new Array[Long](k)
+  val ties = new Array[Long](k)
+  var size: Int = 0
+
+  // total order: sort DESC, tie ASC. true iff (s, t) sorts BEFORE slot i.
+  @inline private def before(s: Long, t: Long, i: Int): Boolean =
+    s > sorts(i) || (s == sorts(i) && t < ties(i))
+
+  def insert(s: Long, t: Long): Unit = {
+    if (size == k && !before(s, t, k - 1)) return
+    // binary search for the first slot the pair sorts before
+    var lo = 0
+    var hi = size
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (before(s, t, mid)) hi = mid else lo = mid + 1
+    }
+    val last = if (size < k) size else k - 1
+    System.arraycopy(sorts, lo, sorts, lo + 1, last - lo)
+    System.arraycopy(ties, lo, ties, lo + 1, last - lo)
+    sorts(lo) = s
+    ties(lo) = t
+    if (size < k) size += 1
+  }
+}
 
 /** Custom aggregate function (`graft_topk(sort_val, tie_val, k)`): the
   * top-k (sort_val, tie_val) pairs per group, ordered by sort_val DESC
@@ -36,7 +69,7 @@ case class TopKPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[ArrayBuffer[(Long, Long)]] {
+  extends TypedImperativeAggregate[TopKBuffer] {
 
   require(k > 0 && k <= 1024, s"graft_topk: k must be in [1, 1024], got $k")
 
@@ -55,55 +88,45 @@ case class TopKPairs(
     .add("sort_val", LongType, nullable = false)
     .add("tie_val", LongType, nullable = false), containsNull = false)
 
-  // sort_val DESC, tie_val ASC — a total order, so eval() is deterministic
-  private val ord: Ordering[(Long, Long)] =
-    Ordering.fromLessThan((a, b) => a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
 
-  override def createAggregationBuffer(): ArrayBuffer[(Long, Long)] =
-    ArrayBuffer.empty[(Long, Long)]
-
-  override def update(
-      buf: ArrayBuffer[(Long, Long)], input: InternalRow): ArrayBuffer[(Long, Long)] = {
+  override def update(buf: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = sortExpr.eval(input)
     val t = tieExpr.eval(input)
-    if (s != null && t != null) {
-      val p = (s.asInstanceOf[Long], t.asInstanceOf[Long])
-      if (buf.size < k) {
-        buf += p
-        buf.sortInPlace()(ord)
-      } else if (ord.lt(p, buf.last)) {
-        buf(k - 1) = p
-        buf.sortInPlace()(ord)
-      }
-    }
+    if (s != null && t != null)
+      buf.insert(s.asInstanceOf[Long], t.asInstanceOf[Long])
     buf
   }
 
-  override def merge(
-      b1: ArrayBuffer[(Long, Long)],
-      b2: ArrayBuffer[(Long, Long)]): ArrayBuffer[(Long, Long)] = {
-    b1 ++= b2
-    b1.sortInPlace()(ord)
-    if (b1.size > k) b1.takeInPlace(k)
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < b2.size) { b1.insert(b2.sorts(i), b2.ties(i)); i += 1 }
     b1
   }
 
-  override def eval(buf: ArrayBuffer[(Long, Long)]): Any =
-    new GenericArrayData(buf.sorted(ord).map(p => InternalRow(p._1, p._2)).toArray)
+  override def eval(buf: TopKBuffer): Any = {
+    val rows = new Array[Any](buf.size)
+    var i = 0
+    while (i < buf.size) { rows(i) = InternalRow(buf.sorts(i), buf.ties(i)); i += 1 }
+    new GenericArrayData(rows)
+  }
 
-  override def serialize(buf: ArrayBuffer[(Long, Long)]): Array[Byte] = {
+  override def serialize(buf: TopKBuffer): Array[Byte] = {
     val bb = ByteBuffer.allocate(4 + buf.size * 16)
     bb.putInt(buf.size)
-    buf.foreach { p => bb.putLong(p._1); bb.putLong(p._2) }
+    var i = 0
+    while (i < buf.size) { bb.putLong(buf.sorts(i)); bb.putLong(buf.ties(i)); i += 1 }
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): ArrayBuffer[(Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new ArrayBuffer[(Long, Long)](n)
+    val buf = new TopKBuffer(k)
+    // serialized buffers are already sorted — append in order, still O(n)
+    // through insert since each element lands at the end (lo == size)
     var i = 0
-    while (i < n) { buf += ((bb.getLong, bb.getLong)); i += 1 }
+    while (i < n) { buf.insert(bb.getLong, bb.getLong); i += 1 }
     buf
   }
 

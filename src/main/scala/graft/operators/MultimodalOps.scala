@@ -393,11 +393,17 @@ object MultimodalOps {
     * by a few bits while the remaining corpus proves the
     * no-false-positive side.
     *
-    * Scale shape: hashing is one narrow codegen'd HOF projection (no
-    * shuffle; the planting join is a doc_id equi-join a real pipeline
-    * wouldn't have); the self-join is a hash equi-join on
-    * (band, band_val) — 8 skinny rows per item, never all-pairs; the
-    * exact Hamming check runs only on band-collision survivors. All
+    * Scale shape: hashing is ONE codegen'd kernel call per row — the
+    * custom [[graft.functions.Phash128]] expression (the built-in HOF
+    * tower it replaces ran interpreted at ~1 ms/doc and was the sf1
+    * scale probe's #1 line at 53.6 s; no shuffle either way; the
+    * planting join is a doc_id equi-join a real pipeline wouldn't
+    * have). Candidate generation is canonicalize-then-band: the
+    * (band, band_val) self-join runs on DISTINCT hashes, so its cost
+    * tracks distinct content, and the duplicate mass reappears only in
+    * output-sized expansion joins (see the in-body comment for the
+    * measured doc-level-banding blowup this replaced). The exact
+    * Hamming check runs only on band-collision survivors. All
     * arithmetic is exact integer (sampling positions, mean compare via
     * `128·c > Σc`, shifts, bit_count), so both engines derive identical
     * hashes. */
@@ -413,52 +419,76 @@ object MultimodalOps {
           concat(when(substring($"pred_text", 1, 1) === "a", "b").otherwise("a"),
             expr("substring(pred_text, 2)")))
           .otherwise($"text").as("payload"))
-    val hashes = payloads
-      .select($"doc_id",
-        expr("""transform(sequence(0, 127),
-                i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 127 as int), 1)))""")
-          .as("codes"))
-      .select($"doc_id", $"codes",
-        expr("aggregate(codes, 0L, (a, c) -> a + c)").as("s"))
-      .select($"doc_id",
-        expr("transform(codes, c -> if(128 * c > s, 1L, 0L))").as("bits"))
-      // the coalesce(…, 0L) wrappers are NOT null-handling — they mark
-      // the hash columns non-nullable so the self-join's inferred
-      // `isnotnull(q0)` constraint constant-folds away instead of being
-      // pushed below every projection. Without them, predicate pushdown
-      // SUBSTITUTES the whole interpreted lambda tower into the filter —
-      // with the per-bit threshold re-expanding the 128-sample mean, i.e.
-      // 128×128 substrings per row per hash quarter (measured 130+ s at
-      // sf0.1 vs ~3 s without the pushed filter, on the r10 64-bit form).
+    graft.functions.Phash128.register(spark)
+    val members = payloads
+      // one codegen'd kernel call per row replaces the interpreted
+      // 128-substring + fold tower ([[graft.functions.Phash128]]): the
+      // tower measured ~1 ms/doc and was the sf1 scale probe's #1 line
+      // (53.6 s at 50k docs). coalesce(…, 0L) is NOT null-handling — it
+      // marks the quarters non-nullable so the joins' inferred
+      // `isnotnull(q0)` constraints constant-fold away instead of being
+      // pushed below every projection (with the r10 interpreted tower,
+      // that pushdown re-expanded the whole hash into the filter —
+      // measured 130+ s).
+      .select($"doc_id", expr("graft_phash128(payload)").as("h"))
       .select($"doc_id" +: (0 to 3).map { q =>
-        coalesce(expr(s"""aggregate(zip_with(slice(bits, ${1 + 32 * q}, 32), sequence(0, 31),
-                  (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x)"""), lit(0L)).as(s"q$q")
+        coalesce(element_at($"h", q + 1), lit(0L)).as(s"q$q")
       }: _*)
-      // cost barrier, not a data move: HOFs run interpreted, so the
-      // exchange materializes (doc_id, q0..q3) once per document
-      // before the band explode fans it out 8× into both join branches
-      // (identical subtrees — AQE exchange reuse dedupes them at runtime)
-      .repartition($"doc_id")
-    val bands = hashes.select($"doc_id", $"q0", $"q1", $"q2", $"q3",
+      // hash-partition by CONTENT hash: the distinct below, the intra
+      // self-join, and both expansion joins all key on (q0..q3), so one
+      // exchange serves every downstream stage (and it doubles as the
+      // cost barrier that materializes the kernel output once per doc)
+      .repartition($"q0", $"q1", $"q2", $"q3")
+    // Canonicalize-then-band: banding runs on DISTINCT hashes, not docs.
+    // With the kernel in place the probe showed candidate generation was
+    // the new #1 cost — the scaled corpus is dup-dense (each doc ~9 true
+    // dups at sf1), so doc-level banding emitted every true pair from
+    // all 8 bands: 15.3M candidate rows, 11.9 s of the 15.8 s total. At
+    // content level the band join touches one row per distinct payload
+    // (5k at sf1 vs 50k docs) and the dup mass reappears only in the
+    // output-sized expansion joins below — the property that matters at
+    // 100 TB, where duplicate clusters are huge but distinct content
+    // grows far slower than the corpus.
+    val hashes = members.select($"q0", $"q1", $"q2", $"q3").distinct()
+    val bands = hashes.select($"q0", $"q1", $"q2", $"q3",
       explode(expr("""transform(sequence(0, 7), b -> named_struct(
           'band', b,
           'band_val', shiftright(element_at(array(q0, q1, q2, q3), cast(1 + b div 2 as int)),
                                  16 * (b % 2)) % 65536))""")).as("bk"))
-      .select($"doc_id", $"q0", $"q1", $"q2", $"q3",
+      .select($"q0", $"q1", $"q2", $"q3",
         $"bk.band".as("band"), $"bk.band_val".as("band_val"))
-    val a = bands.select($"doc_id".as("doc_a"), $"q0".as("a0"), $"q1".as("a1"),
+    val a = bands.select($"q0".as("a0"), $"q1".as("a1"),
       $"q2".as("a2"), $"q3".as("a3"), $"band", $"band_val")
-    val b = bands.select($"doc_id".as("doc_b"), $"q0".as("b0"), $"q1".as("b1"),
+    val b = bands.select($"q0".as("b0"), $"q1".as("b1"),
       $"q2".as("b2"), $"q3".as("b3"), $"band", $"band_val")
-    a.join(b, Seq("band", "band_val"))
-      .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b",
+    // near-dup pairs of DISTINCT hashes, canonicalized (a < b lexic.) so
+    // each unordered hash pair survives once; distinct() collapses the
+    // ≤8 band matches per pair and is bounded by the hash-pair count
+    val hashPairs = a.join(b, Seq("band", "band_val"))
+      .filter(struct($"a0", $"a1", $"a2", $"a3") < struct($"b0", $"b1", $"b2", $"b3"))
+      .select($"a0", $"a1", $"a2", $"a3", $"b0", $"b1", $"b2", $"b3",
         (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)") +
           expr("bit_count(a2 ^ b2)") + expr("bit_count(a3 ^ b3)"))
           .cast("bigint").as("hamming"))
       .filter($"hamming" <= PhashMaxHamming)
       .distinct()
-      .orderBy($"doc_a", $"doc_b")
+    val mA = members.select($"doc_id".as("m_a"), $"q0".as("a0"), $"q1".as("a1"),
+      $"q2".as("a2"), $"q3".as("a3"))
+    val mB = members.select($"doc_id".as("m_b"), $"q0".as("b0"), $"q1".as("b1"),
+      $"q2".as("b2"), $"q3".as("b3"))
+    // expansion is output-sized: every emitted row IS a result pair.
+    // A doc has exactly one hash, so no doc pair can arise from two
+    // different hash pairs (inter) or from inter AND intra — no final
+    // distinct needed.
+    val inter = hashPairs.join(mA, Seq("a0", "a1", "a2", "a3"))
+      .join(mB, Seq("b0", "b1", "b2", "b3"))
+      .select(least($"m_a", $"m_b").as("doc_a"),
+        greatest($"m_a", $"m_b").as("doc_b"), $"hamming")
+    val intra = mA.join(mB,
+      $"a0" === $"b0" && $"a1" === $"b1" && $"a2" === $"b2" && $"a3" === $"b3" &&
+        $"m_a" < $"m_b")
+      .select($"m_a".as("doc_a"), $"m_b".as("doc_b"), lit(0L).as("hamming"))
+    inter.unionByName(intra).orderBy($"doc_a", $"doc_b")
   }
 
   val multimodalPhashDedupSql: String =

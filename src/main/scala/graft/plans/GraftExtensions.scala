@@ -40,6 +40,7 @@ object GraftOps {
       em.extraOptimizations = em.extraOptimizations :+ BroadcastBoundedLimit
     FixedPointDotProduct.register(spark)
     graft.functions.TopKPairs.register(spark)
+    graft.functions.Phash128.register(spark)
   }
 
   /** Left as-of join (see [[AsOfJoin]] for semantics and the scale

@@ -586,27 +586,36 @@ object SimilarityOps {
     * moment matrix: per (i, j) the count, Σqᵢqⱼ, Σqᵢ, Σqⱼ and the
     * covariance derived from them in one correctly-rounded double step.
     *
-    * Scale shape: ONE narrow Generate fans each vector into its 2080
-    * upper-triangle (i, j, qᵢ·qⱼ) terms, and the partial hash agg
-    * collapses every partition to ≤ 2080 rows before the exchange — the
-    * shuffle is O(pairs × partitions) regardless of corpus size, the
-    * canonical map-side-combine matrix accumulation. The cross moments
-    * Σqᵢ·Σqⱼ exceed BIGINT at ~10^7 rows, so the final arithmetic runs
-    * in DECIMAL(38,0) and rounds to double exactly once. */
+    * Scale shape: ONE pass through the custom
+    * [[graft.functions.MomentMatrix]] aggregate (`graft_moments(q, 64)`,
+    * the SURVEY §4.2 aggregation tier, same ladder as `graft_topk`):
+    * each row is a tight d²/2 multiply-accumulate into a flat long
+    * array, the partial state per partition is one 2145-long buffer
+    * (~17 KB), and the shuffle carries ONE buffer per map partition
+    * regardless of corpus size. The r10 composable form (a Generate
+    * fanning every vector into its 2080 (i, j, qᵢqⱼ) structs before the
+    * partial agg could collapse anything — 41.6M generated rows, 12.6 s
+    * at the sf1 probe) is retired; long addition wraps identically in
+    * both, so results are bit-equal. The (i, j) grid is then unpacked
+    * from the single result row. The cross moments Σqᵢ·Σqⱼ exceed
+    * BIGINT at ~10^7 rows, so the final arithmetic runs in
+    * DECIMAL(38,0) and rounds to double exactly once. */
   def embeddingCovariance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.MomentMatrix.register(spark)
     quantized(spark, dir)
+      .agg(expr("graft_moments(q, 64)").as("m"))
       .select(explode(expr(
         """flatten(transform(sequence(0, 63), i ->
-          |  transform(sequence(i, 63), j ->
-          |    named_struct('i', i, 'j', j,
-          |      'p', q[i] * q[j], 'xi', q[i], 'xj', q[j]))))""".stripMargin))
-        .as("t"))
-      .groupBy($"t.i".as("i"), $"t.j".as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum($"t.p").as("s_ij"),
-        sum($"t.xi").as("s_i"),
-        sum($"t.xj").as("s_j"))
+          |  transform(sequence(i, 63), j -> named_struct('i', i, 'j', j))))""".stripMargin))
+        .as("t"), $"m")
+      .select($"t.i".as("i"), $"t.j".as("j"), $"m.n".as("n"),
+        // row-major upper triangle: slot(i, j) = i·64 − i(i−1)/2 + (j − i)
+        expr("""element_at(m.p,
+               cast(t.i * 64 - (t.i * (t.i - 1)) div 2 + (t.j - t.i) + 1 as int))""")
+          .as("s_ij"),
+        expr("element_at(m.s, cast(t.i + 1 as int))").as("s_i"),
+        expr("element_at(m.s, cast(t.j + 1 as int))").as("s_j"))
       .select($"i", $"j", $"n", $"s_ij", $"s_i", $"s_j",
         // (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / (n² · 10¹²): numerator exact in
         // DECIMAL(38,0), denominator a product of exactly-representable

@@ -41,6 +41,7 @@ object GraftOps {
     FixedPointDotProduct.register(spark)
     graft.functions.TopKPairs.register(spark)
     graft.functions.Phash128.register(spark)
+    graft.functions.MomentMatrix.register(spark)
   }
 
   /** Left as-of join (see [[AsOfJoin]] for semantics and the scale

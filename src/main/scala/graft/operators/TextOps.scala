@@ -1565,22 +1565,26 @@ object TextOps {
     * order (`x − y ≡ x + (−y)` bitwise), and round(…, 6) absorbs the
     * last-ulp libm `ln` variance, the [[textLmLogprob]] pattern.
     *
-    * Scale shape: one narrow Generate (char explode) into a
-    * (doc_id, ch) hash agg — partial aggregation collapses each
-    * partition to ≤ |alphabet| rows per doc before the shuffle — then a
-    * per-doc fold whose state is bounded by the alphabet, never the
-    * corpus. No joins, no global order before the output sort. */
+    * Scale shape: ONE codegen'd kernel call per document — the custom
+    * [[graft.functions.CharCounts]] expression emits the sorted
+    * (ch, c) array directly (state bounded by the doc's alphabet), so
+    * there is no char explode and no (doc_id, ch) shuffle at all. The
+    * r10 composable form (Generate fanning each doc into one row per
+    * CHARACTER — ~100M rows and 14.4 s at the sf1 probe, its #1 line
+    * once phash was fixed) is retired; the histogram it aggregated is
+    * byte-identical, so the entropy fold below is unchanged. The fold's
+    * per-doc state stays bounded by the alphabet, never the corpus. */
   def textCharEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.CharCounts.register(spark)
     Tables.documents(spark, dir)
-      .select($"doc_id", explode(expr(
-        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
-      .groupBy($"doc_id", $"ch")
-      .agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_chars_counted"),
-        count(lit(1)).as("n_distinct_chars"),
-        sort_array(collect_list(struct($"ch", $"c"))).as("xs"))
+      .select($"doc_id", expr("graft_char_counts(text)").as("xs"))
+      // a zero-length text yields no (ch, c) rows on either engine
+      .filter(size($"xs") > 0)
+      .select($"doc_id",
+        expr("aggregate(xs, 0L, (a, x) -> a + x.c)").as("n_chars_counted"),
+        size($"xs").cast("bigint").as("n_distinct_chars"),
+        $"xs")
       .select($"doc_id", $"n_chars_counted", $"n_distinct_chars",
         round(
           aggregate($"xs", lit(0.0), (acc, x) => {

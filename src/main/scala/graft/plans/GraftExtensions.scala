@@ -42,6 +42,7 @@ object GraftOps {
     graft.functions.TopKPairs.register(spark)
     graft.functions.Phash128.register(spark)
     graft.functions.MomentMatrix.register(spark)
+    graft.functions.CharCounts.register(spark)
   }
 
   /** Left as-of join (see [[AsOfJoin]] for semantics and the scale

@@ -84,15 +84,25 @@ object Plans {
         "the Bloom-positive branch; the negative branch unions in past " +
         "it untouched. Output bit-equal to dedup_incremental."),
     "embedding_covariance" ->
-      ("Matrix accumulation via map-side combine: partial HashAggregate " +
-        "below the single exchange, so the shuffle moves at most 2080 " +
-        "(i,j) states per partition regardless of corpus size."),
+      ("Moment-matrix accumulation through the custom graft_moments " +
+        "TypedImperativeAggregate (r11): partial ObjectHashAggregate " +
+        "below ONE single-buffer exchange, and NO Generate below the " +
+        "aggregate (the r10 form fanned every vector 2080x pre-agg); " +
+        "the only Generate sits ABOVE it, unpacking the single result " +
+        "row into the bounded (i,j) grid."),
     "multimodal_phash_dedup" ->
-      ("Banded Hamming join: per-doc 64-sample hash tower computed ONCE " +
-        "per document (exchange barrier after the hash projection, " +
-        "nullability-folded so no inferred isnotnull filter re-inlines " +
-        "it), band equi-join fans out 8 skinny rows per item — never " +
+      ("Canonicalize-then-band (r11): hashing is one codegen'd " +
+        "graft_phash128 call per row (no interpreted lambda tower in " +
+        "any Project), the band equi-join's inputs are DISTINCT hashes " +
+        "(HashAggregate above the hash projection), and doc pairs " +
+        "reappear only in the two output-sized expansion joins — never " +
         "all-pairs, never tower-per-candidate."),
+    "text_char_entropy" ->
+      ("Histogram kernel (r11): one codegen'd graft_char_counts call " +
+        "per document emits the sorted (ch, c) array — the plan must " +
+        "show NO Generate and no (doc_id, ch) exchange (the r10 " +
+        "char-explode fanned one row per character); the only exchange " +
+        "is the final presentation sort."),
     "sample_weighted_docs" ->
       ("Weighted Bernoulli sample: ONE 1-row total-mass aggregate comes " +
         "back as a BroadcastExchange and the inclusion test is a narrow " +

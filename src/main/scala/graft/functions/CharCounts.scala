@@ -79,8 +79,10 @@ object CharCounts {
     new GenericArrayData(rows)
   }
 
-  /** Decode the codepoint of the UTF-8 sequence at `off` (length `len`). */
-  private def codePointAt(bytes: Array[Byte], off: Int, len: Int): Int = len match {
+  /** Decode the codepoint of the UTF-8 sequence at `off` (length `len`).
+    * Shared with [[Phash128]], whose `ascii()` semantics are also the
+    * codepoint of the sampled character. */
+  private[functions] def codePointAt(bytes: Array[Byte], off: Int, len: Int): Int = len match {
     case 1 => bytes(off) & 0x7f
     case 2 => ((bytes(off) & 0x1f) << 6) | (bytes(off + 1) & 0x3f)
     case 3 => ((bytes(off) & 0x0f) << 12) | ((bytes(off + 1) & 0x3f) << 6) |

@@ -33,12 +33,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * array materialization, still inside whole-stage codegen.
   *
   * Exact replication notes: Spark's `length` counts codepoints,
-  * `substring` slices by codepoint, and `ascii` returns the FIRST
-  * SIGNED BYTE of its argument — so the sample value here is the
-  * signed lead byte of the codepoint at the sampled position, matching
-  * the built-in tower on every input (ASCII or not). Empty payloads
-  * yield all-zero quarters on both paths (`ascii('') = 0`,
-  * `128·0 > 0` false).
+  * `substring` slices by codepoint, and `ascii` returns the CODEPOINT
+  * of its argument's first character — so the sample value here is the
+  * decoded codepoint at the sampled position, matching the built-in
+  * tower on every input (FunctionsSpec pins kernel == tower on ASCII,
+  * 2-byte, and 3-byte UTF-8). Empty payloads yield all-zero quarters
+  * on both paths (`ascii('') = 0`, `128·0 > 0` false).
   */
 case class Phash128(child: Expression) extends UnaryExpression {
 
@@ -78,7 +78,10 @@ object Phash128 {
           off += UTF8String.numBytesForFirstByte(bytes(off))
           cp += 1
         }
-        val c: Int = bytes(off) // signed lead byte == Spark's ascii()
+        // Spark's ascii() yields the CODEPOINT of the first character
+        // (FunctionsSpec pins kernel == tower on multibyte inputs)
+        val c = CharCounts.codePointAt(bytes, off,
+          UTF8String.numBytesForFirstByte(bytes(off)))
         codes(i) = c
         sum += c
         i += 1

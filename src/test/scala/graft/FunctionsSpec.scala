@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Edge-case unit coverage for the custom Catalyst kernels, pinned
+  * against the built-in expression towers they replaced — the operator
+  * specs exercise them only through their consuming queries on ASCII
+  * testdata, so multibyte inputs, empty strings, and buffer boundaries
+  * are asserted here directly. */
+class FunctionsSpec extends SparkTestBase {
+
+  private def registerAll(): Unit = {
+    graft.functions.Phash128.register(spark)
+    graft.functions.CharCounts.register(spark)
+    graft.functions.TopKPairs.register(spark)
+    graft.functions.MomentMatrix.register(spark)
+  }
+
+  test("graft_phash128 equals the built-in HOF tower, incl. multibyte and edge lengths") {
+    registerAll()
+    import spark.implicits._
+    val texts = Seq(
+      "", "a", "ab", "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",
+      "héllo wörld ünïcode ÿ", // 2-byte UTF-8 sequences
+      "日本語テキストのサンプル文字列です",  // 3-byte sequences
+      ("mixed ascii and 中文 text " * 20).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "payload")
+    val both = df.select($"id",
+      expr("graft_phash128(payload)").as("kernel"),
+      expr("""transform(sequence(0, 3), qq -> aggregate(zip_with(
+          slice(transform(transform(sequence(0, 127),
+              i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 127 as int), 1))),
+            c -> if(128 * c > aggregate(transform(sequence(0, 127),
+              i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 127 as int), 1))),
+              0L, (a, x) -> a + x), 1L, 0L)), 1 + 32 * qq, 32),
+          sequence(0, 31), (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x))""")
+        .as("tower"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"hash mismatch for id=${r.getLong(0)}")
+    }
+  }
+
+  test("graft_char_counts equals the explode+sort_array tower, incl. multibyte") {
+    registerAll()
+    import spark.implicits._
+    val texts = Seq("a", "abca", "z y x z", "héllo ÿ héllo", "日本語の日本")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val kernel = df.select($"id", expr("graft_char_counts(text)").as("xs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1).map(x =>
+        (x.getString(0), x.getLong(1)))).toMap
+    val tower = df
+      .select($"id", explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy($"id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"id")
+      .agg(sort_array(collect_list(struct($"ch", $"c"))).as("xs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1).map(x =>
+        (x.getString(0), x.getLong(1)))).toMap
+    assert(kernel == tower)
+    // empty text: no characters, no rows on either engine's formulation
+    val empty = Seq((0L, "")).toDF("id", "text")
+      .select(expr("graft_char_counts(text)").as("xs")).head()
+    assert(empty.getSeq[Row](0).isEmpty)
+  }
+
+  test("graft_topk buffer: boundary insertions keep the total order") {
+    registerAll()
+    import spark.implicits._
+    // ties on sort_val resolve ascending on tie_val; k larger than the
+    // group exercises the partial-buffer path, k=1 the full-eviction path
+    val rows = Seq((1L, 10L), (1L, 7L), (3L, 5L), (3L, 2L), (2L, 9L))
+      .toDF("s", "t")
+    val got3 = rows.agg(expr("graft_topk(s, t, 3)")).head().getSeq[Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got3 == Seq((3L, 2L), (3L, 5L), (2L, 9L)))
+    val got1 = rows.agg(expr("graft_topk(s, t, 1)")).head().getSeq[Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got1 == Seq((3L, 2L)))
+    val got10 = rows.agg(expr("graft_topk(s, t, 10)")).head().getSeq[Row](0)
+    assert(got10.length == 5)
+  }
+
+  test("graft_moments equals the explode+sum tower on a small matrix") {
+    registerAll()
+    import spark.implicits._
+    val vecs = Seq(
+      Array(1L, 2L, 3L), Array(-4L, 5L, 6L), Array(7L, -8L, 9L))
+    val df = vecs.toDF("q")
+    val m = df.agg(expr("graft_moments(q, 3)").as("m")).select(
+      $"m.n", $"m.s", $"m.p").head()
+    assert(m.getLong(0) == 3L)
+    assert(m.getSeq[Long](1) == Seq(4L, -1L, 18L)) // per-dim sums
+    // upper triangle row-major: (0,0)(0,1)(0,2)(1,1)(1,2)(2,2)
+    val p = m.getSeq[Long](2)
+    assert(p == Seq(
+      1 + 16 + 49, 2 - 20 - 56, 3 - 24 + 63,
+      4 + 25 + 64, 6 + 30 - 72, 9 + 36 + 81).map(_.toLong))
+  }
+}

@@ -726,7 +726,18 @@ object DedupOps {
     * n_dup_grams)` — shared by the span REPORT
     * ([[dedupRepeatedSubstrings]]) and the span REMOVAL
     * ([[textStripRepeatedSpans]]). */
-  private def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+  /** Memoized shared stage (r11): BOTH consumers — the span report
+    * (`dedup_repeated_substrings`) and the span removal
+    * (`text_strip_repeated_spans`) — previously rebuilt the whole K-gram
+    * lattice (positional gram hashing, the cross-doc dup-gram agg, the
+    * semi join, and two stacked windows) from scratch; at the sf1 probe
+    * each paid 11-12 s. The finished span table is tiny (spans per doc),
+    * so it persists whole and the pair shares one build, the
+    * `dup_windows`/`exact_topk` pattern. */
+  private def repeatedSpans(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, s"dupspans:$dir") { buildRepeatedSpans(spark, dir).persist() }
+
+  private def buildRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val K = SpanGram
     val grams = Tables.documents(spark, dir)
@@ -1225,6 +1236,8 @@ object DedupOps {
       timed("cc_labels") {
         PipelineOps.dedupConnectedComponents(spark, dir).count(); () },
       timed("dup_windows") { TextOps.dupWindows(spark, dir).count(); () },
+      // repeated-span lattice (r11): shared by the span report + removal
+      timed("dup_spans") { repeatedSpans(spark, dir).count(); () },
       timed("winnow_fps") { TextOps.winnowFps(spark, dir).count(); () },
       timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
       // brute-force exact top-5 (r11): the ground-truth side of

@@ -45,13 +45,14 @@ object DedupOps {
     * pair. */
   private[operators] def shingleSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GramHashes.register(spark)
+    // r11: the gram construction + md5 collapse into one codegen'd
+    // graft_gram_hashes pass per doc (kernel == the interpreted
+    // transform/concat_ws tower + md5, pinned in FunctionsSpec); below
+    // 3 tokens the kernel emits no windows, replacing the size() guard
     Tables.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("ws"))
-      .select($"doc_id",
-        explode(when(size($"ws") >= 3,
-          expr("transform(sequence(0, size(ws) - 3), i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"))
-          .otherwise(expr("array()"))).as("sh"))
-      .select($"doc_id", unhex(md5($"sh")).as("m"))
+      .select($"doc_id", explode(expr("graft_gram_hashes(ws, 3)")).as("m"))
       .distinct()
   }
 
@@ -739,12 +740,14 @@ object DedupOps {
 
   private def buildRepeatedSpans(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GramHashes.register(spark)
     val K = SpanGram
+    // graft_gram_hashes = the interpreted transform/slice/concat_ws/md5
+    // tower in one codegen'd pass (kernel == tower pinned in FunctionsSpec)
     val grams = Tables.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("ws"))
       .filter(size($"ws") >= K)
-      .select($"doc_id", posexplode(expr(
-        s"transform(sequence(0, size(ws) - $K), i -> unhex(md5(concat_ws(' ', slice(ws, i + 1, $K)))))")))
+      .select($"doc_id", posexplode(expr(s"graft_gram_hashes(ws, $K)")))
       .select($"doc_id", ($"pos" + 1).cast("bigint").as("pos"), $"col".as("g"))
     val dupGrams = grams.groupBy($"g")
       .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"g")

@@ -496,13 +496,18 @@ object TextOps {
   private[operators] def winnowFps(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedDf(spark, s"winnow:$dir") {
       import spark.implicits._
+      graft.functions.GramHashes.register(spark)
       Tables.documents(spark, dir)
         .select($"doc_id", split(lower($"text"), " ").as("ts"))
         .filter(size($"ts") >= 8)
+        // r11: the per-window md5 tower runs in the graft_gram_hashes
+        // kernel; the first 8 hex digits of each md5 are the first 4
+        // raw bytes of the kernel's binary output (conv is case-blind,
+        // so hex()'s uppercase parses identically)
         .select($"doc_id", expr(
-          """transform(sequence(1, size(ts) - 3),
-            |  i -> cast(conv(substr(md5(concat_ws(' ', slice(ts, i, 4))), 1, 8),
-            |                 16, 10) as bigint))""".stripMargin).as("hs"))
+          """transform(graft_gram_hashes(ts, 4),
+            |  g -> cast(conv(hex(substring(g, 1, 4)), 16, 10) as bigint))"""
+            .stripMargin).as("hs"))
         .select($"doc_id", $"hs", explode(expr(
           """array_distinct(transform(sequence(1, size(hs) - 4),
             |  j -> array_max(filter(sequence(j, j + 4),
@@ -591,13 +596,16 @@ object TextOps {
 
   def textFingerprint(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GramHashes.register(spark)
+    // r11: 5-gram md5s from the codegen'd kernel; lower(hex(g)) restores
+    // md5()'s lowercase-hex string so the lexicographic min is unchanged
+    // (Spark's hex() is uppercase). Below 5 tokens the kernel emits no
+    // windows and array_min(empty) is null, matching the old size guard.
     Tables.documents(spark, dir)
       .select($"doc_id", md5(lower($"text")).as("fp_exact"),
         split(lower($"text"), " ").as("ws"))
       .select($"doc_id", $"fp_exact",
-        when(size($"ws") >= 5,
-          expr("""array_min(transform(sequence(0, size(ws) - 5),
-                 i -> md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4]))))"""))
+        expr("array_min(transform(graft_gram_hashes(ws, 5), g -> lower(hex(g))))")
           .as("fp_min_gram"))
       .orderBy($"doc_id")
   }
@@ -1130,13 +1138,14 @@ object TextOps {
     * backstop as with every other cached stage. */
   private[operators] def dupWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.GramHashes.register(spark)
     DedupOps.cachedDf(spark, s"dupwins:$dir") {
       Tables.documents(spark, dir)
         .select($"doc_id", split(lower($"text"), " ").as("ts"))
         .filter(size($"ts") >= 10)
-        .select($"doc_id", explode(expr(
-          "transform(sequence(1, size(ts) - 9), i -> unhex(md5(concat_ws(' ', slice(ts, i, 10)))))"))
-          .as("gram"))
+        // one codegen'd kernel pass per doc (kernel == the interpreted
+        // transform/slice/md5 tower, pinned in FunctionsSpec)
+        .select($"doc_id", explode(expr("graft_gram_hashes(ts, 10)")).as("gram"))
         .persist()
     }
   }

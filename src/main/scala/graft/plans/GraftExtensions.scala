@@ -43,6 +43,7 @@ object GraftOps {
     graft.functions.Phash128.register(spark)
     graft.functions.MomentMatrix.register(spark)
     graft.functions.CharCounts.register(spark)
+    graft.functions.GramHashes.register(spark)
   }
 
   /** Left as-of join (see [[AsOfJoin]] for semantics and the scale

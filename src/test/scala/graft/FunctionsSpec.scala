@@ -86,6 +86,29 @@ class FunctionsSpec extends SparkTestBase {
     assert(got10.length == 5)
   }
 
+  test("graft_gram_hashes equals the transform/slice/md5 tower, incl. short inputs") {
+    registerAll()
+    graft.functions.GramHashes.register(spark)
+    import spark.implicits._
+    val texts = Seq("a b c d e f g h i j", "one two three", "onlyone", "",
+      "a  b c", // double space -> empty token, concat_ws keeps it
+      "héllo wörld mixed 中文 tokens here okay")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      .select($"id", split(lower($"text"), " ").as("ws"))
+    Seq(1, 3, 10).foreach { k =>
+      val rows = df.select($"id",
+        expr(s"graft_gram_hashes(ws, $k)").as("kernel"),
+        expr(s"""CASE WHEN size(ws) >= $k THEN transform(sequence(0, size(ws) - $k),
+                 i -> unhex(md5(concat_ws(' ', slice(ws, i + 1, $k)))))
+                 ELSE array() END""").as("tower")).collect()
+      rows.foreach { r =>
+        val a = r.getSeq[Array[Byte]](1).map(_.toSeq)
+        val b = r.getSeq[Array[Byte]](2).map(_.toSeq)
+        assert(a == b, s"k=$k mismatch for id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("graft_moments equals the explode+sum tower on a small matrix") {
     registerAll()
     import spark.implicits._

@@ -1048,20 +1048,43 @@ object DedupOps {
       // ~25-byte strings (same md5-int trick that sped up ngram_jaccard;
       // the oracle hashes identically, so parity is exact even in the
       // astronomically-unlikely collision case)
+      //
+      // CANONICALIZE-THEN-JOIN (r11, the phash pattern): identical texts
+      // have identical shingle sets, so the whole PPJoin pipeline runs on
+      // ONE representative per distinct content and member pairs are
+      // rebuilt afterwards in output-sized expansion joins. Exactness is
+      // by construction — J(a, b) depends only on the two shingle sets,
+      // so every expanded pair carries its rep pair's exact metrics, and
+      // intra-group pairs are Jaccard 1 ≥ t by definition. The local
+      // fixture is nearly dup-free at the text level (the 10× probe data
+      // Caesar-shifts each copy: 49,920 distinct texts / 50k docs), so
+      // the measured gain here is small — the move exists for the 100 TB
+      // corpus, where exact-duplicate rates of 30-50% would otherwise
+      // square into the rank window, the prefix self-join, and both
+      // verify joins. Overhead when there are no dups: one md5 per doc,
+      // one window, one semi join — all linear and key-partitioned.
+      val members = Tables.documents(spark, dir)
+        .select($"doc_id", md5(lower($"text")).as("ck"))
+        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"ck")))
+        .select($"doc_id", $"rep")
+        .persist()
       // tok feeds five consumers (df agg, rank join, sizes, both verify
       // sides) and pfx two (the self-join) — persist both or the md5
       // projection over the cached [[sharedShingles]] re-runs per consumer
-      val tok = sharedShingles(spark, dir)
-        .select($"doc_id", expr("cast(conv(substr(hex(m), 1, 15), 16, 10) as bigint)").as("h"))
-        .persist()
+      var tok: DataFrame = null
       var pfx: DataFrame = null
       var out: DataFrame = null
       var done = false
-      // the finally releases both shingle intermediates on every exit —
-      // after the eager materialize on success, and on a mid-build job
-      // failure, which would otherwise leave them persisted with no
-      // owner; a partially-cached `out` is released on failure too
+      // the finally releases every intermediate on every exit — after the
+      // eager materialize on success, and on a mid-build job failure,
+      // which would otherwise leave them persisted with no owner; a
+      // partially-cached `out` is released on failure too
       try {
+        tok = sharedShingles(spark, dir)
+          .join(members.filter($"doc_id" === $"rep").select($"doc_id"),
+            Seq("doc_id"), "left_semi")
+          .select($"doc_id", expr("cast(conv(substr(hex(m), 1, 15), 16, 10) as bigint)").as("h"))
+          .persist()
         val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
         val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
         val ranked = tok.join(dfreq, "h")
@@ -1081,21 +1104,39 @@ object DedupOps {
           .join(tok.as("ta"), $"ta.doc_id" === $"doc_a")
           .join(tok.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.h" === $"tb.h")
           .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-        out = common
+        val repPairs = common
           .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
           .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
           .withColumn("union_n", $"sz_a" + $"sz_b" - $"n_common")
           .filter($"n_common" * 2 >= $"union_n")
           .select($"doc_a", $"doc_b", $"n_common", $"union_n",
             ($"n_common".cast("double") / $"union_n".cast("double")).as("jaccard"))
-          .persist()
-        out.count() // materialize so the shingle intermediates can go NOW
+        // expansion is output-sized: every emitted row IS a result pair.
+        // A doc belongs to exactly one content group, so inter pairs
+        // cannot collide across rep pairs or with intra pairs.
+        val inter = repPairs
+          .join(members.select($"doc_id".as("m_a"), $"rep".as("doc_a")), "doc_a")
+          .join(members.select($"doc_id".as("m_b"), $"rep".as("doc_b")), "doc_b")
+          .select(least($"m_a", $"m_b").as("doc_a"),
+            greatest($"m_a", $"m_b").as("doc_b"),
+            $"n_common", $"union_n", $"jaccard")
+        // the sizes inner join drops shingle-less groups (< 3 tokens),
+        // which produce no pairs in the direct formulation either
+        val intra = members.as("x").join(members.as("y"),
+            $"x.rep" === $"y.rep" && $"x.doc_id" < $"y.doc_id")
+          .join(sizes.select($"doc_id".as("szrep"), $"sz"), $"x.rep" === $"szrep")
+          .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
+            $"sz".as("n_common"), $"sz".as("union_n"),
+            ($"sz".cast("double") / $"sz".cast("double")).as("jaccard"))
+        out = inter.unionByName(intra).persist()
+        out.count() // materialize so the intermediates can go NOW
         done = true
         out
       } finally {
         // blocking=true for the same attribution reason as the ngram
         // build: async removal taxes the NEXT query's timed window
-        tok.unpersist(blocking = true)
+        members.unpersist(blocking = true)
+        if (tok != null) tok.unpersist(blocking = true)
         if (pfx != null) pfx.unpersist(blocking = true)
         if (!done && out != null) out.unpersist(blocking = false)
       }

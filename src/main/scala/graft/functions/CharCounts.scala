@@ -81,15 +81,18 @@ object CharCounts {
 
   /** Decode the codepoint of the UTF-8 sequence at `off` (length `len`).
     * Shared with [[Phash128]], whose `ascii()` semantics are also the
-    * codepoint of the sampled character. */
-  private[functions] def codePointAt(bytes: Array[Byte], off: Int, len: Int): Int = len match {
-    case 1 => bytes(off) & 0x7f
-    case 2 => ((bytes(off) & 0x1f) << 6) | (bytes(off + 1) & 0x3f)
-    case 3 => ((bytes(off) & 0x0f) << 12) | ((bytes(off + 1) & 0x3f) << 6) |
-      (bytes(off + 2) & 0x3f)
-    case _ => ((bytes(off) & 0x07) << 18) | ((bytes(off + 1) & 0x3f) << 12) |
-      ((bytes(off + 2) & 0x3f) << 6) | (bytes(off + 3) & 0x3f)
-  }
+    * codepoint of the sampled character. A sequence truncated by the end
+    * of the buffer (malformed UTF-8) decodes from the bytes that exist —
+    * garbage-in-garbage-out like the built-in path, but never a crash. */
+  private[functions] def codePointAt(bytes: Array[Byte], off: Int, len0: Int): Int =
+    math.min(len0, bytes.length - off) match {
+      case 1 => bytes(off) & 0x7f
+      case 2 => ((bytes(off) & 0x1f) << 6) | (bytes(off + 1) & 0x3f)
+      case 3 => ((bytes(off) & 0x0f) << 12) | ((bytes(off + 1) & 0x3f) << 6) |
+        (bytes(off + 2) & 0x3f)
+      case _ => ((bytes(off) & 0x07) << 18) | ((bytes(off + 1) & 0x3f) << 12) |
+        ((bytes(off + 2) & 0x3f) << 6) | (bytes(off + 3) & 0x3f)
+    }
 
   /** Register `graft_char_counts(text)` in the session's function
     * registry. Idempotent. */

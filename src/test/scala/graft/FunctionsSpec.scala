@@ -109,6 +109,58 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("randomized parity: kernels == towers on 150 generated strings") {
+    registerAll()
+    graft.functions.GramHashes.register(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // mixed alphabet: ascii words, unicode (2- and 3-byte UTF-8), runs of
+    // spaces (empty tokens), and boundary lengths — sampled with a FIXED
+    // seed so the suite never flaps
+    val token = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf("héllo", "ÿ", "日本", "語", "中文mix", ""),
+      Gen.const(" ")) // doubles a separator -> empty tokens
+    val text = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, token).map(_.mkString(" ")))
+    val rows = Iterator.iterate(Seed(7L))(_.next)
+      .flatMap(s => text.apply(Gen.Parameters.default, s))
+      .take(150).toSeq.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("id", "text").select($"id", $"text",
+      split(lower($"text"), " ").as("ws"))
+    val checked = df.select($"id",
+      expr("graft_phash128(text)").as("ph_k"),
+      expr("""transform(sequence(0, 3), qq -> aggregate(zip_with(
+          slice(transform(transform(sequence(0, 127),
+              i -> ascii(substring(text, 1 + cast((i * (length(text) - 1)) div 127 as int), 1))),
+            c -> if(128 * c > aggregate(transform(sequence(0, 127),
+              i -> ascii(substring(text, 1 + cast((i * (length(text) - 1)) div 127 as int), 1))),
+              0L, (a, x) -> a + x), 1L, 0L)), 1 + 32 * qq, 32),
+          sequence(0, 31), (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x))""")
+        .as("ph_t"),
+      expr("graft_gram_hashes(ws, 3)").as("gr_k"),
+      expr("""CASE WHEN size(ws) >= 3 THEN transform(sequence(0, size(ws) - 3),
+              i -> unhex(md5(concat_ws(' ', slice(ws, i + 1, 3)))))
+              ELSE array() END""").as("gr_t")).collect()
+    checked.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"phash id=${r.getLong(0)}")
+      assert(r.getSeq[Array[Byte]](3).map(_.toSeq) == r.getSeq[Array[Byte]](4).map(_.toSeq),
+        s"gram id=${r.getLong(0)}")
+    }
+    // char-count parity on the same corpus (empty texts excluded: the
+    // explode formulation drops them, the kernel returns an empty array)
+    val ck = df.filter(length($"text") > 0)
+      .select($"id", expr("graft_char_counts(text)").as("xs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1).map(x => (x.getString(0), x.getLong(1)))).toMap
+    val ct = df.filter(length($"text") > 0)
+      .select($"id", explode(expr(
+        "transform(sequence(1, length(text)), i -> substring(text, i, 1))")).as("ch"))
+      .groupBy($"id", $"ch").agg(count(lit(1)).as("c"))
+      .groupBy($"id").agg(sort_array(collect_list(struct($"ch", $"c"))).as("xs")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Row](1).map(x => (x.getString(0), x.getLong(1)))).toMap
+    assert(ck == ct)
+  }
+
   test("graft_moments equals the explode+sum tower on a small matrix") {
     registerAll()
     import spark.implicits._

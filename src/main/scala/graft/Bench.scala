@@ -155,6 +155,20 @@ object Bench {
       re.findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Prior-round shared-stage build seconds, from the flat
+    * `"shared_stages":{name:sec,...}` map every full ledger carries (the
+    * rich per-stage detail lives under a separate key precisely so this
+    * parse stays format-stable). Missing file → no stage retries. */
+  private def priorStages(path: String): Map[String, Double] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+      val obj = """"shared_stages"\s*:\s*\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val kv = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.eE+-]+)""".r
+      kv.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // the bench contract is local[32]: default to it rather than a
@@ -185,22 +199,66 @@ object Bench {
     val benchT0 = System.nanoTime()
     def offset(): Double = (System.nanoTime() - benchT0) / 1e9
     val sentStart = sentinels(spark)
+    val prior = priorMins(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_prior.json"))
+    val stagePrior = priorStages(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_prior.json"))
     // memoized shared stages (shingle set, MinHash estimates, SimHash
     // sketch, ngram pairs, PPJoin pairs) are built and timed ONCE up front
     // as their own ledger lines: previously whichever dedup-family query
     // ran first paid the whole sketch build, so unchanged queries appeared
     // to regress between rounds whenever registration order shifted.
-    // prewarm handles its own per-stage failures (a failed stage drops
-    // only its ledger line); only a FATAL error reaches here, and then
-    // the JVM is not worth salvaging — let it die loudly
-    val shared = graft.operators.DedupOps.prewarmSharedStages(spark, sfDir)
+    //
+    // Contamination retry (r12): the r11 driver ledger absorbed ~190 s of
+    // sandbox stall entirely inside these one-shot builds (kmeans_assign
+    // 3.4→24.1 s, pq_codebook 3.7→28.6 s on unchanged code) because the
+    // 3×-prior retry protected queries only. Each stage now carries its
+    // memo keys, so a build >3× its committed prior is EVICTED (full
+    // builder re-runs, intermediates included) and rebuilt once, and the
+    // ledger records the min plus task_cpu_ms/gc attribution per stage —
+    // a real regression keeps its inflated min on both attempts honestly.
+    // A failed stage drops only its ledger line (earlier stages keep
+    // theirs); only a FATAL error reaches here, and then the JVM is not
+    // worth salvaging — let it die loudly.
+    final case class SRes(name: String, sec: Double, runs: Seq[Double],
+      taskCpuMs: Long, taskGcMs: Long, gcDelta: Long, retried: Boolean)
+    val stageResults = graft.operators.DedupOps.sharedStageList(spark, sfDir)
+      .flatMap { st =>
+        memListener.reset()
+        val gc0 = gcMillis()
+        def buildOnce(): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { st.build().count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(
+                s"[bench] shared stage ${st.name} failed: ${e.getMessage}")
+              None
+          }
+        }
+        var runs = Vector(buildOnce())
+        val retried = (runs.head, stagePrior.get(st.name)) match {
+          case (Some(s), Some(p)) if s > 3.0 * p =>
+            graft.operators.DedupOps.evictStage(spark, st.memoKeys)
+            runs :+= buildOnce()
+            true
+          case _ => false
+        }
+        val good = runs.flatten
+        // retry-rebuild failure after a successful first build is fine:
+        // min falls back to the first (cached) build's time and the next
+        // accessor call repopulates the evicted cache lazily
+        if (good.isEmpty) None
+        else Some(SRes(st.name, good.min, runs.map(_.getOrElse(-1.0)),
+          memListener.cpuNs.get() / 1000000L, memListener.gcMs.get(),
+          gcMillis() - gc0, retried))
+      }
+    val shared = stageResults.map(r => (r.name, r.sec))
     // block-manager snapshot right after prewarm: the r8 ledger showed the
     // first post-prewarm queries inflated on unchanged code, so the ledger
     // now records how much storage the prewarm actually pinned
     val cachedBytes = spark.sparkContext.getExecutorMemoryStatus.values
       .map { case (max, remaining) => max - remaining }.sum
-    val prior = priorMins(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_PRIOR", "bench_prior.json"))
     // noop-format write executes the FULL plan (final sorts/projections
     // included) — a count() would let Catalyst prune them. The "queries"
     // map holds ONLY successes (so a naive sum over it is correct); failed
@@ -277,6 +335,14 @@ object Bench {
       s""""task_cpu_ms":${r.taskCpuMs},"task_gc_ms":${r.taskGcMs},""" +
       s""""retried":${r.retried}}"""
     }.mkString("{", ",", "}")
+    // rich per-stage attribution lives under its OWN key so the flat
+    // "shared_stages" map (what priorStages parses, what the driver's
+    // round-over-round compare reads) never changes shape
+    val sharedDetail = stageResults.map { r =>
+      s"""\"${r.name}\":{"runs":[${r.runs.mkString(",")}],"min":${r.sec},""" +
+      s""""task_cpu_ms":${r.taskCpuMs},"task_gc_ms":${r.taskGcMs},""" +
+      s""""gc_ms":${r.gcDelta},"retried":${r.retried}}"""
+    }.mkString("{", ",", "}")
     val ledger =
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Rounds,
          |"n_queries":${results.count(_.ok)},"sf":"$sfDir","cpus":$cpus,
@@ -284,6 +350,7 @@ object Bench {
          |"sentinels":$sentinelsJson,
          |"cached_bytes_after_prewarm":$cachedBytes,
          |"shared_stages":$sharedJson,
+         |"shared_stages_detail":$sharedDetail,
          |"failed":$failedNames,"failed_secs":$failedSecs,
          |"queries":$perQuery}""".stripMargin
     try java.nio.file.Files.write(java.nio.file.Paths.get(ledgerPath),

@@ -1238,81 +1238,132 @@ object DedupOps {
        |ORDER BY threshold_x100""".stripMargin
   }
 
-  /** Timed materialization of every memoized shared stage, for benchmark
-    * ledgers: builds (and caches) the shared shingle set, the MinHash
-    * estimates, the SimHash sketch, the n-gram Jaccard pairs, and the
-    * PPJoin pair set, returning (stage, seconds) per build. Running this
-    * BEFORE timing individual queries means no query's ledger line
-    * silently includes another family member's sketch build — the
-    * first-toucher-pays attribution noise that made unchanged queries
-    * appear to regress between rounds. The shingle set is built (and
-    * timed) FIRST so every downstream build line measures only its OWN
-    * work; in r8 the shingle explode+distinct ran inside minhash, ngram
-    * and ppjoin each, inflating all three. */
-  def prewarmSharedStages(spark: SparkSession, dir: String): Seq[(String, Double)] = {
-    // per-stage isolation: a stage that throws drops only ITS ledger
-    // line — earlier stages already built, cached, and timed must keep
-    // theirs, or the queries reusing their warm cache would report a
-    // total lower than the work actually done. A failed stage leaves no
-    // cache entry, so its cost lands on whichever query rebuilds it —
-    // correctly attributed either way.
-    def timed(name: String)(f: => Unit): Option[(String, Double)] = {
+  /** One benchmark-visible shared stage: `build()` returns the memoized
+    * persisted DataFrame (constructing + caching it on first call), and
+    * `memoKeys` names every [[cachedDf]] entry that first call populates —
+    * the handle [[evictStage]] needs to force a genuine from-scratch
+    * rebuild (a bare `unpersist` on the returned DataFrame would leave the
+    * memo map pointing at an uncached plan and measure a different, worse
+    * recompute than the real builder, which persists its own
+    * intermediates). */
+  final case class SharedStage(
+    name: String, memoKeys: Seq[String], build: () => DataFrame)
+
+  /** Drop the named memoized stages so the next accessor call re-runs the
+    * full builder. Eviction happens under the same per-key build lock as
+    * [[cachedDf]], and strictly BEFORE any rebuild is attempted: Spark's
+    * CacheManager is keyed by the canonicalized plan, so unpersisting the
+    * old DataFrame after an identical new one is persisted would evict
+    * the new one's data too. Blocking unpersist, so the freed blocks
+    * cannot bill their removal churn to the timed rebuild. */
+  private[graft] def evictStage(spark: SparkSession, memoKeys: Seq[String]): Unit =
+    memoKeys.foreach { key =>
+      val k = (spark, key)
+      val lock = buildLocks.computeIfAbsent(k, _ => new Object)
+      lock.synchronized {
+        estCache.remove(k).foreach(_.unpersist(blocking = true))
+      }
+    }
+
+  /** Every memoized shared stage the benchmark materializes (and times)
+    * up front, in dependency order — the shingle set FIRST so every
+    * downstream build line measures only its OWN work (in r8 the shingle
+    * explode+distinct ran inside minhash, ngram and ppjoin each,
+    * inflating all three). Building these BEFORE timing individual
+    * queries means no query's ledger line silently includes another
+    * family member's sketch build — the first-toucher-pays attribution
+    * noise that made unchanged queries appear to regress between rounds.
+    *
+    * `memoKeys` must list every cache entry the stage's first build
+    * populates (e.g. `kmeans_assign` trains the centroids too), or a
+    * contamination retry would re-time only the cheap tail of the stage
+    * and under-report an honest regression. */
+  def sharedStageList(spark: SparkSession, dir: String): Seq[SharedStage] = Seq(
+    SharedStage("shingle_sets", Seq(s"shingles:$dir"),
+      () => sharedShingles(spark, dir)),
+    SharedStage("minhash_estimates", Seq(s"minhash:$dir"),
+      () => minhashEstimates(spark, dir)),
+    SharedStage("simhash_sketch", Seq(s"simhash:$dir"),
+      () => simhashSketch(spark, dir)),
+    SharedStage("ngram_pairs", Seq(s"ngram:$dir"),
+      () => dedupNgramJaccard(spark, dir)),
+    SharedStage("ppjoin_pairs", Seq(s"ppjoin:$dir"),
+      () => dedupPrefixFilter(spark, dir)),
+    // CC label fixpoint (r10): five consumers (components, canonical
+    // pick, cluster sizes, near-dup extract, per-source dedup rates) —
+    // the iterative build gets its own line for the same reason
+    SharedStage("cc_labels", Seq(s"cc_labels:$dir"),
+      () => PipelineOps.dedupConnectedComponents(spark, dir)),
+    SharedStage("dup_windows", Seq(s"dupwins:$dir"),
+      () => TextOps.dupWindows(spark, dir)),
+    // repeated-span lattice (r11): shared by the span report + removal
+    SharedStage("dup_spans", Seq(s"dupspans:$dir"),
+      () => repeatedSpans(spark, dir)),
+    SharedStage("winnow_fps", Seq(s"winnow:$dir"),
+      () => TextOps.winnowFps(spark, dir)),
+    SharedStage("quantized_vectors", Seq(s"quantized:$dir"),
+      () => SimilarityOps.quantized(spark, dir)),
+    // brute-force exact top-5 (r11): the ground-truth side of
+    // similarity_topk and both recall scorecards — the O(n²/100) score
+    // join runs once here instead of per consumer per bench round
+    SharedStage("exact_topk", Seq(s"exacttopk:$dir"),
+      () => SimilarityOps.exactTopk(spark, dir)),
+    SharedStage("ivf_assign", Seq(s"ivfassign:$dir"),
+      () => SimilarityOps.ivfAssign(spark, dir)),
+    SharedStage("ivf_candidates", Seq(s"ivfcand:$dir:4"),
+      () => SimilarityOps.ivfCandidates(spark, dir)),
+    // trained-model stages (r10): k-means coarse quantizer shared by
+    // dedup_semantic + similarity_ivf_trained, and the Lloyd-trained
+    // PQ codebook — without their own lines the TRAINING cost would
+    // bill to whichever consumer runs first alphabetically. The assign
+    // stage's first build also trains the centroids (kmcent), so both
+    // keys evict together.
+    SharedStage("kmeans_assign", Seq(s"kmassign:$dir", s"kmcent:$dir"),
+      () => SimilarityOps.kmeansAssign(spark, dir)),
+    SharedStage("pq_codebook_trained", Seq(s"pqcbt:$dir"),
+      () => SimilarityOps.pqCodebookTrained(spark, dir)),
+    // per-variant top-3 ANN results (r11): each is #queries×3 rows read
+    // by three consumers (the variant's own query + both recall
+    // scorecards) — built once here so the candidate join + window
+    // re-rank stops re-running per consumer per round
+    SharedStage("ann_lsh", Seq(s"annres:lsh:$dir"),
+      () => SimilarityOps.similarityAnnLsh(spark, dir)),
+    SharedStage("ann_ivf", Seq(s"annres:ivf:$dir"),
+      () => SimilarityOps.similarityIvf(spark, dir)),
+    SharedStage("ann_ivf_trained", Seq(s"annres:ivf_trained:$dir"),
+      () => SimilarityOps.similarityIvfTrained(spark, dir)),
+    SharedStage("ann_ivfpq", Seq(s"annres:ivfpq:$dir"),
+      () => SimilarityOps.similarityIvfPq(spark, dir)),
+    SharedStage("ann_ivfpq_trained", Seq(s"annres:ivfpq_trained:$dir"),
+      () => SimilarityOps.similarityIvfPqTrained(spark, dir)),
+    // encoded word-type table (r11): shared by text_bpe_encode +
+    // text_tokenizer_fertility — the 8-merge fold tower executes once
+    // here instead of (interpreted, under an Expand ×2) per consumer
+    SharedStage("bpe_types", Seq(s"bpetypes:$dir"),
+      () => TextOps.bpeEncodedTypes(spark, dir)))
+
+  /** Timed materialization of every memoized shared stage, for callers
+    * that want the simple (stage, seconds) view without the retry
+    * machinery ([[graft.Bench]] drives [[sharedStageList]] directly so it
+    * can attach task metrics and a contamination retry per stage).
+    *
+    * Per-stage isolation: a stage that throws drops only ITS ledger
+    * line — earlier stages already built, cached, and timed must keep
+    * theirs, or the queries reusing their warm cache would report a
+    * total lower than the work actually done. A failed stage leaves no
+    * cache entry, so its cost lands on whichever query rebuilds it —
+    * correctly attributed either way. NonFatal only: an OOM or interrupt
+    * must propagate, not launch further Spark jobs in a compromised JVM. */
+  def prewarmSharedStages(spark: SparkSession, dir: String): Seq[(String, Double)] =
+    sharedStageList(spark, dir).flatMap { st =>
       val t0 = System.nanoTime()
-      try { f; Some((name, (System.nanoTime() - t0) / 1e9)) }
+      try { st.build().count(); Some((st.name, (System.nanoTime() - t0) / 1e9)) }
       catch {
-        // NonFatal only: an OOM or interrupt must propagate, not launch
-        // further Spark jobs in a compromised JVM; the skip is logged so
-        // a missing ledger line is traceable
         case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] shared stage $name failed: ${e.getMessage}")
+          System.err.println(s"[bench] shared stage ${st.name} failed: ${e.getMessage}")
           None
       }
     }
-    Seq(
-      timed("shingle_sets") { sharedShingles(spark, dir).count(); () },
-      timed("minhash_estimates") { minhashEstimates(spark, dir).count(); () },
-      timed("simhash_sketch") { simhashSketch(spark, dir).count(); () },
-      timed("ngram_pairs") { dedupNgramJaccard(spark, dir).count(); () },
-      timed("ppjoin_pairs") { dedupPrefixFilter(spark, dir).count(); () },
-      // CC label fixpoint (r10): five consumers (components, canonical
-      // pick, cluster sizes, near-dup extract, per-source dedup rates) —
-      // the iterative build gets its own line for the same reason
-      timed("cc_labels") {
-        PipelineOps.dedupConnectedComponents(spark, dir).count(); () },
-      timed("dup_windows") { TextOps.dupWindows(spark, dir).count(); () },
-      // repeated-span lattice (r11): shared by the span report + removal
-      timed("dup_spans") { repeatedSpans(spark, dir).count(); () },
-      timed("winnow_fps") { TextOps.winnowFps(spark, dir).count(); () },
-      timed("quantized_vectors") { SimilarityOps.quantized(spark, dir).count(); () },
-      // brute-force exact top-5 (r11): the ground-truth side of
-      // similarity_topk and both recall scorecards — the O(n²/100) score
-      // join runs once here instead of per consumer per bench round
-      timed("exact_topk") { SimilarityOps.exactTopk(spark, dir).count(); () },
-      timed("ivf_assign") { SimilarityOps.ivfAssign(spark, dir).count(); () },
-      timed("ivf_candidates") { SimilarityOps.ivfCandidates(spark, dir).count(); () },
-      // trained-model stages (r10): k-means coarse quantizer shared by
-      // dedup_semantic + similarity_ivf_trained, and the Lloyd-trained
-      // PQ codebook — without their own lines the TRAINING cost would
-      // bill to whichever consumer runs first alphabetically
-      timed("kmeans_assign") { SimilarityOps.kmeansAssign(spark, dir).count(); () },
-      timed("pq_codebook_trained") {
-        SimilarityOps.pqCodebookTrained(spark, dir).count(); () },
-      // per-variant top-3 ANN results (r11): each is #queries×3 rows read
-      // by three consumers (the variant's own query + both recall
-      // scorecards) — built once here so the candidate join + window
-      // re-rank stops re-running per consumer per round
-      timed("ann_lsh") { SimilarityOps.similarityAnnLsh(spark, dir).count(); () },
-      timed("ann_ivf") { SimilarityOps.similarityIvf(spark, dir).count(); () },
-      timed("ann_ivf_trained") {
-        SimilarityOps.similarityIvfTrained(spark, dir).count(); () },
-      timed("ann_ivfpq") { SimilarityOps.similarityIvfPq(spark, dir).count(); () },
-      timed("ann_ivfpq_trained") {
-        SimilarityOps.similarityIvfPqTrained(spark, dir).count(); () },
-      // encoded word-type table (r11): shared by text_bpe_encode +
-      // text_tokenizer_fertility — the 8-merge fold tower executes once
-      // here instead of (interpreted, under an Expand ×2) per consumer
-      timed("bpe_types") { TextOps.bpeEncodedTypes(spark, dir).count(); () }).flatten
-  }
 
   /** LSH banding-threshold tuning report (`dedup_lsh_tuning`): every
     * MinHash candidate pair verified against EXACT shingle Jaccard,

@@ -100,7 +100,13 @@ object GramHashes {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gram_hashes")))
       reg.createOrReplaceTempFunction("graft_gram_hashes", exprs => {
         val k = exprs(1) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            // foldable-but-null (CAST(NULL AS INT)) gets the same usable
+            // error as a non-literal, not a raw NPE
+            case _ => throw new IllegalArgumentException(
+              "graft_gram_hashes: k must be a non-null integer literal")
+          }
           case other => throw new IllegalArgumentException(
             s"graft_gram_hashes: k must be a literal, got $other")
         }

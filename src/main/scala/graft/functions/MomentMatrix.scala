@@ -66,21 +66,33 @@ case class MomentMatrix(
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(d, arr.numElements())
+      // fail fast on irregular inputs: the documented bit-parity with the
+      // explode+sum tower holds only for fixed-width non-null vectors —
+      // silently truncating a long row or reading a null slot (undefined
+      // via getLong) would produce a plausible-looking wrong matrix. The
+      // null pre-scan is d bitmask reads per row, noise next to the d²/2
+      // multiply-accumulate below.
+      if (arr.numElements() != d) throw new IllegalArgumentException(
+        s"graft_moments: expected array<bigint> of length $d, " +
+          s"got ${arr.numElements()} elements")
+      var k = 0
+      while (k < d) {
+        if (arr.isNullAt(k)) throw new IllegalArgumentException(
+          s"graft_moments: null element at index $k (non-null vectors required)")
+        k += 1
+      }
       buf.n += 1
       var i = 0
       var t = 0
-      while (i < n) {
+      while (i < d) {
         val qi = arr.getLong(i)
         buf.sums(i) += qi
         var j = i
-        while (j < n) {
+        while (j < d) {
           buf.prods(t) += qi * arr.getLong(j)
           t += 1
           j += 1
         }
-        // rows shorter than d (defensive): skip the missing tail's slots
-        t += d - n
         i += 1
       }
     }
@@ -137,7 +149,13 @@ object MomentMatrix {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_moments")))
       reg.createOrReplaceTempFunction("graft_moments", exprs => {
         val d = exprs(1) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            // a foldable-but-null d (CAST(NULL AS INT)) must get the same
+            // usable error as a non-literal, not a raw NPE
+            case _ => throw new IllegalArgumentException(
+              "graft_moments: d must be a non-null integer literal")
+          }
           case other => throw new IllegalArgumentException(
             s"graft_moments: d must be a literal, got $other")
         }

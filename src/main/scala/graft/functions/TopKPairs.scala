@@ -147,7 +147,13 @@ object TopKPairs {
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_topk")))
       reg.createOrReplaceTempFunction("graft_topk", exprs => {
         val k = exprs(2) match {
-          case e if e.foldable => e.eval().asInstanceOf[Number].intValue()
+          case e if e.foldable => e.eval() match {
+            case n: Number => n.intValue()
+            // foldable-but-null (CAST(NULL AS INT)) gets the same usable
+            // error as a non-literal, not a raw NPE
+            case _ => throw new IllegalArgumentException(
+              "graft_topk: k must be a non-null integer literal")
+          }
           case other => throw new IllegalArgumentException(
             s"graft_topk: k must be a literal, got $other")
         }

@@ -616,6 +616,11 @@ object SimilarityOps {
           .as("s_ij"),
         expr("element_at(m.s, cast(t.i + 1 as int))").as("s_i"),
         expr("element_at(m.s, cast(t.j + 1 as int))").as("s_j"))
+      // empty corpus → zero rows, matching both the oracle's grouped form
+      // and the retired explode form (the global agg always yields one
+      // state row, which would otherwise unpack into 2080 n=0 rows with a
+      // 0/0 covariance)
+      .filter($"n" > 0)
       .select($"i", $"j", $"n", $"s_ij", $"s_i", $"s_j",
         // (n·Σqᵢqⱼ − Σqᵢ·Σqⱼ) / (n² · 10¹²): numerator exact in
         // DECIMAL(38,0), denominator a product of exactly-representable

@@ -177,4 +177,46 @@ class FunctionsSpec extends SparkTestBase {
       1 + 16 + 49, 2 - 20 - 56, 3 - 24 + 63,
       4 + 25 + 64, 6 + 30 - 72, 9 + 36 + 81).map(_.toLong))
   }
+
+  test("graft_moments rejects irregular vectors instead of silently truncating") {
+    registerAll()
+    import spark.implicits._
+    // wrong-length row: the documented bit-parity with the explode+sum
+    // tower only holds for fixed-width vectors, so a short row must fail
+    // loudly, not contribute a truncated partial product
+    val short = Seq(Array(1L, 2L, 3L), Array(4L, 5L)).toDF("q")
+    val e1 = intercept[Exception] {
+      short.agg(expr("graft_moments(q, 3)")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e1).exists(_.contains("graft_moments")))
+    // null element: getLong on a null slot is undefined, must fail loudly
+    val withNull = Seq(Seq[java.lang.Long](1L, null, 3L)).toDF("q")
+    val e2 = intercept[Exception] {
+      withNull.agg(expr("graft_moments(q, 3)")).collect()
+    }
+    assert(chain(e2).exists(_.contains("graft_moments")))
+  }
+
+  test("literal-k registry builders reject a foldable null with a usable error") {
+    registerAll()
+    graft.functions.GramHashes.register(spark)
+    import spark.implicits._
+    val doc = Seq((1L, Array("a", "b", "c"))).toDF("id", "ws")
+    val vec = Seq(Array(1L, 2L)).toDF("q")
+    val pair = Seq((1L, 2L)).toDF("s", "t")
+    for ((name, frame) <- Seq(
+      ("graft_moments(q, cast(null as int))", vec),
+      ("graft_gram_hashes(ws, cast(null as int))", doc),
+      ("graft_topk(s, t, cast(null as int))", pair))) {
+      val e = intercept[Exception] { frame.selectExpr(name).collect() }
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+          .map(x => Option(x.getMessage).getOrElse("")).toSeq
+      assert(chain(e).exists(_.contains("non-null integer literal")),
+        s"$name: expected the usable literal error, got ${chain(e)}")
+    }
+  }
 }

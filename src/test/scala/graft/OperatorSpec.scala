@@ -1523,6 +1523,16 @@ class OperatorSpec extends SparkTestBase {
     assert(si.values.forall(_.size == 1), "s_i differs across j for a fixed i")
   }
 
+  test("embedding_covariance: empty corpus yields zero rows, not n=0 cells") {
+    // the global moments agg always produces one state row; the n > 0
+    // guard must keep the empty-input shape of the grouped oracle (zero
+    // rows) instead of unpacking 2080 cells with a 0/0 covariance
+    val empty = java.nio.file.Files.createTempDirectory("cov_empty").toString
+    Tables.embeddings(spark, sfDir).limit(0)
+      .write.mode("overwrite").parquet(s"$empty/embeddings.parquet")
+    assert(SparkEntry.queries("embedding_covariance")(spark, empty).count() == 0L)
+  }
+
   test("agg_cms_topk: one-sided error and exact sketch mergeability") {
     val rows = SparkEntry.queries("agg_cms_topk")(spark, sfDir).collect()
     assert(rows.length == 20)

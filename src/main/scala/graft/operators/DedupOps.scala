@@ -1336,6 +1336,15 @@ object DedupOps {
       () => SimilarityOps.similarityIvfPq(spark, dir)),
     SharedStage("ann_ivfpq_trained", Seq(s"annres:ivfpq_trained:$dir"),
       () => SimilarityOps.similarityIvfPqTrained(spark, dir)),
+    // k-NN edge list + its canonical/oriented derivations (r12): consumed
+    // by both graph queries — without their own line the same-cell
+    // candidate join billed to whichever graph query ran first
+    // alphabetically (the r11 pagerank 1.5→3.9 s "move"). One stage, not
+    // three: the derivations are single cheap shuffles over the cached
+    // list and always build together.
+    SharedStage("knn_edges",
+      Seq(s"knnedges:$dir", s"knnund:$dir", s"knnoriented:$dir"),
+      () => GraphOps.knnOriented(spark, dir)),
     // encoded word-type table (r11): shared by text_bpe_encode +
     // text_tokenizer_fertility — the 8-merge fold tower executes once
     // here instead of (interpreted, under an Expand ×2) per consumer

@@ -122,38 +122,116 @@ object GraphOps {
   }
 
   /** Per-node triangle count + local clustering coefficient
-    * (`graph_triangle_count`). Edges are canonically oriented (a < b) so
-    * the 3-way join emits each triangle exactly once; the coefficient is
-    * 2T / (deg·(deg−1)), 0 when deg < 2. Every node appears (isolated
-    * vectors report 0/0/0.0), so the report doubles as a degree table. */
+    * (`graph_triangle_count`). The coefficient is 2T / (deg·(deg−1)),
+    * 0 when deg < 2. Every node appears (isolated vectors report
+    * 0/0/0.0), so the report doubles as a degree table.
+    *
+    * Enumeration uses DEGREE-ORDERED orientation (the standard power-law
+    * fix): each undirected edge points from its lower-(degree, id)
+    * endpoint to the higher, making the oriented graph a DAG where every
+    * node's out-degree is O(√m) regardless of its undirected degree. A
+    * triangle then has exactly ONE node with out-edges to the other two,
+    * so wedges (pairs of out-neighbors of one center) closed by an
+    * existence join against the undirected edge set emit each triangle
+    * exactly once. The previous id-ordered orientation fanned a popular
+    * low-id hub out by its full degree — quadratic in hub degree on
+    * skewed graphs (comment-flagged r11, fixed r12). */
   def graphTriangleCount(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nodes = SimilarityOps.quantized(spark, dir).select($"vec_id")
-    val edges = knnEdges(spark, dir)
-    val und = edges
-      .select(least($"src", $"dst").as("a"), greatest($"src", $"dst").as("b"))
+    triangleStats(nodes, knnUndirected(spark, dir), knnOriented(spark, dir))
+  }
+
+  /** Memoized canonical undirected edge set `(a < b)`, persisted like
+    * [[knnEdges]]: the enumeration reads it from three plan branches
+    * (degree table, orientation, wedge-closing existence join) — left
+    * unpersisted, Spark recomputes the distinct per branch and the query
+    * pays ~7× its own weight in stage scheduling (measured 14.9 s vs
+    * 1-2 s at sf0.1 on a 4k-edge graph). 3n-row bound at any corpus
+    * size, so the persist is as cheap as the edge list itself. */
+  private[operators] def knnUndirected(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"knnund:$dir") {
+      canonicalUndirected(knnEdges(spark, dir)).persist()
+    }
+
+  /** Memoized degree-rank-oriented edges, persisted: the wedge self-join
+    * reads it twice. Same 3n bound as [[knnUndirected]]. */
+  private[operators] def knnOriented(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"knnoriented:$dir") {
+      orientEdges(knnUndirected(spark, dir)).persist()
+    }
+
+  /** Canonical undirected edge set from a raw directed list: dedupes
+    * reverses/duplicates, drops self-loops. */
+  private[graft] def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
       .distinct()
-    val deg = und.select($"a".as("v")).union(und.select($"b".as("v")))
-      .groupBy($"v").agg(count(lit(1)).as("degree"))
-    val tri = und.as("e1")
-      .join(und.as("e2"), $"e2.a" === $"e1.b")
-      .join(und.as("e3"), $"e3.a" === $"e1.a" && $"e3.b" === $"e2.b")
-      .select($"e1.a".as("ta"), $"e1.b".as("tb"), $"e2.b".as("tc"))
-    val tcount = tri.select($"ta".as("v"))
-      .union(tri.select($"tb".as("v")))
-      .union(tri.select($"tc".as("v")))
-      .groupBy($"v").agg(count(lit(1)).as("triangles"))
+
+  /** Degree-ordered orientation: each undirected edge points from its
+    * lower-(degree, id) endpoint to the higher, so the oriented graph is
+    * a DAG with O(√m) out-degree per node regardless of its undirected
+    * degree — the standard power-law fix. `ddeg` carries the
+    * destination's degree so the wedge join can rank the two
+    * out-neighbors without re-joining the degree table. */
+  private[graft] def orientEdges(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    val aLow = deg.select(col("v").as("a"), col("degree").as("dega"))
+    val bLow = deg.select(col("v").as("b"), col("degree").as("degb"))
+    und.join(aLow, "a").join(bLow, "b")
+      .select(
+        when(col("dega") < col("degb") ||
+            (col("dega") === col("degb") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("degb").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("dega").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+  }
+
+  /** The enumeration core behind [[graphTriangleCount]], parameterized so
+    * the suite can drive it over synthetic skewed fixtures the k-NN graph
+    * never produces. `und` must be the canonical undirected set and
+    * `oriented` its degree-ordered orientation (callers persist both; the
+    * production path memoizes them per (session, dir)). A triangle has
+    * exactly one node with out-edges to the other two in the DAG
+    * orientation, so each is emitted exactly once. */
+  private[graft] def triangleStats(
+      nodes: DataFrame, und: DataFrame, oriented: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+    // wedges: ordered pairs of out-neighbors of one center; the strict
+    // (degree, id) inequality picks each unordered pair once
+    val wedges = oriented.select(col("src"), col("dst").as("d1"), col("ddeg").as("g1"))
+      .join(oriented.select(col("src"), col("dst").as("d2"), col("ddeg").as("g2")),
+        "src")
+      .filter(col("g1") < col("g2") ||
+        (col("g1") === col("g2") && col("d1") < col("d2")))
+    val tri = wedges
+      .join(und,
+        und("a") === least(col("d1"), col("d2")) &&
+          und("b") === greatest(col("d1"), col("d2")))
+      .select(col("src").as("ta"), col("d1").as("tb"), col("d2").as("tc"))
+    val tcount = tri.select(col("ta").as("v"))
+      .union(tri.select(col("tb").as("v")))
+      .union(tri.select(col("tc").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
     nodes
-      .join(deg, $"vec_id" === deg("v"), "left").drop(deg("v"))
-      .join(tcount, $"vec_id" === tcount("v"), "left").drop(tcount("v"))
-      .select($"vec_id",
-        coalesce($"degree", lit(0L)).as("degree"),
-        coalesce($"triangles", lit(0L)).as("triangles"))
+      .join(deg, col("vec_id") === deg("v"), "left").drop(deg("v"))
+      .join(tcount, col("vec_id") === tcount("v"), "left").drop(tcount("v"))
+      .select(col("vec_id"),
+        coalesce(col("degree"), lit(0L)).as("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"))
       .withColumn("clustering",
-        when($"degree" >= 2,
-          round(lit(2.0) * $"triangles" / ($"degree" * ($"degree" - lit(1.0))), 6))
+        when(col("degree") >= 2,
+          round(lit(2.0) * col("triangles") /
+            (col("degree") * (col("degree") - lit(1.0))), 6))
           .otherwise(lit(0.0)))
-      .orderBy($"vec_id")
+      .orderBy(col("vec_id"))
   }
 
   lazy val graphTriangleCountSql: String =

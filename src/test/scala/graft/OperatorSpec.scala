@@ -1890,6 +1890,32 @@ class OperatorSpec extends SparkTestBase {
     assert(expected.values.map(_._2).sum > 0, "no triangles at this sf — fixture too sparse")
   }
 
+  test("triangle enumeration is exact on a skewed hub graph") {
+    // a degree-300 hub plus a peripheral ring — the shape where id-ordered
+    // orientation fans the hub out quadratically and (degree, id)-rank
+    // orientation keeps every out-degree bounded. Counts must be exact:
+    // hub triangles = ring edges among its neighbors, each ring node
+    // closes the two triangles with its ring neighbors + hub.
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 300L
+    val hubEdges = (1L to n).map(i => (0L, i))
+    val ringEdges = (1L to n).map(i => (i, if (i == n) 1L else i + 1L))
+    // duplicates + reversed copies: the core must canonicalize them away
+    val edges = (hubEdges ++ ringEdges ++ hubEdges.map(_.swap))
+      .toDF("src", "dst")
+    val nodes = (0L to n).toDF("vec_id")
+    val und = graft.operators.GraphOps.canonicalUndirected(edges)
+    val got = graft.operators.GraphOps
+      .triangleStats(nodes, und, graft.operators.GraphOps.orientEdges(und))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(0L) == ((n, n)), s"hub row: ${got(0L)}")
+    (1L to n).foreach { i =>
+      assert(got(i) == ((3L, 2L)), s"ring node $i: ${got(i)}")
+    }
+  }
+
   test("profile_columns: one exact row per lineitem column") {
     val n = graft.Tables.lineitem(spark, sfDir).count()
     val rows = SparkEntry.queries("profile_columns")(spark, sfDir).collect()

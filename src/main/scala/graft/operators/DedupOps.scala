@@ -327,6 +327,38 @@ object DedupOps {
   private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"shingles:$dir") { shingleSets(spark, dir).persist() }
 
+  /** Memoized 32-bit inverted shingle index `(doc_id, h, df)` — the
+    * hashed projection of [[sharedShingles]] with each shingle's global
+    * document frequency attached, persisted once per (session, dir).
+    * Three queries re-derived this independently (ngram Jaccard,
+    * containment, LSH tuning), each paying its own md5 projection + df
+    * shuffle per plan branch — containment alone recomputed the capped
+    * view on BOTH sides of its self-join. Consumers read the cache and
+    * filter `df <= cap` inline (a predicate on the cached scan), so one
+    * table serves the capped candidate joins and the uncapped exact
+    * verification. Same scale class as the shingle set itself: 16 bytes
+    * a row, hash-partitioned, spills rather than evicts. */
+  private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, s"shidx:$dir") {
+      import spark.implicits._
+      val sh = sharedShingles(spark, dir)
+        .select($"doc_id",
+          conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
+      sh.join(sh.groupBy($"h").agg(count(lit(1)).as("df")), "h")
+        .select($"doc_id", $"h", $"df")
+        .persist()
+    }
+
+  /** Memoized per-document FULL shingle-set sizes `(doc_id, nsh)` — one
+    * row per document, shared by every consumer of [[shingleIndex]]. */
+  private[graft] def shingleSizes(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, s"shsizes:$dir") {
+      import spark.implicits._
+      shingleIndex(spark, dir)
+        .groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+        .persist()
+    }
+
   private[graft] def minhashEstimates(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"minhash:$dir") {
       import spark.implicits._
@@ -551,59 +583,27 @@ object DedupOps {
     // is eagerly materialized into the tiny result and released before
     // this block returns.
     val pairs = cachedDf(spark, s"ngram:$dir") {
-      // the hashed projection feeds four plan branches (df-cap, per-doc
-      // sizes, both sides of the intersection join) — persisted so the
-      // md5 pass runs once; the shingle set underneath comes out of the
-      // session-shared [[sharedShingles]] cache, never recomputed here.
-      // Shingles are hashed to md5-derived 32-bit ints BEFORE the
-      // inverted index: 8-byte join/shuffle keys instead of ~30-byte
-      // strings. The oracle derives the identical ints, so a (≈n²/2³²
-      // vanishing) hash collision would affect both engines identically
-      // — parity holds by construction, not by luck.
-      val sh = sharedShingles(spark, dir)
-        .select($"doc_id",
-          conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
+      // the hashed + df-attached inverted index is the session-shared
+      // [[shingleIndex]] stage (32-bit md5-derived ints: 8-byte join/
+      // shuffle keys instead of ~30-byte strings; the oracle derives the
+      // identical ints, so a ≈n²/2³² vanishing hash collision would
+      // affect both engines identically — parity by construction). The
+      // df cap is a predicate on the cached scan; per-doc sizes come
+      // from the shared [[shingleSizes]] stage.
+      val capped = shingleIndex(spark, dir)
+        .filter($"df" <= 50).select($"doc_id", $"h")
+      val sizes = shingleSizes(spark, dir)
+      val inter = capped.as("a").join(capped.as("b"),
+          $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
+      inter
+        .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
+        .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
+        .select($"doc_a", $"doc_b", jac.as("jaccard"))
+        .filter($"jaccard" >= 0.5)
         .persist()
-      // the finally releases the shingle intermediate on every exit —
-      // after the eager materialize on success, and on a mid-build job
-      // failure, which would otherwise leave sh persisted with no owner;
-      // a partially-cached `out` (some partitions completed before the
-      // materialize failed) is released the same way
-      var out: DataFrame = null
-      var done = false
-      try {
-        // df cap and per-doc sizes are plain partial+final aggregates —
-        // NOT window functions, which would force two extra full
-        // shuffle+sorts of the widest intermediate in the pipeline just
-        // to attach whole-group counts. The capped-shingle semi join
-        // shares the `h` hash key with the intersection self-join, so
-        // the exchange is reused.
-        val capped = sh.join(
-          sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
-          Seq("h"), "left_semi")
-        val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
-        val inter = capped.as("a").join(capped.as("b"),
-            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .agg(count(lit(1)).as("n_inter"))
-        val jac = $"n_inter".cast("double") / ($"nsh_a" + $"nsh_b" - $"n_inter")
-        out = inter
-          .join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
-          .join(sizes.select($"doc_id".as("doc_b"), $"nsh".as("nsh_b")), "doc_b")
-          .select($"doc_a", $"doc_b", jac.as("jaccard"))
-          .filter($"jaccard" >= 0.5)
-          .persist()
-        out.count() // materialize so the shingle intermediate can go NOW
-        done = true
-        out
-      } finally {
-        // blocking=true: async removal would land the cleanup cost on
-        // whatever unrelated query runs NEXT (measured in r8 as inflated
-        // times on the first post-prewarm queries); synchronous removal
-        // keeps it inside this build's own timed window
-        sh.unpersist(blocking = true)
-        if (!done && out != null) out.unpersist(blocking = false)
-      }
     }
     pairs.orderBy($"doc_a", $"doc_b")
   }
@@ -647,12 +647,12 @@ object DedupOps {
     * only recompute, so no per-query persist/unpersist churn. */
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val sh = sharedShingles(spark, dir)
-      .select($"doc_id", conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
-    val capped = sh.join(
-      sh.groupBy($"h").agg(count(lit(1)).as("nd")).filter($"nd" <= 50).select($"h"),
-      Seq("h"), "left_semi")
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    // the capped view is a predicate over the session-shared
+    // [[shingleIndex]] cache — previously this query re-derived the md5
+    // projection + df aggregate on BOTH sides of the self-join, every run
+    val capped = shingleIndex(spark, dir)
+      .filter($"df" <= 50).select($"doc_id", $"h")
+    val sizes = shingleSizes(spark, dir)
     val inter = capped.as("a").join(capped.as("b"),
         $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
@@ -1063,16 +1063,16 @@ object DedupOps {
       // square into the rank window, the prefix self-join, and both
       // verify joins. Overhead when there are no dups: one md5 per doc,
       // one window, one semi join — all linear and key-partitioned.
-      val members = Tables.documents(spark, dir)
+      // rep pick via partial+final min aggregation, not a window — the
+      // window sorted the whole corpus by content key; the groupBy
+      // combines map-side
+      val ckd = Tables.documents(spark, dir)
         .select($"doc_id", md5(lower($"text")).as("ck"))
-        .withColumn("rep", min($"doc_id").over(Window.partitionBy($"ck")))
+      val members = ckd
+        .join(ckd.groupBy($"ck").agg(min($"doc_id").as("rep")), "ck")
         .select($"doc_id", $"rep")
         .persist()
-      // tok feeds five consumers (df agg, rank join, sizes, both verify
-      // sides) and pfx two (the self-join) — persist both or the md5
-      // projection over the cached [[sharedShingles]] re-runs per consumer
-      var tok: DataFrame = null
-      var pfx: DataFrame = null
+      var docTok: DataFrame = null
       var out: DataFrame = null
       var done = false
       // the finally releases every intermediate on every exit — after the
@@ -1080,33 +1080,50 @@ object DedupOps {
       // which would otherwise leave them persisted with no owner; a
       // partially-cached `out` is released on failure too
       try {
-        tok = sharedShingles(spark, dir)
+        val tok = sharedShingles(spark, dir)
           .join(members.filter($"doc_id" === $"rep").select($"doc_id"),
             Seq("doc_id"), "left_semi")
           .select($"doc_id", expr("cast(conv(substr(hex(m), 1, 15), 16, 10) as bigint)").as("h"))
-          .persist()
         val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
-        val wDoc = Window.partitionBy($"doc_id").orderBy($"df", $"h")
-        val ranked = tok.join(dfreq, "h")
-          .select($"doc_id", $"h",
-            row_number().over(wDoc).cast("long").as("pos"),
-            count(lit(1)).over(Window.partitionBy($"doc_id")).as("len"))
-        pfx = ranked.filter($"pos" <= $"len" - expr("(len + 1) div 2") + 1)
+        // PER-DOCUMENT TOKEN ARRAYS, rarest-first (r12): one (doc_id,
+        // hs[], len) row per doc, tokens ordered by (df, h) exactly as
+        // the old row_number window (sort_array on the struct is the
+        // same lexicographic order, ties included). This replaces (a)
+        // the two window sorts with one collect aggregate, and (b) the
+        // verify path's Σ_pairs|A| row EXPLOSION — cand ⋈ tok ⋈ tok
+        // fanned every candidate by its full token set (65M intermediate
+        // rows at the sf1 probe) then hash-aggregated them back; now the
+        // two arrays travel to the pair once and intersect in-task.
+        docTok = tok.join(dfreq, "h")
+          .groupBy($"doc_id")
+          .agg(sort_array(collect_list(struct($"df", $"h"))).as("ts"))
+          .select($"doc_id",
+            expr("transform(ts, x -> x.h)").as("hs"),
+            size($"ts").cast("long").as("len"))
           .persist()
+        // prefix entries unpack from the cached arrays — map-only, so
+        // the cand self-join's two reads don't need their own persist
+        val pfx = docTok
+          .select($"doc_id", $"len", posexplode(
+            expr("slice(hs, 1, cast(len - (len + 1) div 2 + 1 as int))")))
+          .select($"doc_id", $"len",
+            ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
         val cand = pfx.as("a").join(pfx.as("b"),
             $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
             $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&
             lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
               expr("(a.len + b.len + 2) div 3"))
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-        val sizes = tok.groupBy($"doc_id").agg(count(lit(1)).as("sz"))
-        val common = cand
-          .join(tok.as("ta"), $"ta.doc_id" === $"doc_a")
-          .join(tok.as("tb"), $"tb.doc_id" === $"doc_b" && $"ta.h" === $"tb.h")
-          .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_common"))
-        val repPairs = common
-          .join(sizes.select($"doc_id".as("doc_a"), $"sz".as("sz_a")), "doc_a")
-          .join(sizes.select($"doc_id".as("doc_b"), $"sz".as("sz_b")), "doc_b")
+        // exact verify: hs arrays are SETS (sharedShingles is distinct
+        // per doc), so array_intersect size is the exact |A∩B|
+        val repPairs = cand
+          .join(docTok.select($"doc_id".as("doc_a"),
+            $"hs".as("hs_a"), $"len".as("sz_a")), "doc_a")
+          .join(docTok.select($"doc_id".as("doc_b"),
+            $"hs".as("hs_b"), $"len".as("sz_b")), "doc_b")
+          .select($"doc_a", $"doc_b",
+            size(array_intersect($"hs_a", $"hs_b")).cast("long").as("n_common"),
+            $"sz_a", $"sz_b")
           .withColumn("union_n", $"sz_a" + $"sz_b" - $"n_common")
           .filter($"n_common" * 2 >= $"union_n")
           .select($"doc_a", $"doc_b", $"n_common", $"union_n",
@@ -1124,7 +1141,8 @@ object DedupOps {
         // which produce no pairs in the direct formulation either
         val intra = members.as("x").join(members.as("y"),
             $"x.rep" === $"y.rep" && $"x.doc_id" < $"y.doc_id")
-          .join(sizes.select($"doc_id".as("szrep"), $"sz"), $"x.rep" === $"szrep")
+          .join(docTok.select($"doc_id".as("szrep"), $"len".as("sz")),
+            $"x.rep" === $"szrep")
           .select($"x.doc_id".as("doc_a"), $"y.doc_id".as("doc_b"),
             $"sz".as("n_common"), $"sz".as("union_n"),
             ($"sz".cast("double") / $"sz".cast("double")).as("jaccard"))
@@ -1136,8 +1154,7 @@ object DedupOps {
         // blocking=true for the same attribution reason as the ngram
         // build: async removal taxes the NEXT query's timed window
         members.unpersist(blocking = true)
-        if (tok != null) tok.unpersist(blocking = true)
-        if (pfx != null) pfx.unpersist(blocking = true)
+        if (docTok != null) docTok.unpersist(blocking = true)
         if (!done && out != null) out.unpersist(blocking = false)
       }
     }
@@ -1281,6 +1298,14 @@ object DedupOps {
   def sharedStageList(spark: SparkSession, dir: String): Seq[SharedStage] = Seq(
     SharedStage("shingle_sets", Seq(s"shingles:$dir"),
       () => sharedShingles(spark, dir)),
+    // 32-bit df-attached inverted index + per-doc sizes (r12): consumed
+    // by ngram Jaccard, containment, and LSH tuning — previously each
+    // re-derived the md5 projection and df aggregate per plan branch
+    // (containment on both sides of its self-join). One stage: the sizes
+    // table is a single cheap aggregate over the index and they always
+    // build together.
+    SharedStage("shingle_index", Seq(s"shidx:$dir", s"shsizes:$dir"),
+      () => shingleSizes(spark, dir)),
     SharedStage("minhash_estimates", Seq(s"minhash:$dir"),
       () => minhashEstimates(spark, dir)),
     SharedStage("simhash_sketch", Seq(s"simhash:$dir"),
@@ -1396,10 +1421,10 @@ object DedupOps {
     val est = minhashEstimates(spark, dir)
       .select($"doc_a", $"doc_b",
         expr("cast(round(est_jaccard * 16) AS int)").as("match_bits"))
-    val sh = sharedShingles(spark, dir)
-      .select($"doc_id",
-        conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("nsh"))
+    // UNCAPPED hashed view + sizes from the session-shared stages — the
+    // exact verification must see every shingle, so no df predicate here
+    val sh = shingleIndex(spark, dir).select($"doc_id", $"h")
+    val sizes = shingleSizes(spark, dir)
     val inter = est.select($"doc_a", $"doc_b")
       .join(sh.select($"doc_id".as("doc_a"), $"h"), "doc_a")
       .join(sh.select($"doc_id".as("doc_b"), $"h"), Seq("doc_b", "h"))

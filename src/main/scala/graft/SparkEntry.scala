@@ -386,6 +386,9 @@ object SparkEntry {
     // data profiling + distribution summaries
     "profile_columns"          -> (ProfilingOps.profileColumns(_, _)),
     "agg_equidepth_histogram"  -> (ProfilingOps.aggEquidepthHistogram(_, _)),
+    // no oracle: sketch boundaries are engine-specific — the suite pins
+    // total preservation + per-bin depth against the exact variant
+    "agg_equidepth_sketch"     -> (ProfilingOps.aggEquidepthSketch(_, _)),
     "agg_rfm_segments"         -> (ProfilingOps.aggRfmSegments(_, _)),
     // model-based anomaly detection (no oracle — rows-only check)
     "anomaly_kmeans"           -> (AnomalyOps.anomalyKmeans(_, _)),

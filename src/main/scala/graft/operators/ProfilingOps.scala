@@ -138,6 +138,38 @@ object ProfilingOps {
       .orderBy($"bin")
   }
 
+  /** Sketch-boundary equi-depth histogram (`agg_equidepth_sketch`) — the
+    * production twin of [[aggEquidepthHistogram]], same shape/columns but
+    * decile boundaries from `approx_percentile` (Greenwald-Khanna,
+    * accuracy 10000 → rank error ≤ n/10⁴). The exact variant's
+    * `percentile` collects EVERY value into one aggregation buffer — a
+    * full sort grid that cannot survive a 100 TB column; the sketch is a
+    * bounded mergeable summary with partial aggregation, so the scan
+    * stays one map-side pass + a tiny merge. Binning/count/avg math is
+    * identical (and still exact per bin). No cross-engine oracle —
+    * sketch boundaries are engine-specific; the suite pins bin
+    * contiguity, exact total preservation, and per-bin depth within the
+    * sketch's rank-error budget against the exact variant. */
+  def aggEquidepthSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+    val deciles = (1 to 9).map(i => s"0.${i}D").mkString(", ")
+    val bounds = li.agg(
+      expr(s"approx_percentile(l_extendedprice, array($deciles), 10000)")
+        .as("bounds"))
+    li.crossJoin(broadcast(bounds))
+      .select($"l_extendedprice".as("x"),
+        expr("1 + aggregate(bounds, 0, (acc, b) -> acc + if(x > b, 1, 0))").as("bin"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cents"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_rows"),
+        min($"x").as("lo"), max($"x").as("hi"),
+        sum($"cents").as("sum_cents"))
+      .select($"bin", $"n_rows", $"lo", $"hi",
+        round($"sum_cents" / 100.0 / $"n_rows", 6).as("avg_price"))
+      .orderBy($"bin")
+  }
+
   lazy val aggEquidepthHistogramSql: String = {
     val deciles = (1 to 9).map(i => s"quantile_cont(l_extendedprice, 0.$i)").mkString(", ")
     s"""WITH bounds AS (SELECT [$deciles] AS bs FROM lineitem),

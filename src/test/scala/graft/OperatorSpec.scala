@@ -1945,6 +1945,25 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_equidepth_sketch: total preserved, depth within sketch rank error") {
+    val rows = SparkEntry.queries("agg_equidepth_sketch")(spark, sfDir).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 10), "bins must be exactly 1..10")
+    val counts = rows.map(_.getLong(1))
+    val n = graft.Tables.lineitem(spark, sfDir).count()
+    assert(counts.sum == n, "sketch bins must still partition the table exactly")
+    // GK accuracy 10000 → each boundary's rank is within n/10⁴ of the
+    // true decile, so each bin's depth is within 2·n/10⁴ of n/10 (+1 for
+    // integer rounding of the target depth itself)
+    val budget = 2L * (n / 10000L) + 1L
+    counts.foreach { c =>
+      assert(math.abs(c - n / 10L) <= budget,
+        s"bin depth $c beyond rank-error budget of n/10=${n / 10} ± $budget")
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2), "bin ranges overlap")
+    }
+  }
+
   test("agg_rfm_segments: scores in 1..5, customers partitioned exactly once") {
     val spark0 = spark
     import spark0.implicits._

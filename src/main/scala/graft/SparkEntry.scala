@@ -329,8 +329,8 @@ object SparkEntry {
     "quality_benford_totalprice" -> (ProfilingOps.qualityBenfordTotalprice(_, _)),
     // the removal action for dedup_repeated_substrings' spans
     "text_strip_repeated_spans" -> (DedupOps.textStripRepeatedSpans(_, _)),
-    // multi-round BPE merge training on the word-type table (model-based
-    // — no oracle; greedy-score/composition invariants in OperatorSpec)
+    // multi-round BPE merge training on the word-type table
+    // (oracle-checked since r12: the loop restates in DuckDB SQL)
     "text_bpe_train"           -> (TextOps.textBpeTrain(_, _)),
     // apply side: trained merges replayed at word-type granularity
     "text_tokenizer_fertility" -> (TextOps.textTokenizerFertility(_, _)),
@@ -607,6 +607,12 @@ object SparkEntry {
     "text_char_entropy"        -> TextOps.textCharEntropySql,
     "text_strip_repeated_spans" -> DedupOps.textStripRepeatedSpansSql,
     "text_bpe_pairs"           -> TextOps.textBpePairsSql,
+    // r12: the full 8-round training loop restated in DuckDB (delimiter-
+    // string replace == the leftmost-greedy fold) — these three were the
+    // last model-based rows a cross-engine oracle could reach
+    "text_bpe_train"           -> TextOps.textBpeTrainSql,
+    "text_bpe_encode"          -> TextOps.textBpeEncodeSql,
+    "text_tokenizer_fertility" -> TextOps.textTokenizerFertilitySql,
     "curation_corpus_report"   -> PipelineOps.curationCorpusReportSql,
     "text_vocab_coverage"      -> TextOps.textVocabCoverageSql,
     "multimodal_meta"          -> MultimodalOps.multimodalMetaSql,

@@ -951,11 +951,11 @@ object TextOps {
     * (score DESC, left, right), and the fold is leftmost-greedy (the
     * 'aaa' + (a,a) case merges once, not twice) — byte-identical merge
     * tables on every run, which the suite's double-run check exercises
-    * for real because nothing here is memoized. No SQL oracle
-    * (iterative model training, like `anomaly_kmeans`); invariants
-    * instead: scores non-increase across rounds (a fused pair can never
-    * mint a more frequent successor), merged = left||right, and round 1
-    * must reproduce `text_bpe_pairs`' top pair exactly. */
+    * for real because nothing here is memoized. Oracle-checked since
+    * r12: [[textBpeTrainSql]] restates the full loop in DuckDB; the
+    * suite additionally pins score monotonicity across rounds (a fused
+    * pair can never mint a more frequent successor), merged =
+    * left||right, and round 1 == `text_bpe_pairs`' top pair. */
   def textBpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     trainBpeMerges(spark, dir)
@@ -1009,6 +1009,90 @@ object TextOps {
     cur.unpersist(blocking = true)
     merges.toSeq
   }
+
+  /** Shared CTE chain for the BPE ORACLES (r12): the full 8-round
+    * training loop restated in DuckDB SQL, flipping `text_bpe_train` /
+    * `text_bpe_encode` / `text_tokenizer_fertility` from no-oracle to
+    * cross-engine-checked. The leftmost-greedy merge fold is expressed
+    * through a delimiter-string encoding: a word's symbol sequence is
+    * `'|a||b||c|'` (each symbol wrapped in `|…|`, symbols are [a-z0-9]+
+    * so `|` never occurs inside one), and applying merge (l, r) → m is
+    * `replace(s, '|l||r|', '|m|')` — SQL `replace` substitutes leftmost
+    * non-overlapping occurrences scanning left to right, which is
+    * EXACTLY the trainer's fold semantics including the `'aaa'`
+    * overlap case (first pair merges, scan resumes after the
+    * replacement). Each round is pair-count CTE → argmax CTE → apply
+    * CTE; `MATERIALIZED` is load-bearing — the apply step reads its
+    * argmax through three scalar subqueries, and inlined CTEs would
+    * re-expand the whole upstream chain 4× per round (4⁸ scans). */
+  private def bpeOracleCtes: String = {
+    val rounds = 8
+    val head =
+      """wt AS MATERIALIZED (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+        |    FROM documents) u
+        |  GROUP BY w),
+        |s0 AS MATERIALIZED (
+        |  SELECT w, cnt,
+        |    '|' || array_to_string(list_transform(range(1, length(w) + 1),
+        |            i -> substr(w, CAST(i AS INT), 1)), '||') || '|' AS s
+        |  FROM wt)""".stripMargin
+    val rounds8 = (1 to rounds).map { k =>
+      s"""p$k AS (
+         |  SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i + 1 AS INT)] AS r,
+         |         sum(cnt) AS score
+         |  FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS i
+         |        FROM (SELECT cnt, string_split(substr(s, 2, length(s) - 2), '||') AS syms
+         |              FROM s${k - 1}))
+         |  GROUP BY 1, 2),
+         |t$k AS MATERIALIZED (
+         |  SELECT l, r, l || r AS m, CAST(score AS BIGINT) AS score
+         |  FROM p$k ORDER BY score DESC, l, r LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT w, cnt,
+         |    replace(s, '|' || (SELECT l FROM t$k) || '||' || (SELECT r FROM t$k) || '|',
+         |               '|' || (SELECT m FROM t$k) || '|') AS s
+         |  FROM s${k - 1})""".stripMargin
+    }
+    (head +: rounds8).mkString(",\n")
+  }
+
+  lazy val textBpeTrainSql: String = {
+    val union = (1 to 8).map { k =>
+      s"""SELECT CAST($k AS INT) AS step, l AS "left", r AS "right",
+         |       m AS merged, score AS pair_score FROM t$k""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"WITH $bpeOracleCtes\nSELECT * FROM (\n$union) ORDER BY step"
+  }
+
+  lazy val textBpeEncodeSql: String =
+    s"""WITH $bpeOracleCtes
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS occurrences,
+       |       CAST(count(DISTINCT w) AS BIGINT) AS n_word_types
+       |FROM (SELECT w, cnt,
+       |        unnest(string_split(substr(s, 2, length(s) - 2), '||')) AS token
+       |      FROM s8)
+       |GROUP BY token ORDER BY token""".stripMargin
+
+  lazy val textTokenizerFertilitySql: String =
+    s"""WITH $bpeOracleCtes,
+       |wl AS (
+       |  SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+       |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+       |    FROM documents) u
+       |  GROUP BY lang, w),
+       |tokn AS (
+       |  SELECT w,
+       |    CAST(len(string_split(substr(s, 2, length(s) - 2), '||')) AS BIGINT) AS n_tok
+       |  FROM s8)
+       |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+       |       CAST(count(DISTINCT w) AS BIGINT) AS n_word_types,
+       |       CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+       |       (CAST(sum(cnt * n_tok) AS BIGINT) * 1000)
+       |         // CAST(sum(cnt) AS BIGINT) AS fertility_x1000
+       |FROM wl JOIN tokn USING (w)
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Tiny driver-side memo of the trained merge table, keyed by session
     * identity + dir. Holds no reference to the session itself (identity
@@ -1078,9 +1162,9 @@ object TextOps {
     * without the shared stage the distinct-aggregate Expand(×2) here
     * re-evaluated the collapsed 8-fold interpreted tower on both copies
     * of every exploded row (14.0 s vs 0.66 s, r10 verdict). No UDFs.
-    * No SQL oracle (the merges are trained parameters, like
-    * `anomaly_kmeans`' centroids); the spec rebuilds the full histogram
-    * from a driver-side re-encode instead. */
+    * Oracle-checked since r12 ([[textBpeEncodeSql]] re-trains and
+    * re-encodes in DuckDB); the spec additionally rebuilds the full
+    * histogram from a driver-side re-encode. */
   def textBpeEncode(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     bpeEncodedTypes(spark, dir)
@@ -1091,8 +1175,9 @@ object TextOps {
       .orderBy($"token")
   }
 
-  /** Tokenizer fertility report (`text_tokenizer_fertility`, no oracle —
-    * model-based like `text_bpe_encode`): per language, words, word
+  /** Tokenizer fertility report (`text_tokenizer_fertility`,
+    * oracle-checked since r12 via [[textTokenizerFertilitySql]]): per
+    * language, words, word
     * types, emitted BPE tokens under the trained merge table, and the
     * exact per-mille fertility (tokens per word ×1000) — THE metric a
     * tokenizer rollout is judged on (fertility ≈ cost: a language at

@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Tests run SEQUENTIALLY in one forked JVM with one shared session —
+// measured r12: splitting into two concurrently-forked groups
+// (OperatorSpec | rest, each its own 24g pre-touched Spark JVM at
+// local[4]) made the suite SLOWER on this box (623 s sequential ->
+// 784 s / 978 s parallel on back-to-back runs): the shared sandbox
+// degrades under concurrent JVM memory pressure (the SURVEY §6 mode),
+// and OperatorSpec also loses the stage caches the earlier suites warm.
+// Don't re-add testGrouping without re-measuring both ways.
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

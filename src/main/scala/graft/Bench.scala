@@ -189,6 +189,18 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // cap app-status retention: a full bench executes ~500 queries plus
+      // ~40 streaming scenarios in ONE application, and the default
+      // retention (1000 executions / jobs / stages) keeps the status
+      // store + listener bus working through an ever-growing history —
+      // measured r12 as late-run inflation of the latency-sensitive
+      // streaming scenarios (family 24.6 s early-alphabet runs vs 58.8 s
+      // at the tail of a full run, task_cpu flat, gc 0 — pure wait time)
+      .config("spark.sql.ui.retainedExecutions", "50")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "1000")
+      .config("spark.sql.streaming.numRecentProgressUpdates", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val memListener = new TaskMetricListener

@@ -136,4 +136,84 @@ class PropertySpec extends SparkTestBase {
     assert(vals.forall(_ == microsEpoch.sorted),
       s"generations disagree after normalization: $vals")
   }
+
+  test("ppjoin equals brute-force Jaccard on random corpora with planted dups") {
+    // guards the r12 rewrite (array-based verify + canonicalize + prefix
+    // filters): every (pair, n_common, union_n) must match an exact
+    // all-pairs recomputation, on corpora that exercise the intra-group
+    // (exact duplicate) and inter-group (mutated near-dup) expansions
+    import spark.implicits._
+    val vocab = (0 until 30).map(i => s"w$i")
+    val wordGen = Gen.oneOf(vocab)
+    val docGen = Gen.choose(5, 18).flatMap(n => Gen.listOfN(n, wordGen))
+    for (round <- 0 until 2) {
+      val bases = samples(docGen, 30).zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      // mutated near-dups: flip one word near the middle
+      val mutated = bases.take(10).map { case (id, text) =>
+        val ws = text.split(" ", -1)
+        val k = (ws.length / 2 + round) % ws.length
+        ws(k) = if (ws(k) == "w0") "w1" else "w0"
+        (100L + id, ws.mkString(" "))
+      }
+      // exact duplicates: same TEXT, new ids (exercise canonicalization)
+      val dups = bases.take(6).map { case (id, text) => (200L + id, text) }
+      val docs = bases ++ mutated ++ dups
+      val dir = java.nio.file.Files.createTempDirectory(s"ppjoin_prop$round").toString
+      docs.toDF("doc_id", "text").repartition(3)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = graft.operators.DedupOps.dedupPrefixFilter(spark, dir)
+        .select($"doc_a", $"doc_b", $"n_common", $"union_n").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+      // brute force: the exact shingle semantics of shingleSets — split on
+      // single space (empties kept), 3-gram windows, distinct per doc
+      def shingles(text: String): Set[String] = {
+        val ws = text.toLowerCase.split(" ", -1)
+        if (ws.length < 3) Set.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sh = docs.map { case (id, t) => id -> shingles(t) }.toMap
+      val ids = docs.map(_._1).sorted
+      val expected = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+        a = ids(i); b = ids(j)
+        common = (sh(a) intersect sh(b)).size.toLong
+        union = sh(a).size + sh(b).size - common
+        if union > 0 && 2 * common >= union
+      } yield (a, b) -> ((common, union))).toMap
+      assert(got == expected,
+        s"round $round: ppjoin drift — missing=${(expected.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- expected.keySet).take(3)}")
+      assert(expected.nonEmpty, s"round $round: degenerate fixture, no true pairs")
+    }
+  }
+
+  test("triangle enumeration equals brute force on random graphs") {
+    import spark.implicits._
+    val g = graft.operators.GraphOps
+    for (seedOff <- 0 until 2) {
+      val n = 40
+      val edgeGen = for {
+        a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
+      } yield (a, b)
+      val raw = samples(edgeGen, 160 + seedOff) // includes self-loops/dups
+      val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter { case (a, b) => a != b }.toSet
+      val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val expected = (0L until n).map { v =>
+        val nb = adj.getOrElse(v, Set.empty).toSeq
+        val tri = (for {
+          i <- nb.indices; j <- (i + 1) until nb.size
+          if und.contains((math.min(nb(i), nb(j)), math.max(nb(i), nb(j))))
+        } yield 1).size.toLong
+        v -> ((nb.size.toLong, tri))
+      }.toMap
+      val undDf = g.canonicalUndirected(raw.toDF("src", "dst"))
+      val got = g.triangleStats((0L until n).toDF("vec_id"), undDf, g.orientEdges(undDf))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == expected, s"seed $seedOff: triangle drift")
+      assert(expected.values.map(_._2).sum > 0, "degenerate fixture: no triangles")
+    }
+  }
 }

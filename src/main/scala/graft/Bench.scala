@@ -252,6 +252,7 @@ object Bench {
         val retried = (runs.head, stagePrior.get(st.name)) match {
           case (Some(s), Some(p)) if s > 3.0 * p =>
             graft.operators.DedupOps.evictStage(spark, st.memoKeys)
+            st.extraEvict() // driver-side model memos outside cachedDf
             runs :+= buildOnce()
             true
           case _ => false

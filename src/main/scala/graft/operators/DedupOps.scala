@@ -1262,9 +1262,12 @@ object DedupOps {
     * rebuild (a bare `unpersist` on the returned DataFrame would leave the
     * memo map pointing at an uncached plan and measure a different, worse
     * recompute than the real builder, which persists its own
-    * intermediates). */
+    * intermediates). `extraEvict` drops any NON-cachedDf state the first
+    * build populated (e.g. a driver-side model memo) so a contamination
+    * retry re-measures the full build, not a tail of it. */
   final case class SharedStage(
-    name: String, memoKeys: Seq[String], build: () => DataFrame)
+    name: String, memoKeys: Seq[String], build: () => DataFrame,
+    extraEvict: () => Unit = () => ())
 
   /** Drop the named memoized stages so the next accessor call re-runs the
     * full builder. Eviction happens under the same per-key build lock as
@@ -1374,30 +1377,11 @@ object DedupOps {
     // text_tokenizer_fertility — the 8-merge fold tower executes once
     // here instead of (interpreted, under an Expand ×2) per consumer
     SharedStage("bpe_types", Seq(s"bpetypes:$dir"),
-      () => TextOps.bpeEncodedTypes(spark, dir)))
-
-  /** Timed materialization of every memoized shared stage, for callers
-    * that want the simple (stage, seconds) view without the retry
-    * machinery ([[graft.Bench]] drives [[sharedStageList]] directly so it
-    * can attach task metrics and a contamination retry per stage).
-    *
-    * Per-stage isolation: a stage that throws drops only ITS ledger
-    * line — earlier stages already built, cached, and timed must keep
-    * theirs, or the queries reusing their warm cache would report a
-    * total lower than the work actually done. A failed stage leaves no
-    * cache entry, so its cost lands on whichever query rebuilds it —
-    * correctly attributed either way. NonFatal only: an OOM or interrupt
-    * must propagate, not launch further Spark jobs in a compromised JVM. */
-  def prewarmSharedStages(spark: SparkSession, dir: String): Seq[(String, Double)] =
-    sharedStageList(spark, dir).flatMap { st =>
-      val t0 = System.nanoTime()
-      try { st.build().count(); Some((st.name, (System.nanoTime() - t0) / 1e9)) }
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println(s"[bench] shared stage ${st.name} failed: ${e.getMessage}")
-          None
-      }
-    }
+      () => TextOps.bpeEncodedTypes(spark, dir),
+      // the first build also TRAINS the merge table into TextOps'
+      // driver-side memo; a retry must drop it too or the rebuild
+      // re-times only the encode tail and under-reports the stage
+      extraEvict = () => TextOps.evictBpeMergeMemo(spark, dir)))
 
   /** LSH banding-threshold tuning report (`dedup_lsh_tuning`): every
     * MinHash candidate pair verified against EXACT shingle Jaccard,

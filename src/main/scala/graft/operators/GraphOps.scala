@@ -34,12 +34,13 @@ import org.apache.spark.sql.functions._
   *    engines when rank ORDER, not a probability simplex, is the
   *    deliverable) — deterministic and cheaper by one global agg per
   *    iteration; documented here so the oracle states the same recursion.
-  *  - Triangles: enumeration joins canonically oriented edges (a < b), so
-  *    every triangle is generated exactly once. Fan-out per node is
-  *    bounded by its undirected degree ≤ 2k + cell co-membership; on a
-  *    general (power-law) graph the standard fix is degree-ordered
-  *    orientation, which this formulation reduces to when ids are
-  *    replaced by (degree, id) ranks.
+  *  - Triangles: enumeration over (degree, id)-rank-ORIENTED edges (r12)
+  *    — each undirected edge points from its lower-(degree, id) endpoint
+  *    to the higher, making the oriented graph a DAG with O(√m)
+  *    out-degree per node regardless of its undirected degree (the
+  *    standard power-law fix). Wedges (pairs of out-neighbors of one
+  *    center) closed by an existence join against the undirected set
+  *    emit each triangle exactly once.
   *
   * Determinism: edges derive from exact fixed-point cosine
   * ([[SimilarityOps.quantized]]); rank doubles differ across engines only

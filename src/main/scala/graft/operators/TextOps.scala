@@ -1024,7 +1024,11 @@ object TextOps {
     * replacement). Each round is pair-count CTE → argmax CTE → apply
     * CTE; `MATERIALIZED` is load-bearing — the apply step reads its
     * argmax through three scalar subqueries, and inlined CTEs would
-    * re-expand the whole upstream chain 4× per round (4⁸ scans). */
+    * re-expand the whole upstream chain 4× per round (4⁸ scans). A round
+    * with no trainable pair leaves `t$k` empty: its apply CTE then passes
+    * `s` through unchanged (the CASE guard — a NULL replace pattern would
+    * NULL-cascade every later state) and its UNION branch contributes
+    * zero rows, matching the trainer's early-stop `done` flag. */
   private def bpeOracleCtes: String = {
     val rounds = 8
     val head =
@@ -1051,8 +1055,10 @@ object TextOps {
          |  FROM p$k ORDER BY score DESC, l, r LIMIT 1),
          |s$k AS MATERIALIZED (
          |  SELECT w, cnt,
-         |    replace(s, '|' || (SELECT l FROM t$k) || '||' || (SELECT r FROM t$k) || '|',
-         |               '|' || (SELECT m FROM t$k) || '|') AS s
+         |    CASE WHEN (SELECT count(*) FROM t$k) = 0 THEN s
+         |         ELSE replace(s,
+         |           '|' || (SELECT l FROM t$k) || '||' || (SELECT r FROM t$k) || '|',
+         |           '|' || (SELECT m FROM t$k) || '|') END AS s
          |  FROM s${k - 1})""".stripMargin
     }
     (head +: rounds8).mkString(",\n")
@@ -1104,6 +1110,13 @@ object TextOps {
   private def bpeMerges(spark: SparkSession, dir: String): Seq[(Int, String, String, String, Long)] =
     bpeMergeMemo.getOrElseUpdate(
       (System.identityHashCode(spark), dir), trainBpeMerges(spark, dir))
+
+  /** Drop the memoized merge table so the next [[bpeEncodedTypes]] build
+    * re-trains — the bench's contamination retry calls this alongside
+    * evicting the encode cache, because the stage's FIRST build pays for
+    * training and a retry that skips it would under-report the stage. */
+  private[operators] def evictBpeMergeMemo(spark: SparkSession, dir: String): Unit =
+    bpeMergeMemo.remove((System.identityHashCode(spark), dir))
 
   /** Memoized, PERSISTED encoded word-type table `(w, cnt, syms)` shared
     * by [[textBpeEncode]] and [[textTokenizerFertility]] — the tokenizer

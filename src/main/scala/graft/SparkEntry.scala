@@ -89,6 +89,9 @@ object SparkEntry {
     // robust stats: median/MAD/outlier fences (quality-gate alternative
     // to mean/stddev)
     "agg_robust_stats"         -> (Relational.aggRobustStats(_, _)),
+    // no oracle: sketch medians are engine-specific — the suite pins
+    // shape parity + agreement with the exact variant (rank-error budget)
+    "agg_robust_stats_sketch"  -> (Relational.aggRobustStatsSketch(_, _)),
     // Welch t between cohorts from exact integer-cent moments
     "agg_welch_ttest"          -> (Relational.aggWelchTtest(_, _)),
     // public typed Aggregator tier (Encoder-serialized exact buffer)

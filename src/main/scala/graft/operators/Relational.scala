@@ -320,6 +320,40 @@ object Relational {
       .orderBy($"flag")
   }
 
+  /** Sketch-quantile robust stats (`agg_robust_stats_sketch`) — the
+    * production twin of [[aggRobustStats]], same shape/columns with both
+    * medians from `approx_percentile` (GK, accuracy 10000). The exact
+    * variant's `percentile` buffers EVERY group value in one aggregation
+    * state (3 groups here means n/3 values per buffer — a full sort grid
+    * that cannot survive a 100 TB column); the sketch is a bounded
+    * mergeable summary, so both passes stay map-side partial aggregates
+    * at any width. Counts and outlier fences are still exact arithmetic
+    * against the sketched medians. No cross-engine oracle (sketch
+    * boundaries are engine-specific); the suite pins shape parity, exact
+    * n, and median/MAD/outlier agreement with the exact variant within
+    * the sketch's rank-error budget. */
+  def aggRobustStatsSketch(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, dir)
+      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
+    val med = li.groupBy($"flag")
+      .agg(expr("approx_percentile(x, 0.5D, 10000)").as("median_price"))
+    val mad = li.join(broadcast(med), "flag")
+      .select($"flag", $"median_price", abs($"x" - $"median_price").as("d"))
+      .groupBy($"flag")
+      .agg(min($"median_price").as("median_price"),
+        expr("approx_percentile(d, 0.5D, 10000)").as("mad_price"))
+    li.join(broadcast(mad), "flag")
+      .groupBy($"flag", $"median_price", $"mad_price")
+      .agg(count(lit(1)).as("n"),
+        sum(when($"x" > $"median_price" + lit(3.0) * $"mad_price" ||
+                 $"x" < $"median_price" - lit(3.0) * $"mad_price", 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select($"flag", $"median_price".cast("double").as("median_price"),
+        $"mad_price".cast("double").as("mad_price"), $"n", $"n_outliers")
+      .orderBy($"flag")
+  }
+
   /** Exact per-flag average price through the PUBLIC typed
     * [[graft.functions.TypedExactAvg]] Aggregator — the Dataset-native
     * aggregation tier (`groupByKey(...).agg(agg.toColumn)`): a typed

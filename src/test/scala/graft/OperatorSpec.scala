@@ -1113,6 +1113,28 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_robust_stats_sketch: shape parity and agreement with the exact variant") {
+    val exact = SparkEntry.queries("agg_robust_stats")(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3), r.getLong(4)))).toMap
+    val sk = SparkEntry.queries("agg_robust_stats_sketch")(spark, sfDir).collect()
+    assert(sk.map(_.getString(0)).toSeq == exact.keys.toSeq.sorted,
+      "sketch twin must cover the same groups in the same order")
+    sk.foreach { r =>
+      val (med, mad, n, _) = exact(r.getString(0))
+      // accuracy 10000 on ~6k values/group → the sketch median is an
+      // actual data value within a couple of ranks of the true median;
+      // 1% relative is a generous ceiling for the price distribution
+      assert(math.abs(r.getDouble(1) - med) <= 0.01 * med,
+        s"flag ${r.getString(0)}: sketch median ${r.getDouble(1)} vs exact $med")
+      assert(math.abs(r.getDouble(2) - mad) <= 0.02 * mad,
+        s"flag ${r.getString(0)}: sketch MAD ${r.getDouble(2)} vs exact $mad")
+      assert(r.getLong(3) == n, "count must stay exact")
+      assert(r.getLong(4) * 2 < r.getLong(3),
+        s"flag ${r.getString(0)}: sketched fences flagged a majority")
+    }
+  }
+
   test("source_dsv2_pushdown: the planner ships a narrowed interval and pruned schema") {
     import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
     val df = SparkEntry.queries("source_dsv2_pushdown")(spark, sfDir)

@@ -1121,7 +1121,7 @@ class OperatorSpec extends SparkTestBase {
     assert(sk.map(_.getString(0)).toSeq == exact.keys.toSeq.sorted,
       "sketch twin must cover the same groups in the same order")
     sk.foreach { r =>
-      val (med, mad, n, _) = exact(r.getString(0))
+      val (med, mad, n, outliers) = exact(r.getString(0))
       // accuracy 10000 on ~6k values/group → the sketch median is an
       // actual data value within a couple of ranks of the true median;
       // 1% relative is a generous ceiling for the price distribution
@@ -1130,8 +1130,12 @@ class OperatorSpec extends SparkTestBase {
       assert(math.abs(r.getDouble(2) - mad) <= 0.02 * mad,
         s"flag ${r.getString(0)}: sketch MAD ${r.getDouble(2)} vs exact $mad")
       assert(r.getLong(3) == n, "count must stay exact")
-      assert(r.getLong(4) * 2 < r.getLong(3),
-        s"flag ${r.getString(0)}: sketched fences flagged a majority")
+      // fences shifted by the sketch error move only the points sitting
+      // inside the shifted band — a thin tail at 3 MADs, so the counts
+      // must agree within a few points plus a small relative slack
+      assert(math.abs(r.getLong(4) - outliers) <= 5L + outliers / 50L,
+        s"flag ${r.getString(0)}: sketched outlier count ${r.getLong(4)} " +
+          s"vs exact $outliers — fences drifted beyond the sketch budget")
     }
   }
 

@@ -9,8 +9,8 @@ import org.scalacheck.rng.Seed
   * (fixed seed — the suite must never flap). */
 class PropertySpec extends SparkTestBase {
 
-  private def samples[A](g: Gen[A], n: Int): Seq[A] =
-    Iterator.iterate(Seed(42L))(_.next)
+  private def samples[A](g: Gen[A], n: Int, seed: Long = 42L): Seq[A] =
+    Iterator.iterate(Seed(seed))(_.next)
       .flatMap(s => g.apply(Gen.Parameters.default, s))
       .take(n).toSeq
 
@@ -147,7 +147,7 @@ class PropertySpec extends SparkTestBase {
     val wordGen = Gen.oneOf(vocab)
     val docGen = Gen.choose(5, 18).flatMap(n => Gen.listOfN(n, wordGen))
     for (round <- 0 until 2) {
-      val bases = samples(docGen, 30).zipWithIndex
+      val bases = samples(docGen, 30, seed = 42L + 1000L * round).zipWithIndex
         .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
       // mutated near-dups: flip one word near the middle
       val mutated = bases.take(10).map { case (id, text) =>
@@ -162,9 +162,12 @@ class PropertySpec extends SparkTestBase {
       val dir = java.nio.file.Files.createTempDirectory(s"ppjoin_prop$round").toString
       docs.toDF("doc_id", "text").repartition(3)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      val got = graft.operators.DedupOps.dedupPrefixFilter(spark, dir)
+      val gotRows = graft.operators.DedupOps.dedupPrefixFilter(spark, dir)
         .select($"doc_a", $"doc_b", $"n_common", $"union_n").collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+        .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      val got = gotRows.toMap
+      assert(gotRows.length == got.size,
+        s"round $round: duplicate pair rows in the ppjoin output")
       // brute force: the exact shingle semantics of shingleSets — split on
       // single space (empties kept), 3-gram windows, distinct per doc
       def shingles(text: String): Set[String] = {
@@ -196,7 +199,7 @@ class PropertySpec extends SparkTestBase {
       val edgeGen = for {
         a <- Gen.choose(0L, n - 1L); b <- Gen.choose(0L, n - 1L)
       } yield (a, b)
-      val raw = samples(edgeGen, 160 + seedOff) // includes self-loops/dups
+      val raw = samples(edgeGen, 160, seed = 7L + 1000L * seedOff) // self-loops/dups included
       val und = raw.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
         .filter { case (a, b) => a != b }.toSet
       val adj = und.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
@@ -210,8 +213,10 @@ class PropertySpec extends SparkTestBase {
         v -> ((nb.size.toLong, tri))
       }.toMap
       val undDf = g.canonicalUndirected(raw.toDF("src", "dst"))
-      val got = g.triangleStats((0L until n).toDF("vec_id"), undDf, g.orientEdges(undDf))
-        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val gotRows = g.triangleStats((0L until n).toDF("vec_id"), undDf, g.orientEdges(undDf))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      val got = gotRows.toMap
+      assert(gotRows.length == got.size, s"seed $seedOff: duplicate node rows")
       assert(got == expected, s"seed $seedOff: triangle drift")
       assert(expected.values.map(_._2).sum > 0, "degenerate fixture: no triangles")
     }

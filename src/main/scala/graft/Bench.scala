@@ -234,22 +234,32 @@ object Bench {
     // worth salvaging — let it die loudly.
     final case class SRes(name: String, sec: Double, runs: Seq[Double],
       taskCpuMs: Long, taskGcMs: Long, gcDelta: Long, retried: Boolean)
+    // each build snapshots the listener counters around ITSELF, so a
+    // retried stage's ledger line attributes cpu/gc to the SAME run its
+    // `min` reports (pre-r13 the counters accumulated across both builds
+    // while min reflected one, skewing the cpu-vs-wall triangle exactly
+    // for the retried stages it exists to diagnose)
+    final case class SRun(sec: Option[Double], taskCpuMs: Long,
+      taskGcMs: Long, gcDelta: Long)
     val stageResults = graft.operators.DedupOps.sharedStageList(spark, sfDir)
       .flatMap { st =>
-        memListener.reset()
-        val gc0 = gcMillis()
-        def buildOnce(): Option[Double] = {
+        def buildOnce(): SRun = {
+          memListener.reset()
+          val gc0 = gcMillis()
           val t0 = System.nanoTime()
-          try { st.build().count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch {
-            case scala.util.control.NonFatal(e) =>
-              System.err.println(
-                s"[bench] shared stage ${st.name} failed: ${e.getMessage}")
-              None
-          }
+          val sec =
+            try { st.build().count(); Some((System.nanoTime() - t0) / 1e9) }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                System.err.println(
+                  s"[bench] shared stage ${st.name} failed: ${e.getMessage}")
+                None
+            }
+          SRun(sec, memListener.cpuNs.get() / 1000000L,
+            memListener.gcMs.get(), gcMillis() - gc0)
         }
         var runs = Vector(buildOnce())
-        val retried = (runs.head, stagePrior.get(st.name)) match {
+        val retried = (runs.head.sec, stagePrior.get(st.name)) match {
           case (Some(s), Some(p)) if s > 3.0 * p =>
             graft.operators.DedupOps.evictStage(spark, st.memoKeys)
             st.extraEvict() // driver-side model memos outside cachedDf
@@ -257,14 +267,16 @@ object Bench {
             true
           case _ => false
         }
-        val good = runs.flatten
+        val good = runs.filter(_.sec.isDefined)
         // retry-rebuild failure after a successful first build is fine:
         // min falls back to the first (cached) build's time and the next
         // accessor call repopulates the evicted cache lazily
         if (good.isEmpty) None
-        else Some(SRes(st.name, good.min, runs.map(_.getOrElse(-1.0)),
-          memListener.cpuNs.get() / 1000000L, memListener.gcMs.get(),
-          gcMillis() - gc0, retried))
+        else {
+          val best = good.minBy(_.sec.get)
+          Some(SRes(st.name, best.sec.get, runs.map(_.sec.getOrElse(-1.0)),
+            best.taskCpuMs, best.taskGcMs, best.gcDelta, retried))
+        }
       }
     val shared = stageResults.map(r => (r.name, r.sec))
     // block-manager snapshot right after prewarm: the r8 ledger showed the

@@ -579,9 +579,10 @@ object DedupOps {
     // the finished pair set is memoized per (session, dir) like the
     // PPJoin pairs: without it every call re-persisted a fresh shingle
     // set and LEAKED it (no unpersist) — the same block-manager leak
-    // class the prefix-filter cache fix closed. The shingle intermediate
-    // is eagerly materialized into the tiny result and released before
-    // this block returns.
+    // class the prefix-filter cache fix closed. The build is lazy (first
+    // action materializes it) and its only inputs are the session-shared
+    // [[shingleIndex]]/[[shingleSizes]] caches, so nothing here needs an
+    // eager materialize-and-release cycle of its own.
     val pairs = cachedDf(spark, s"ngram:$dir") {
       // the hashed + df-attached inverted index is the session-shared
       // [[shingleIndex]] stage (32-bit md5-derived ints: 8-byte join/
@@ -1115,7 +1116,13 @@ object DedupOps {
               expr("(a.len + b.len + 2) div 3"))
           .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
         // exact verify: hs arrays are SETS (sharedShingles is distinct
-        // per doc), so array_intersect size is the exact |A∩B|
+        // per doc), so array_intersect size is the exact |A∩B|. Caveat:
+        // "set" holds modulo within-doc 60-bit hash collisions — on a
+        // collision hs would carry a duplicate that array_intersect
+        // dedupes while len counts it, diverging from the multiset
+        // formulation by ≤ the collision count (probability ≈ n²/2⁶⁰
+        // per doc, vanishing; the oracle derives the same ints, so any
+        // realized collision shifts both engines' inputs together)
         val repPairs = cand
           .join(docTok.select($"doc_id".as("doc_a"),
             $"hs".as("hs_a"), $"len".as("sz_a")), "doc_a")

@@ -45,7 +45,13 @@ import org.apache.spark.sql.SparkSession
   *    "regression" on unchanged code. `retried` marks those lines.
   */
 object Bench {
-  private val Rounds = 2
+  /** Runs per query: min-of-2 is the committed-ledger contract (see the
+    * de-noising note above); SPARK_GRAFT_BENCH_ROUNDS=1 exists for the
+    * large scale probes, where a single pass keeps a 100× run inside a
+    * sane wall-clock budget and the sentinels still flag contamination.
+    * The driver never sets it → official ledgers stay min-of-2. */
+  private val Rounds =
+    sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(2)
 
   private final case class QRes(name: String, sec: Double, ok: Boolean,
     runs: Seq[Double], t0: Double, gcDelta: Long, peakMem: Long,

@@ -12,11 +12,12 @@ import org.apache.spark.sql.functions._
   *  - `similarity_topk` — brute-force cosine top-k (the exactness
   *    baseline): broadcast the (small) query set against the full corpus,
   *    rank per query;
-  *  - `similarity_ann_lsh` — sign-random-projection LSH: 6 deterministic
-  *    ±1 projections → 6-bit bucket → candidates share the query's bucket
-  *    → exact cosine re-rank inside the bucket. This is the scale path: at
-  *    100 TB the bucket join is a hash shuffle on a 6-bit key (extendable
-  *    to multi-table/multi-probe), never an all-pairs product.
+  *  - `similarity_ann_lsh` — multi-table sign-random-projection LSH:
+  *    deterministic ±1 projections → occupancy-sized bucket keys (bits
+  *    per table grow with log₂ n, see `bitsForCount`) → candidates share
+  *    any table's bucket → exact cosine re-rank. This is the scale path:
+  *    at 100 TB the bucket join is a hash shuffle on keys sized so each
+  *    bucket holds 64–128 vectors, never an all-pairs product.
   *
   * Determinism: embeddings are quantized to `floor(x * 1e6)` fixed-point
   * BIGINTs; dot products and norms are exact integer sums, so the derived
@@ -72,46 +73,80 @@ object SimilarityOps {
   private[operators] def cosineSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a.q, $b.q), p -> p[1] * p[2])) AS DOUBLE) / (sqrt($a.n2) * sqrt($b.n2))"
 
-  /** Deterministic ±1 sign-projection matrix: sign(i,j) from the parity of
-    * md5("i_j")'s first byte. Computed once on the driver, embedded as
-    * literals on both engines. Multi-table LSH: [[NumTables]] independent
-    * hash tables of [[BitsPerTable]] sign bits each — candidates collide
-    * in ANY table, which is what lifts recall on soft clusters while each
-    * table's bucket join stays a cheap hash shuffle. */
+  /** Deterministic ±1 sign projections: sign(i,j) from the parity of
+    * md5("i_j")'s first byte — derivable independently by BOTH engines
+    * (Spark embeds the driver-computed rows as literals; the oracle
+    * recomputes them from DuckDB's own md5), so the projection count can
+    * depend on the corpus without either side shipping a matrix to the
+    * other. Multi-table LSH: [[NumTables]] independent hash tables of
+    * `bitsForCount(n)` sign bits each — candidates collide in ANY table,
+    * which is what lifts recall on soft clusters while each table's
+    * bucket join stays a cheap hash shuffle. */
   private[operators] val NumTables = 8
-  private[operators] val BitsPerTable = 3
-  private[operators] val NumProjections = NumTables * BitsPerTable
+  /** Bits/table floor — the configuration for corpora below ~2^10. */
+  private[operators] val BaseBits = 3
+  /** Bits/table ceiling: 8·24 = 192 projections; the cap binds only past
+    * 2^30 vectors per table, where the right lever is more tables. */
+  private[operators] val MaxBits = 24
   private[operators] val Dims = 64
-  private[operators] lazy val projections: Array[Array[Long]] = {
-    Array.tabulate(NumProjections, Dims) { (i, j) =>
-      val d = MessageDigest.getInstance("MD5").digest(s"${i}_$j".getBytes("UTF-8"))
-      if ((d(0) & 0xff) % 2 == 1) 1L else -1L
-    }
+
+  /** Occupancy-targeted bits per table: k(n) = clamp(floor(log₂ n) − 6,
+    * [[BaseBits]], [[MaxBits]]), pinning expected bucket size n/2ᵏ to
+    * [64, 128) at ANY corpus size. Fixed k is the classic LSH scale
+    * trap — bucket size grows with the corpus, so candidates/query and
+    * the probe join go Θ(n²) total (the 30× probe measured the 3-bit
+    * build 8.2× slower on a 3× step, 769 s of task CPU) — while
+    * occupancy-pinned k keeps candidates/query ≈ NumTables·128 CONSTANT
+    * and the whole probe linear. Same law as the r11 phash banding fix:
+    * the hash must carry ≥ log₂(n) − log₂(occupancy) bits or buckets
+    * saturate. Integer-exact here (numberOfLeadingZeros); the oracle
+    * mirrors it as floor(log2(count)) — log2 of an exact integer only
+    * lands ON an integer at powers of two, where IEEE log2 is exact, so
+    * floor() agrees across engines for every n. */
+  private[operators] def bitsForCount(n: Long): Int = {
+    val log2n = 63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))
+    math.min(MaxBits, math.max(BaseBits, log2n - 6))
   }
 
+  private val projCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  private[operators] def projection(i: Int): Array[Long] =
+    projCache.computeIfAbsent(i, _ => Array.tabulate(Dims) { j =>
+      val d = MessageDigest.getInstance("MD5").digest(s"${i}_$j".getBytes("UTF-8"))
+      if ((d(0) & 0xff) % 2 == 1) 1L else -1L
+    })
+
   /** Per-table bucket keys over the quantized vector column `q`: one
-    * `(table, key)` struct per hash table, exploded to rows. */
-  private def bucketsCol: Column = {
+    * `(table, key)` struct per hash table, exploded to rows. Hash cost is
+    * `NumTables·bits` codegen'd `graft_dot` calls per row — map-only and
+    * corpus-independent per row (≤ 192 64-dim integer dots at the cap). */
+  private def bucketsCol(bits: Int): Column = {
     def bit(i: Int): Column = {
-      val arr = projections(i).mkString("array(", "L, ", "L)")
+      val arr = projection(i).mkString("array(", "L, ", "L)")
       when(expr(s"graft_dot(q, $arr)") > 0, lit("1")).otherwise(lit("0"))
     }
     val tables = (0 until NumTables).map { t =>
       struct(lit(t).as("tbl"),
-        concat((0 until BitsPerTable).map(b => bit(t * BitsPerTable + b)): _*).as("bkt"))
+        concat((0 until bits).map(b => bit(t * bits + b)): _*).as("bkt"))
     }
     explode(array(tables: _*))
   }
 
-  /** Oracle-side buckets: unnest dims, join the embedded ±1 VALUES matrix,
-    * sign of the exact integer sum per projection, bits grouped into
-    * per-table keys. */
-  private def bucketCte: String = {
-    val vals = (for {
-      i <- 0 until NumProjections
-      j <- 0 until Dims
-    } yield s"($i,${j + 1},${projections(i)(j)})").mkString(",")
-    s"""proj(i, j, s) AS (SELECT * FROM (VALUES $vals)),
+  /** Oracle-side buckets: k from the same occupancy law (single-row `kk`
+    * CTE), ±1 signs recomputed from DuckDB's md5 (identical strings and
+    * parity rule as [[projection]]), sign of the exact integer sum per
+    * projection, bits grouped into per-table keys. */
+  private def bucketCte: String =
+    s"""kk AS (
+       |  SELECT greatest($BaseBits,
+       |           least($MaxBits, CAST(floor(log2(count(*))) AS INT) - 6)) AS k
+       |  FROM n),
+       |proj AS (
+       |  SELECT r.i, d.j0 + 1 AS j,
+       |         CASE WHEN CAST(concat('0x', substr(md5(concat(r.i, '_', d.j0)), 1, 2)) AS INT) % 2 = 1
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM range(${NumTables * MaxBits}) r(i), range($Dims) d(j0), kk
+       |  WHERE r.i < $NumTables * kk.k),
        |dims AS (
        |  SELECT vec_id, unnest(q) AS e, generate_subscripts(q, 1) AS j FROM n),
        |sig AS (
@@ -120,10 +155,9 @@ object SimilarityOps {
        |  FROM dims d JOIN proj p ON p.j = d.j
        |  GROUP BY d.vec_id, p.i),
        |bucket AS (
-       |  SELECT vec_id, i // $BitsPerTable AS tbl,
+       |  SELECT vec_id, i // kk.k AS tbl,
        |         string_agg(bit, '' ORDER BY i) AS bkt
-       |  FROM sig GROUP BY vec_id, i // $BitsPerTable)""".stripMargin
-  }
+       |  FROM sig, kk GROUP BY vec_id, i // kk.k)""".stripMargin
 
   /** Query set: every 100th vector — small enough to broadcast, large
     * enough to exercise ranking across the corpus. */
@@ -178,16 +212,21 @@ object SimilarityOps {
        |ORDER BY query_id, rk""".stripMargin
 
   /** ANN via multi-table sign-random-projection LSH: candidates = corpus
-    * vectors colliding with the query in any of the 8 tables' 3-bit
-    * buckets; exact cosine re-rank, top-3. The bucket probe is a plain
-    * hash equi-join on (tbl, bkt) — no broadcast hint, since the query
-    * bucket side is ×8 of a corpus fraction and grows with the corpus;
-    * AQE picks broadcast at small scale and shuffle at large. */
+    * vectors colliding with the query in any of the 8 tables'
+    * occupancy-sized buckets ([[bitsForCount]] — bits grow with log₂ n
+    * so expected bucket size stays 64–128 at any corpus size); exact
+    * cosine re-rank, top-3. The bucket probe is a plain hash equi-join
+    * on (tbl, bkt) — no broadcast hint, since the query bucket side is
+    * ×8 of a corpus fraction and grows with the corpus; AQE picks
+    * broadcast at small scale and shuffle at large. */
   def similarityAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     annTop3(spark, dir, "lsh") {
       val n = quantized(spark, dir)
-      val buckets = n.select($"vec_id", bucketsCol.as("b"))
+      // the count is one cheap action against the memoized+persisted
+      // quantized cache (bounded driver state: a single long), and it is
+      // what makes the index SELF-SIZING instead of config-sized
+      val buckets = n.select($"vec_id", bucketsCol(bitsForCount(n.count())).as("b"))
         .select($"vec_id", $"b.tbl".as("tbl"), $"b.bkt".as("bkt"))
       val qBuckets = buckets.filter(isQuery($"vec_id"))
         .select($"vec_id".as("query_id"), $"tbl", $"bkt")

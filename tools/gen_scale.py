@@ -58,14 +58,23 @@ DIMENSION_TABLES = ["region", "nation"]
 
 
 def caesar(text_array: pa.Array, shift: int) -> pa.Array:
-    """Per-copy deterministic a-z/A-Z rotation; everything else unchanged."""
-    if shift % 26 == 0:
+    """Per-copy deterministic keyed a-z/A-Z substitution; everything else
+    unchanged. A plain Caesar rotation wraps at 26: copies i and i+26
+    carried BIT-IDENTICAL text, planting ~n cross-copy exact-dup pairs
+    per wrapped copy at K>26 (measured: the first K=30 probe's minhash
+    pair count jumped 11.6x on a 3x step and dedup_edit_distance looked
+    quadratic — fixture artifact, not engine behavior). A seeded
+    alphabet permutation per copy keeps lengths/word boundaries/Zipf
+    shape exactly like the rotation did, with permutation collisions at
+    ~1/26! instead of guaranteed at i ≡ j (mod 26)."""
+    if shift == 0:
         return text_array
     lo = "abcdefghijklmnopqrstuvwxyz"
     hi = lo.upper()
+    perm = np.random.default_rng(7777 + shift).permutation(26)
     table = str.maketrans(
         lo + hi,
-        lo[shift % 26:] + lo[:shift % 26] + hi[shift % 26:] + hi[:shift % 26])
+        "".join(lo[p] for p in perm) + "".join(hi[p] for p in perm))
     return pa.array(
         [None if t is None else t.translate(table)
          for t in text_array.to_pylist()],

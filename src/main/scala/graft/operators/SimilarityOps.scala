@@ -411,38 +411,69 @@ object SimilarityOps {
     * `nprobe` is the recall/cost dial a real ANN service tunes: each
     * probed list adds ~n/k candidate re-ranks per query, so cost grows
     * linearly in nprobe while recall saturates. Measured on the sf0.001
-    * test embeddings (k=16, multi-assignment ×2): recall@3 = 0.93 /
-    * 1.00 / 1.00 at nprobe 4/6/8 — the registered query ships nprobe=4
-    * (≈25% of lists scanned), and the suite pins the curve's shape by
-    * asserting monotonic recall and ≥0.85 at nprobe 4, ≥0.90 at 8. */
+    * test embeddings (K(500)=16, multi-assignment ×2): recall@3 = 0.93 /
+    * 1.00 / 1.00 at nprobe 4/6/8 — the registered query ships nprobe=4,
+    * and the suite pins the curve's shape by asserting monotonic recall
+    * and ≥0.85 at nprobe 4, ≥0.90 at 8. At larger corpora K grows as
+    * √(n/2) (see [[kForCount]]) so the scanned fraction nprobe·2/K —
+    * and with it the probe's cost share — FALLS with scale instead of
+    * staying a constant half of the corpus. */
   def similarityIvfTrained(spark: SparkSession, dir: String): DataFrame =
     annTop3(spark, dir, "ivf_trained") {
       similarityIvfTrainedProbe(spark, dir, nprobe = 4)
     }
 
-  /** Memoized K=16 spherical-kmeans centroids `(pivot_id, c)` — the
-    * TRAINED bounded-K coarse quantizer, shared by
-    * [[similarityIvfTrained]] and [[DedupOps.dedupSemantic]] (the
-    * SemDeDup paper's k-means step). Spherical: features are
-    * L2-normalized before training so Euclidean cells align with the
-    * cosine metric both consumers rank by. Seed-fixed and memoized per
-    * (session, dir): one training pass feeds every consumer; the result
-    * is a k-row LOCAL frame whose broadcast is bounded by K, never by
-    * the corpus.
+  /** Trained-quantizer cell count: K(n) = clamp(⌈√(n/2)⌉, 16, 256).
+    * Fixed K=16 was the IVF twin of the fixed-bits LSH trap: cell size
+    * n/K grows with the corpus, so the probe re-ranks nprobe·multi/K =
+    * HALF the corpus per query — Θ(n²) total (the 30× probe measured
+    * the trained-probe stage 4.5× slower on a 3× step, 37 s at sf3).
+    * √n-sizing is the textbook IVF balance (assignment n·K and probe
+    * n/100·nprobe·n/K meet at K ≈ √n); the 256 cap bounds the
+    * assignment's n·K row expansion — past it (n ≳ 130k vectors per...
+    * the fixture corpus) probe growth re-enters at 1/32 of the fixed-16
+    * constant, and the documented next lever is a hierarchical
+    * two-level quantizer, not a bigger flat K. */
+  private[graft] def kForCount(n: Long): Int =
+    math.min(256, math.max(16, math.ceil(math.sqrt(n / 2.0)).toInt))
+
+  /** Memoized K(n) spherical-kmeans centroids `(pivot_id, c)` — the
+    * TRAINED coarse quantizer, shared by [[similarityIvfTrained]] and
+    * [[DedupOps.dedupSemantic]] (the SemDeDup paper's k-means step).
+    * Spherical: features are L2-normalized before training so Euclidean
+    * cells align with the cosine metric both consumers rank by.
+    * Seed-fixed and memoized per (session, dir): one training pass
+    * feeds every consumer; the result is a K-row LOCAL frame whose
+    * broadcast is bounded by K ≤ 256, never by the corpus.
     *
-    * coalesce(2): the feature set is k-bounded-tiny next to the corpus
-    * scans (one Vector per embedding row); MLlib runs ~2 jobs per
-    * iteration, so task count per job — not data volume — is the cost.
-    * Random init replaces k-means||'s ~5 extra init rounds; with the
-    * fixed seed the centroids are still deterministic, and the suites'
-    * recall floors pin the quality. */
+    * Training is SAMPLE-CAPPED (the standard IVF recipe — centroids
+    * need ~10²-10³ points each, not the corpus): when n > 128·K the fit
+    * reads every s-th vector (deterministic vec_id stride, no RNG), so
+    * the Lloyd iterations cost O(128·K²·d) = O(64·n·d) TOTAL in the
+    * pre-cap regime and O(1) past it — the training pass stays linear
+    * at any corpus size. At sf0.001 (n=500 < 128·16) nothing is
+    * sampled and K=16, so the committed goldens and recall floors pin
+    * the exact historical model.
+    *
+    * coalesce(2): the fitted sample is ≤ 128·256 ≈ 33k rows at any
+    * corpus size; MLlib runs ~2 jobs per iteration, so task count per
+    * job — not data volume — is the cost. Random init replaces
+    * k-means||'s ~5 extra init rounds; with the fixed seed the
+    * centroids are still deterministic, and the suites' recall floors
+    * pin the quality. */
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedDf(spark, s"kmcent:$dir") {
       import spark.implicits._
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.linalg.Vectors
-      val features = Tables.embeddings(spark, dir)
-        .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      val all = Tables.embeddings(spark, dir)
+      val n = all.count()
+      val k = kForCount(n)
+      val stride = math.max(1L, n / (128L * k))
+      val features = all
+        .select($"vec_id", $"embedding")
+        .filter(pmod($"vec_id", lit(stride)) === 0)
+        .as[(Long, Array[Float])]
         .map { case (id, arr) =>
           val d = arr.map(_.toDouble)
           val norm = math.sqrt(d.map(x => x * x).sum)
@@ -451,7 +482,7 @@ object SimilarityOps {
         .toDF("vec_id", "features")
         .coalesce(2)
         .persist()
-      val model = new KMeans().setK(16).setSeed(42L).setMaxIter(10)
+      val model = new KMeans().setK(k).setSeed(42L).setMaxIter(10)
         .setInitMode("random")
         .setFeaturesCol("features").fit(features)
       // features only feed the (just-completed) training iterations —
@@ -465,12 +496,17 @@ object SimilarityOps {
     }
 
   /** Per-vector squared distance to each trained centroid: a narrow ×K
-    * expansion against the bounded centroid broadcast (HOF fold — the
-    * hot corpus-side pairwise math stays in graft_dot downstream).
-    * `queriesOnly` restricts the scored side to the query subset. */
+    * expansion against the bounded centroid broadcast. The per-pair
+    * distance is the codegen'd `graft_l2sq` kernel — bit-identical
+    * left-to-right arithmetic to the HOF fold it replaced, but a tight
+    * primitive loop: with the √n-sized K the n·K score stream is the
+    * hot loop of the `kmeans_assign` stage, exactly the case that made
+    * `graft_dot` a kernel. `queriesOnly` restricts the scored side to
+    * the query subset. */
   private def kmeansCentScores(
       spark: SparkSession, dir: String, queriesOnly: Boolean): DataFrame = {
     import spark.implicits._
+    graft.functions.L2SquaredDistance.register(spark)
     val base0 = Tables.embeddings(spark, dir)
     val base = if (queriesOnly) base0.filter(isQuery($"vec_id")) else base0
     base
@@ -479,9 +515,7 @@ object SimilarityOps {
         expr("transform(e0, x -> x / sqrt(aggregate(e0, 0D, (a, v) -> a + v * v)))")
           .as("e"))
       .crossJoin(broadcast(kmeansCentroids(spark, dir)))
-      .select($"vec_id", $"pivot_id",
-        expr("aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), 0D, (acc, v) -> acc + v)")
-          .as("d2"))
+      .select($"vec_id", $"pivot_id", expr("graft_l2sq(e, c)").as("d2"))
   }
 
   /** Memoized single-best trained-centroid assignment

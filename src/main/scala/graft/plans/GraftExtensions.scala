@@ -39,6 +39,7 @@ object GraftOps {
     if (!em.extraOptimizations.contains(BroadcastBoundedLimit))
       em.extraOptimizations = em.extraOptimizations :+ BroadcastBoundedLimit
     FixedPointDotProduct.register(spark)
+    graft.functions.L2SquaredDistance.register(spark)
     graft.functions.TopKPairs.register(spark)
     graft.functions.Phash128.register(spark)
     graft.functions.MomentMatrix.register(spark)

@@ -31,6 +31,26 @@ class LshScalingSpec extends SparkTestBase {
     }
   }
 
+  test("kForCount: trained-IVF cells follow the √n law, floor pins sf0.001") {
+    // K(n) = clamp(ceil(sqrt(n/2)), 16, 256): the floor keeps the
+    // committed goldens' exact K=16 model at the test SF; √n-sizing is
+    // the textbook assignment-vs-probe balance; the 256 cap bounds the
+    // n·K assignment expansion (past it the documented lever is a
+    // hierarchical quantizer, not a bigger flat K)
+    assert(SimilarityOps.kForCount(500L) == 16, "sf0.001 must keep K=16")
+    assert(SimilarityOps.kForCount(1L) == 16)
+    assert(SimilarityOps.kForCount(5000L) == 50)
+    assert(SimilarityOps.kForCount(50000L) == 159)
+    assert(SimilarityOps.kForCount(500000L) == 256)
+    assert(SimilarityOps.kForCount(Long.MaxValue / 4) == 256)
+    // scanned fraction nprobe·multi/K falls monotonically with n in the
+    // growth region — the probe's cost share shrinks instead of staying
+    // a constant half of the corpus
+    val fracs = Seq(512L, 5000L, 50000L, 131072L)
+      .map(n => 8.0 / SimilarityOps.kForCount(n))
+    assert(fracs == fracs.sorted.reverse, s"scanned fraction not falling: $fracs")
+  }
+
   test("sign projections are deterministic, ±1, and stable across calls") {
     val p0 = SimilarityOps.projection(0)
     assert(p0.length == SimilarityOps.Dims)

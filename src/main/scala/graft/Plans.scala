@@ -52,10 +52,26 @@ object Plans {
         "no 16x row explosion, no cartesian."),
     "dedup_semantic" ->
       ("SemDeDup (trained default): coarse assignment scores the corpus " +
-        "against the K=16 trained-centroid BROADCAST (bounded by K, " +
-        "never the corpus) via one max_by aggregation; within-cluster " +
-        "self-join hash-partitioned on cluster id. The density-pivot " +
-        "variant survives as dedup_semantic_pivots for the exact oracle."),
+        "against the trained-centroid BROADCAST (K(n) = " +
+        "clamp(ceil(sqrt(n/2)), 16, 256) since r13 — bounded by K, " +
+        "never the corpus) via one max_by aggregation over the " +
+        "codegen'd graft_l2sq score stream; within-cluster self-join " +
+        "hash-partitioned on cluster id. The density-pivot variant " +
+        "survives as dedup_semantic_pivots for the exact oracle."),
+    "similarity_ann_lsh" ->
+      ("Self-sizing SRP-LSH (r13): bucket keys carry " +
+        "clamp(floor(log2 n)-6, 3, 24) bits per table, so expected " +
+        "occupancy stays 64-128 vectors and candidates/query constant; " +
+        "hashing is 8k codegen'd graft_dot calls per row, map-only; the " +
+        "candidate join is a plain (tbl, bkt) hash shuffle with NO " +
+        "broadcast hint (the query-bucket side grows with the corpus)."),
+    "similarity_ivf_trained" ->
+      ("Trained IVF (r13): sqrt(n)-sized K (cap 256) keeps the scanned " +
+        "fraction nprobe*multi/K FALLING with scale; assignment is one " +
+        "K-row broadcast + graft_l2sq + two max_by aggregations (no " +
+        "window sort of the corpus); training reads a <=128*K " +
+        "deterministic-stride sample, so the fit never scans more than " +
+        "a bounded multiple of the model size."),
     "similarity_ivfpq" ->
       ("IVF-PQ: the 128-row codebook is the one broadcast; candidate " +
         "lists come from the probe equi-join; ADC re-rank touches only " +
@@ -181,9 +197,11 @@ object Plans {
         "doc_id — never a cross-document sort; both consumers (span " +
         "report, strip action) read the cached lattice."),
     "kmeans_assign" ->
-      ("Centroid training is MLlib KMeans on a coalesced narrow " +
-        "projection (bounded model, sample-at-scale contract); " +
-        "assignment is one broadcast of the 16-row centroid table + one " +
+      ("Centroid training is MLlib KMeans on a <=128*K " +
+        "deterministic-stride sample (r13: K = clamp(ceil(sqrt(n/2)), " +
+        "16, 256), so the fit is linear in n and the model stays " +
+        "bounded); assignment is one broadcast of the K-row centroid " +
+        "table + the codegen'd graft_l2sq score stream + one " +
         "partial+final max_by aggregation — no window, nothing " +
         "corpus-proportional on the driver."),
     "pq_codebook_trained" ->

@@ -337,7 +337,17 @@ object DedupOps {
     * filter `df <= cap` inline (a predicate on the cached scan), so one
     * table serves the capped candidate joins and the uncapped exact
     * verification. Same scale class as the shingle set itself: 16 bytes
-    * a row, hash-partitioned, spills rather than evicts. */
+    * a row, hash-partitioned, spills rather than evicts.
+    *
+    * Key-width ceiling (measured at the r13 100× probe): the 32-bit `h`
+    * space starts paying birthday-collision candidates past ~10⁷
+    * distinct shingles (n²/2³³ spurious h-matches — every one is caught
+    * by the exact verification, so only COST grows, never correctness).
+    * The 100 TB move is widening `h` to the 60-bit space the PPJoin
+    * token ids already use (`substring(hex, 1, 15)`), at +4 bytes/row;
+    * kept 32-bit here because the DuckDB oracle derives the identical
+    * ints and the test corpora sit orders of magnitude below the
+    * crossover. */
   private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"shidx:$dir") {
       import spark.implicits._

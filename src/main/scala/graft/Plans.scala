@@ -170,7 +170,10 @@ object Plans {
         "16-byte-key distinct shuffle; every downstream shingle consumer " +
         "reads this cache, never the text."),
     "shingle_index" ->
-      ("r12: 32-bit hashed projection of the shingle cache joined with " +
+      ("r12 (key widened to 60-bit in r13 — same 8-byte BIGINT, " +
+        "collision crossover pushed past 1e16 pair-comparisons after " +
+        "the 100x probe measured 32-bit birthday candidates): hashed " +
+        "projection of the shingle cache joined with " +
         "its own df aggregate — one shuffle pair, persisted once; ngram " +
         "Jaccard / containment / LSH tuning apply their df<=50 cap as a " +
         "predicate on the cached scan instead of re-deriving the index " +

@@ -327,7 +327,7 @@ object DedupOps {
   private[graft] def sharedShingles(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"shingles:$dir") { shingleSets(spark, dir).persist() }
 
-  /** Memoized 32-bit inverted shingle index `(doc_id, h, df)` — the
+  /** Memoized 60-bit inverted shingle index `(doc_id, h, df)` — the
     * hashed projection of [[sharedShingles]] with each shingle's global
     * document frequency attached, persisted once per (session, dir).
     * Three queries re-derived this independently (ngram Jaccard,
@@ -339,21 +339,20 @@ object DedupOps {
     * verification. Same scale class as the shingle set itself: 16 bytes
     * a row, hash-partitioned, spills rather than evicts.
     *
-    * Key-width ceiling (measured at the r13 100× probe): the 32-bit `h`
-    * space starts paying birthday-collision candidates past ~10⁷
-    * distinct shingles (n²/2³³ spurious h-matches — every one is caught
-    * by the exact verification, so only COST grows, never correctness).
-    * The 100 TB move is widening `h` to the 60-bit space the PPJoin
-    * token ids already use (`substring(hex, 1, 15)`), at +4 bytes/row;
-    * kept 32-bit here because the DuckDB oracle derives the identical
-    * ints and the test corpora sit orders of magnitude below the
-    * crossover. */
+    * Key width (widened 32 → 60 bits in r13): the 100× probe showed the
+    * 32-bit `h` space paying birthday-collision candidates past ~10⁷
+    * distinct shingles (n²/2³³ spurious h-matches — each caught by the
+    * exact verification, so cost grew, never correctness). `h` is a
+    * BIGINT either way, so the 60-bit key (the same 15-hex-char space
+    * the PPJoin token ids use) costs nothing per row and pushes the
+    * collision crossover past 10¹⁶ pair-comparisons; the DuckDB oracle
+    * derives the identical 60-bit ints. */
   private[graft] def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"shidx:$dir") {
       import spark.implicits._
       val sh = sharedShingles(spark, dir)
         .select($"doc_id",
-          conv(substring(hex($"m"), 1, 8), 16, 10).cast("long").as("h"))
+          conv(substring(hex($"m"), 1, 15), 16, 10).cast("long").as("h"))
       sh.join(sh.groupBy($"h").agg(count(lit(1)).as("df")), "h")
         .select($"doc_id", $"h", $"df")
         .persist()
@@ -595,9 +594,9 @@ object DedupOps {
     // eager materialize-and-release cycle of its own.
     val pairs = cachedDf(spark, s"ngram:$dir") {
       // the hashed + df-attached inverted index is the session-shared
-      // [[shingleIndex]] stage (32-bit md5-derived ints: 8-byte join/
+      // [[shingleIndex]] stage (60-bit md5-derived ints: 8-byte join/
       // shuffle keys instead of ~30-byte strings; the oracle derives the
-      // identical ints, so a ≈n²/2³² vanishing hash collision would
+      // identical ints, so a ≈n²/2⁶¹ vanishing hash collision would
       // affect both engines identically — parity by construction). The
       // df cap is a predicate on the cached scan; per-doc sizes come
       // from the shared [[shingleSizes]] stage.
@@ -622,7 +621,7 @@ object DedupOps {
   val dedupNgramJaccardSql: String =
     s"""WITH $shinglesCte,
        |shv AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
        |  FROM shingles),
        |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
        |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
@@ -678,7 +677,7 @@ object DedupOps {
   val dedupContainmentSql: String =
     s"""WITH $shinglesCte,
        |shv AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
        |  FROM shingles),
        |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
        |capped AS (SELECT s.doc_id, s.h FROM shv s JOIN df USING (h) WHERE df.nd <= 50),
@@ -1318,7 +1317,8 @@ object DedupOps {
   def sharedStageList(spark: SparkSession, dir: String): Seq[SharedStage] = Seq(
     SharedStage("shingle_sets", Seq(s"shingles:$dir"),
       () => sharedShingles(spark, dir)),
-    // 32-bit df-attached inverted index + per-doc sizes (r12): consumed
+    // 60-bit df-attached inverted index + per-doc sizes (r12, widened
+    // r13): consumed
     // by ngram Jaccard, containment, and LSH tuning — previously each
     // re-derived the md5 projection and df aggregate per plan branch
     // (containment on both sides of its self-join). One stage: the sizes
@@ -1453,7 +1453,7 @@ object DedupOps {
   lazy val dedupLshTuningSql: String =
     s"""$minhashCtes,
        |shv AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
        |  FROM shingles),
        |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),
        |cands AS (
@@ -1532,7 +1532,7 @@ object DedupOps {
   lazy val dedupLshRecallSql: String =
     s"""$minhashCtes,
        |shv AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 8)) AS BIGINT) AS h
+       |  SELECT doc_id, CAST(concat('0x', substr(m, 1, 15)) AS BIGINT) AS h
        |  FROM shingles),
        |df AS (SELECT h, count(*) AS nd FROM shv GROUP BY h),
        |sized AS (SELECT doc_id, count(*) AS nsh FROM shv GROUP BY doc_id),

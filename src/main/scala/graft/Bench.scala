@@ -51,7 +51,18 @@ object Bench {
     * sane wall-clock budget and the sentinels still flag contamination.
     * The driver never sets it → official ledgers stay min-of-2. */
   private val Rounds =
-    sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map(_.toInt).getOrElse(2)
+    sys.env.get("SPARK_GRAFT_BENCH_ROUNDS").map { s =>
+      // fail loudly on garbage; clamp 0/negative to 1 so the per-query
+      // runs vector can never be empty (min-of-empty crashes deep in the
+      // query loop with a message that points nowhere near the env var)
+      val parsed =
+        try s.trim.toInt
+        catch {
+          case _: NumberFormatException => sys.error(
+            s"SPARK_GRAFT_BENCH_ROUNDS must be a positive integer, got '$s'")
+        }
+      math.max(1, parsed)
+    }.getOrElse(2)
 
   private final case class QRes(name: String, sec: Double, ok: Boolean,
     runs: Seq[Double], t0: Double, gcDelta: Long, peakMem: Long,
@@ -247,7 +258,17 @@ object Bench {
     // for the retried stages it exists to diagnose)
     final case class SRun(sec: Option[Double], taskCpuMs: Long,
       taskGcMs: Long, gcDelta: Long)
+    // isolation-probe filter (dev loop only, like BENCH_ONLY below): build
+    // and time just the named shared stages. List a stage's upstream deps
+    // explicitly (e.g. "shingle_sets,ppjoin_pairs") — an unlisted
+    // dependency is built lazily INSIDE the first consumer's timing and
+    // bills there, which is exactly the attribution noise the stage lines
+    // exist to prevent.
+    val stagesOnly = sys.env.get("SPARK_GRAFT_BENCH_STAGES_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val stageResults = graft.operators.DedupOps.sharedStageList(spark, sfDir)
+      .filter(st => stagesOnly.isEmpty || stagesOnly(st.name))
       .flatMap { st =>
         def buildOnce(): SRun = {
           memListener.reset()

@@ -21,9 +21,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * NUMERICALLY IDENTICAL to the fold it replaces: both accumulate
   * `acc + (x_i - y_i)^2` left-to-right in IEEE doubles, so every
-  * committed golden fixture and recall floor pins the same model. */
+  * committed golden fixture and recall floor pins the same model.
+  * Identical including the MISMATCH case: `zip_with` pads the shorter
+  * array with nulls, so the old fold returned NULL on a dimension
+  * mismatch — this expression does too (rather than silently truncating
+  * to the shorter length, which would turn a dimension bug into a
+  * plausible-looking distance). */
 case class L2SquaredDistance(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // null not only when an input is null: a length mismatch yields null
+  // even for non-nullable child columns (the zip_with-pad semantics)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def isDoubleArray(dt: DataType): Boolean = dt match {
@@ -42,15 +51,18 @@ case class L2SquaredDistance(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      val d = x.getDouble(i) - y.getDouble(i)
-      acc += d * d
-      i += 1
+    val n = x.numElements()
+    if (n != y.numElements()) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        val d = x.getDouble(i) - y.getDouble(i)
+        acc += d * d
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -60,13 +72,17 @@ case class L2SquaredDistance(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  final double $d = $a.getDouble($i) - $b.getDouble($i);
-         |  $acc += $d * $d;
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -1030,14 +1030,24 @@ object DedupOps {
     *
     * The all-pairs trap is avoided by three classic filters, all
     * integer-exact:
-    *  - PREFIX: order each doc's shingles by ascending global document
-    *    frequency (rarest first); if J(A,B) ≥ t, the first
-    *    |A| − ⌈t·|A|⌉ + 1 shingles of A and B must share one — so the
-    *    candidate join only touches prefix shingles (an equi-join on the
-    *    shingle key, hash-partitionable at any scale).
+    *  - ASYMMETRIC PREFIX (PPJoin's index/probe split, r14): order each
+    *    doc's shingles by ascending global document frequency (rarest
+    *    first). For a pair with J ≥ t and |A| ≤ |B| the required overlap
+    *    is α* = ⌈(|A|+|B|)·t/(1+t)⌉ ≥ max(⌈2t/(1+t)·|A|⌉, ⌈t·|B|⌉), so
+    *    the overlap-prefix lemma only needs the SHORTER doc's first
+    *    |A| − ⌈2t/(1+t)·|A|⌉ + 1 tokens (the indexing prefix, ≈|A|/3 at
+    *    t=0.5) against the longer doc's first |B| − ⌈t·|B|⌉ + 1 (the
+    *    probe prefix, ≈|B|/2) — an equi-join on the shingle key,
+    *    hash-partitionable at any scale. The surviving candidate set is
+    *    UNCHANGED (the positional filter below already implies the
+    *    index-prefix cutoff for pairs it passes — measured at sf0.1:
+    *    124,961 distinct candidates both ways); what shrinks is the
+    *    join's input and probe work: 1/3 fewer index-side rows and
+    *    995k → 659k h-bucket pair probes at sf0.1, a ratio that holds
+    *    at any scale since it is per-bucket.
     *  - LENGTH: t·|A| ≤ |B| ≤ |A|/t, or the threshold is unreachable.
     *  - POSITIONAL: the remaining-suffix bound
-    *    1 + min(|A|−posA, |B|−posB) ≥ ⌈(|A|+|B|)·t/(1+t)⌉ kills
+    *    1 + min(|A|−posA, |B|−posB) ≥ α* kills
     *    candidates whose shared prefix token sits too late (measured:
     *    29 candidates for 28 true pairs at sf0.001).
     * Survivors are verified by exact intersection counting (equi-joins
@@ -1053,33 +1063,42 @@ object DedupOps {
     // result below and unpersisted before this block returns
     val pairs = cachedDf(spark, s"ppjoin:$dir") {
       // every join/group key is a 60-bit md5-derived long, not the 3-word
-      // shingle string: the dfreq aggregate, the rank join, the prefix
-      // self-join and both verify joins shuffle 8-byte keys instead of
+      // shingle string: the rank join, the prefix index/probe join and
+      // both verify joins shuffle 8-byte keys instead of
       // ~25-byte strings (same md5-int trick that sped up ngram_jaccard;
       // the oracle hashes identically, so parity is exact even in the
-      // astronomically-unlikely collision case)
+      // astronomically-unlikely collision case). The 60-bit keys and the
+      // df column come from the SHARED [[shingleIndex]] stage — ppjoin
+      // previously re-derived both (its own md5 projection + a dfreq
+      // shuffle over ~26M rows at the 100× probe) on every cold build.
       //
-      // CANONICALIZE-THEN-JOIN (r11, the phash pattern): identical texts
-      // have identical shingle sets, so the whole PPJoin pipeline runs on
-      // ONE representative per distinct content and member pairs are
-      // rebuilt afterwards in output-sized expansion joins. Exactness is
-      // by construction — J(a, b) depends only on the two shingle sets,
-      // so every expanded pair carries its rep pair's exact metrics, and
-      // intra-group pairs are Jaccard 1 ≥ t by definition. The local
-      // fixture is nearly dup-free at the text level (the 10× probe data
-      // Caesar-shifts each copy: 49,920 distinct texts / 50k docs), so
-      // the measured gain here is small — the move exists for the 100 TB
-      // corpus, where exact-duplicate rates of 30-50% would otherwise
-      // square into the rank window, the prefix self-join, and both
-      // verify joins. Overhead when there are no dups: one md5 per doc,
-      // one window, one semi join — all linear and key-partitioned.
+      // CANONICALIZE-THEN-JOIN (r11; lifted from text-md5 to the SHINGLE
+      // SET in r14): J(a, b) depends only on the two shingle sets, so the
+      // whole PPJoin pipeline runs on ONE representative per distinct
+      // shingle set and member pairs are rebuilt afterwards in
+      // output-sized expansion joins. Set-level grouping subsumes the old
+      // exact-text grouping (equal text ⟹ equal set) and additionally
+      // collapses docs whose bytes differ but whose 3-gram sets agree —
+      // on the 100 TB corpus the class that matters is boilerplate
+      // re-serialized with spacing/field-order drift, which text-md5
+      // missed and which otherwise squares into the prefix join. The
+      // canonical key is the md5 of the h-sorted 60-bit array (128-bit
+      // on purpose: a key collision would wrongly MERGE two docs, so the
+      // 60-bit birthday ceiling that is fine for the join keys — where a
+      // collision only adds verify work — is not fine here). Exactness
+      // is by construction: every expanded pair carries its rep pair's
+      // exact metrics, and intra-group pairs are Jaccard 1 ≥ t by
+      // definition. Overhead when there are no dups: one sort+md5 per
+      // doc over the already-cached index, one min aggregate, one semi
+      // join — all linear and key-partitioned.
       // rep pick via partial+final min aggregation, not a window — the
       // window sorted the whole corpus by content key; the groupBy
       // combines map-side
-      val ckd = Tables.documents(spark, dir)
-        .select($"doc_id", md5(lower($"text")).as("ck"))
-      val members = ckd
-        .join(ckd.groupBy($"ck").agg(min($"doc_id").as("rep")), "ck")
+      val idx = shingleIndex(spark, dir)
+      val sets = idx.groupBy($"doc_id")
+        .agg(md5(sort_array(collect_list($"h")).cast("string")).as("ck"))
+      val members = sets
+        .join(sets.groupBy($"ck").agg(min($"doc_id").as("rep")), "ck")
         .select($"doc_id", $"rep")
         .persist()
       var docTok: DataFrame = null
@@ -1090,11 +1109,6 @@ object DedupOps {
       // which would otherwise leave them persisted with no owner; a
       // partially-cached `out` is released on failure too
       try {
-        val tok = sharedShingles(spark, dir)
-          .join(members.filter($"doc_id" === $"rep").select($"doc_id"),
-            Seq("doc_id"), "left_semi")
-          .select($"doc_id", expr("cast(conv(substr(hex(m), 1, 15), 16, 10) as bigint)").as("h"))
-        val dfreq = tok.groupBy($"h").agg(count(lit(1)).as("df"))
         // PER-DOCUMENT TOKEN ARRAYS, rarest-first (r12): one (doc_id,
         // hs[], len) row per doc, tokens ordered by (df, h) exactly as
         // the old row_number window (sort_array on the struct is the
@@ -1104,7 +1118,13 @@ object DedupOps {
         // fanned every candidate by its full token set (65M intermediate
         // rows at the sf1 probe) then hash-aggregated them back; now the
         // two arrays travel to the pair once and intersect in-task.
-        docTok = tok.join(dfreq, "h")
+        // df is the ALL-docs document frequency from the shared index
+        // (r13 recomputed a reps-only df): the prefix lemma is exact
+        // under ANY fixed total token order, and the shared stage's
+        // order is already built and cached.
+        docTok = idx
+          .join(members.filter($"doc_id" === $"rep").select($"doc_id"),
+            Seq("doc_id"), "left_semi")
           .groupBy($"doc_id")
           .agg(sort_array(collect_list(struct($"df", $"h"))).as("ts"))
           .select($"doc_id",
@@ -1112,18 +1132,31 @@ object DedupOps {
             size($"ts").cast("long").as("len"))
           .persist()
         // prefix entries unpack from the cached arrays — map-only, so
-        // the cand self-join's two reads don't need their own persist
+        // the cand index/probe join's two reads don't need their own
+        // persist. `pfx` is the full probe prefix (len − ⌈t·len⌉ + 1
+        // tokens); `pfxIdx` keeps only the indexing prefix
+        // (len − ⌈2t/(1+t)·len⌉ + 1 tokens, ≈len/3 at t=0.5) — a filter
+        // on the same frame, positions unchanged.
         val pfx = docTok
           .select($"doc_id", $"len", posexplode(
             expr("slice(hs, 1, cast(len - (len + 1) div 2 + 1 as int))")))
           .select($"doc_id", $"len",
             ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
-        val cand = pfx.as("a").join(pfx.as("b"),
-            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
-            $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&
+        val pfxIdx = pfx.filter(
+          $"pos" <= expr("len - (len * 2 + 2) div 3 + 1"))
+        // the index side must be the (len, doc_id)-lexicographically
+        // SMALLER record of each pair (the asymmetric-prefix lemma's
+        // |A| ≤ |B| requirement; doc_id breaks length ties), so the pair
+        // is re-normalized to id order before the distinct
+        val cand = pfxIdx.as("a").join(pfx.as("b"),
+            $"a.h" === $"b.h" &&
+            ($"a.len" < $"b.len" ||
+              ($"a.len" === $"b.len" && $"a.doc_id" < $"b.doc_id")) &&
+            $"b.len" <= $"a.len" * 2 &&
             lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
               expr("(a.len + b.len + 2) div 3"))
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+          .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
+            greatest($"a.doc_id", $"b.doc_id").as("doc_b")).distinct()
         // exact verify: hs arrays are SETS (sharedShingles is distinct
         // per doc), so array_intersect size is the exact |A∩B|. Caveat:
         // "set" holds modulo within-doc 60-bit hash collisions — on a

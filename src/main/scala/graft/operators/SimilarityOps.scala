@@ -430,8 +430,8 @@ object SimilarityOps {
     * the trained-probe stage 4.5× slower on a 3× step, 37 s at sf3).
     * √n-sizing is the textbook IVF balance (assignment n·K and probe
     * n/100·nprobe·n/K meet at K ≈ √n); the 256 cap bounds the
-    * assignment's n·K row expansion — past it (n ≳ 130k vectors per...
-    * the fixture corpus) probe growth re-enters at 1/32 of the fixed-16
+    * assignment's n·K row expansion — past it (n ≳ 130k vectors,
+    * ~260× the fixture corpus) probe growth re-enters at 1/32 of the fixed-16
     * constant, and the documented next lever is a hierarchical
     * two-level quantizer, not a bigger flat K. */
   private[graft] def kForCount(n: Long): Int =

@@ -501,12 +501,18 @@ object TextOps {
         .select($"doc_id", split(lower($"text"), " ").as("ts"))
         .filter(size($"ts") >= 8)
         // r11: the per-window md5 tower runs in the graft_gram_hashes
-        // kernel; the first 8 hex digits of each md5 are the first 4
-        // raw bytes of the kernel's binary output (conv is case-blind,
-        // so hex()'s uppercase parses identically)
+        // kernel; the first 15 hex digits of each md5 are the first 8
+        // raw bytes of the kernel's binary output, high nibble dropped
+        // (conv is case-blind, so hex()'s uppercase parses identically).
+        // 60-bit fingerprint space (widened from 32 in r14): the match
+        // join keys on fp values, so a 32-bit space pays n²/2³³ birthday
+        // collisions past ~10⁷ distinct fingerprints — the same ceiling
+        // the shingle index hit at the 100× probe (DedupOps r13). 60 bits
+        // also makes within-window min ties (the rightmost-tie rule's
+        // input) chance-level instead of collision-driven at scale.
         .select($"doc_id", expr(
           """transform(graft_gram_hashes(ts, 4),
-            |  g -> cast(conv(hex(substring(g, 1, 4)), 16, 10) as bigint))"""
+            |  g -> cast(conv(substr(hex(substring(g, 1, 8)), 1, 15), 16, 10) as bigint))"""
             .stripMargin).as("hs"))
         .select($"doc_id", $"hs", explode(expr(
           """array_distinct(transform(sequence(1, size(hs) - 4),
@@ -533,7 +539,7 @@ object TextOps {
       |  SELECT doc_id,
       |    list_transform(generate_series(1, len(ts) - 3),
       |      i -> CAST(concat('0x',
-      |             substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 8))
+      |             substr(md5(array_to_string(ts[i:i+3], ' ')), 1, 15))
       |           AS BIGINT)) AS hs
       |  FROM toks WHERE len(ts) >= 8),
       |sel AS (
@@ -563,7 +569,7 @@ object TextOps {
     * extraction, a ≤50-doc df-cap on the fingerprint value (the same
     * fan-out bound the n-gram inverted index uses — a fingerprint in
     * hundreds of documents is boilerplate, not provenance), then the
-    * self equi-join on the u32 fp key and one pair-count aggregation.
+    * self equi-join on the 60-bit fp key and one pair-count aggregation.
     * Work is Σ_fp df², bounded by the cap — never all-pairs. */
   def dedupWinnowingPairs(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -219,4 +219,29 @@ class FunctionsSpec extends SparkTestBase {
         s"$name: expected the usable literal error, got ${chain(e)}")
     }
   }
+
+  test("graft_l2sq equals the zip_with fold, incl. null-on-dimension-mismatch") {
+    graft.functions.L2SquaredDistance.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 6.0, 3.5)),   // plain
+      (Array.empty[Double], Array.empty[Double]),     // empty
+      (Array(1.0, 2.0), Array(1.0, 2.0, 3.0)),        // dim mismatch → null
+      (Array(0.1, -0.2, 1e30), Array(0.1, -0.2, 1e30)) // exact zero
+    ).toDF("x", "y")
+    val rows = df.selectExpr(
+      "graft_l2sq(x, y) AS kernel",
+      // the fold the kernel replaced: zip_with pads the shorter side with
+      // nulls, so a length mismatch is NULL — the kernel must agree
+      "aggregate(zip_with(x, y, (a, b) -> (a - b) * (a - b)), " +
+        "cast(0.0 as double), (acc, v) -> acc + v) AS fold").collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null disagreement: kernel=${r.get(0)} fold=${r.get(1)}")
+      if (!r.isNullAt(0))
+        assert(r.getDouble(0) == r.getDouble(1), // bit-identical, not approx
+          s"kernel=${r.getDouble(0)} fold=${r.getDouble(1)}")
+    }
+    assert(rows(2).isNullAt(0), "dimension mismatch must yield null")
+  }
 }

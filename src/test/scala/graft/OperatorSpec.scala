@@ -1981,17 +1981,28 @@ class OperatorSpec extends SparkTestBase {
     // true decile, so each bin's depth is within 2·n/10⁴ of n/10 (+1 for
     // integer rounding of the target depth itself). Strict x > boundary
     // binning routes EVERY duplicate of a boundary-valued price into one
-    // bin, so heavy ties at a decile can legitimately push a bin past the
-    // pure rank-error bound — add the max multiplicity of any single
-    // value (per boundary, one on each side) to make the budget
-    // tie-safe for any fixture/scale factor.
-    val maxMult = graft.Tables.lineitem(spark, sfDir)
+    // bin, so heavy ties at a chosen boundary can legitimately push a bin
+    // past the pure rank-error bound — allow each bin the multiplicity of
+    // ITS two boundary values (the lo/hi the sketch actually chose), not
+    // the table-wide max multiplicity: a global max goes near-vacuous on
+    // heavily tied fixtures (a K-copied scale dir repeats every price
+    // ≥ K times, inflating a global budget ∝ K and masking real skew).
+    val boundaryVals = rows.flatMap(r => Seq(r.getDouble(2), r.getDouble(3)))
+      .distinct
+    val multOf = graft.Tables.lineitem(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("l_extendedprice")
+        .isin(boundaryVals: _*))
       .groupBy("l_extendedprice").count()
-      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
-    val budget = 2L * (n / 10000L) + 1L + 2L * maxMult
-    counts.foreach { c =>
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val baseBudget = 2L * (n / 10000L) + 1L
+    rows.foreach { r =>
+      val c = r.getLong(1)
+      val tieAllowance =
+        multOf.getOrElse(r.getDouble(2), 0L) + multOf.getOrElse(r.getDouble(3), 0L)
+      val budget = baseBudget + tieAllowance
       assert(math.abs(c - n / 10L) <= budget,
-        s"bin depth $c beyond rank-error budget of n/10=${n / 10} ± $budget")
+        s"bin ${r.getInt(0)} depth $c beyond rank-error budget of " +
+          s"n/10=${n / 10} ± $budget (tie allowance $tieAllowance)")
     }
     rows.sliding(2).foreach { case Array(a, b) =>
       assert(a.getDouble(3) <= b.getDouble(2), "bin ranges overlap")
@@ -2372,17 +2383,19 @@ class OperatorSpec extends SparkTestBase {
   }
 
   test("text_winnowing_fingerprint: exact rightmost-min selection per window") {
-    def u32(s: String): Long = {
+    // 60-bit fingerprint space (first 15 hex chars of the md5), matching
+    // the r14 widening in TextOps.winnowFps and its oracle CTE
+    def h60(s: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex, 16)
+        .digest(s.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
     }
     val expected = Tables.documents(spark, sfDir).select("doc_id", "text")
       .collect().flatMap { r =>
         val ts = r.getString(1).toLowerCase.split(" ")
         if (ts.length < 8) Seq.empty
         else {
-          val hs = (0 to ts.length - 4).map(i => u32(ts.slice(i, i + 4).mkString(" ")))
+          val hs = (0 to ts.length - 4).map(i => h60(ts.slice(i, i + 4).mkString(" ")))
           (0 to hs.length - 5).map { j =>
             val w = hs.slice(j, j + 5)
             j + w.lastIndexOf(w.min)

@@ -180,25 +180,32 @@ object Plans {
         "per plan branch (containment previously rebuilt it on BOTH " +
         "sides of its self-join)."),
     "ppjoin_pairs" ->
-      ("r12 shape: canonicalize-to-representatives (groupBy min, not a " +
-        "corpus window sort) -> per-doc rarest-first token ARRAYS via one " +
-        "collect aggregate (replaces two window sorts) -> prefix entries " +
-        "unpacked map-only from the cached arrays -> prefix equi-join with " +
-        "integer length+positional filters -> verify = the two doc arrays " +
-        "travel to each candidate ONCE and intersect in-task " +
-        "(array_intersect), replacing the Sigma_pairs|A| row explosion " +
-        "(65M intermediate rows at the 10x probe) + re-aggregation. " +
-        "Measured at the regenerated 10x probe: members 2.0s, docTok " +
-        "7.1s, cand 5.0s, verify ~9-15s, full fresh build 26.3s (r11: " +
-        "35.7s). Remaining floor: the candidate-by-array join payload, " +
-        "linear in corpus at fixed dup structure."),
+      ("r14 shape: canonicalize-to-representatives on the SHINGLE-SET " +
+        "md5 (subsumes exact-text grouping; groupBy min, not a corpus " +
+        "window sort) -> per-doc rarest-first token ARRAYS off the " +
+        "shared 60-bit df-attached shingle index (no private dfreq " +
+        "shuffle) -> prefix entries unpacked map-only from the cached " +
+        "arrays -> SYMMETRIC prefix self-join (one exchange, reused both " +
+        "sides) with integer length+positional filters -> verify = the " +
+        "two h-sorted doc arrays travel to each candidate ONCE and merge " +
+        "in-task via the codegen graft_icount_sorted kernel (replaced " +
+        "size(array_intersect): boxed hash set + materialized result, " +
+        "144us/pair, 180 of 388 task-CPU-s at the 10x probe; and before " +
+        "that the Sigma_pairs|A| row explosion). PPJoin's asymmetric " +
+        "index/probe prefix split was measured and REJECTED: positional " +
+        "filter already implies it for survivors, and two distinct join " +
+        "inputs forfeit exchange reuse (33.5 -> 41.3 task-CPU-s). " +
+        "Isolated 10x probe after the r14 rework: 247.7 task-CPU-s " +
+        "(r13 packed: 269). Remaining floor: the candidate-by-array " +
+        "join payload, linear in corpus at fixed dup structure."),
     "dup_spans" ->
-      ("Repeated-span lattice: ONE pass over the memoized dup_windows " +
-        "gram stream (codegen'd graft_gram_hashes kernel, map-only " +
-        "before the gram-key shuffle); span assembly is per-document " +
-        "sort + linear chain inside one window partition keyed by " +
-        "doc_id — never a cross-document sort; both consumers (span " +
-        "report, strip action) read the cached lattice."),
+      ("Repeated-span lattice: ONE pass over its positional gram " +
+        "stream (codegen'd graft_gram_hashes60 kernel — 60-bit longs " +
+        "straight out of the scan, so the gram-key shuffle moves 8-byte " +
+        "ints; oracle derives the identical ints); span assembly is " +
+        "per-document sort + linear chain inside one window partition " +
+        "keyed by doc_id — never a cross-document sort; both consumers " +
+        "(span report, strip action) read the cached lattice."),
     "kmeans_assign" ->
       ("Centroid training is MLlib KMeans on a <=128*K " +
         "deterministic-stride sample (r13: K = clamp(ceil(sqrt(n/2)), " +

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, StringType}
 
 /** Codegen'd positional k-gram hasher: `graft_gram_hashes(ws, k)` maps a
   * token array to the 16-byte binary md5 of every k-token window joined
@@ -52,6 +52,40 @@ case class GramHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Long-output sibling of [[GramHashes]]: `graft_gram_hashes60(ws, k)`
+  * yields each window's 60-bit md5 key directly — the value of the md5
+  * hex string's first 15 characters, i.e. the digest's first 8 bytes
+  * big-endian with the last nibble dropped (`>>> 4`). Identical ints to
+  * `cast(conv(substr(hex(substring(g, 1, 8)), 1, 15), 16, 10) as bigint)`
+  * over [[GramHashes]] output, WITHOUT materializing a 16-byte binary,
+  * a 16-char hex string, and a substring per gram: the winnowing
+  * fingerprint build is map-only and memory-bandwidth-bound (its
+  * measured task-CPU triangle at the scale ladder is DRAM-stall
+  * inflation, not algorithmic growth), so the win is precisely the
+  * allocation traffic this removes. */
+case class GramHashes60(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k > 0 && k <= 1024, s"graft_gram_hashes60: k must be in [1, 1024], got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram_hashes60 expects array<string>, got ${other.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes60"
+
+  override def nullSafeEval(ws: Any): Any =
+    GramHashes.compute60(ws.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GramHashes.compute60($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashes60 =
+    copy(child = newChild)
+}
+
 object GramHashes {
 
   private val digests = ThreadLocal.withInitial[MessageDigest](
@@ -93,24 +127,74 @@ object GramHashes {
     new GenericArrayData(out)
   }
 
-  /** Register `graft_gram_hashes(ws, k)` (k a positive int literal) in
-    * the session's function registry. Idempotent. */
+  /** [[GramHashes60]]'s evaluator: same reused-digest window loop, but
+    * packs each digest's first 60 bits straight into a primitive long
+    * array (no binary rows, no hex strings). Static so generated code
+    * calls it. */
+  def compute60(ws: ArrayData, k: Int): ArrayData = {
+    val n = ws.numElements()
+    if (n < k)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
+    val words = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val w = ws.getUTF8String(i)
+      words(i) = if (w == null) null else w.getBytes
+      i += 1
+    }
+    val md = digests.get()
+    val out = new Array[Long](n - k + 1)
+    var s = 0
+    while (s <= n - k) {
+      md.reset()
+      var first = true
+      var j = 0
+      while (j < k) {
+        val w = words(s + j)
+        if (w != null) {
+          if (!first) md.update(Space)
+          md.update(w)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      // first 15 hex chars == first 8 bytes big-endian >>> 4 (last
+      // nibble dropped) — the exact integer conv(substr(hex, 1, 15))
+      // derives, always non-negative (60 bits)
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (d(b) & 0xffL); b += 1 }
+      out(s) = v >>> 4
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  private def literalK(name: String, e: Expression): Int = e match {
+    case x if x.foldable => x.eval() match {
+      case n: Number => n.intValue()
+      // foldable-but-null (CAST(NULL AS INT)) gets the same usable
+      // error as a non-literal, not a raw NPE
+      case _ => throw new IllegalArgumentException(
+        s"$name: k must be a non-null integer literal")
+    }
+    case other => throw new IllegalArgumentException(
+      s"$name: k must be a literal, got $other")
+  }
+
+  /** Register `graft_gram_hashes(ws, k)` and `graft_gram_hashes60(ws, k)`
+    * (k a positive int literal) in the session's function registry.
+    * Idempotent. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gram_hashes")))
-      reg.createOrReplaceTempFunction("graft_gram_hashes", exprs => {
-        val k = exprs(1) match {
-          case e if e.foldable => e.eval() match {
-            case n: Number => n.intValue()
-            // foldable-but-null (CAST(NULL AS INT)) gets the same usable
-            // error as a non-literal, not a raw NPE
-            case _ => throw new IllegalArgumentException(
-              "graft_gram_hashes: k must be a non-null integer literal")
-          }
-          case other => throw new IllegalArgumentException(
-            s"graft_gram_hashes: k must be a literal, got $other")
-        }
-        GramHashes(exprs(0), k)
-      }, "scala_udf")
+      reg.createOrReplaceTempFunction("graft_gram_hashes", exprs =>
+        GramHashes(exprs(0), literalK("graft_gram_hashes", exprs(1))), "scala_udf")
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("graft_gram_hashes60")))
+      reg.createOrReplaceTempFunction("graft_gram_hashes60", exprs =>
+        GramHashes60(exprs(0), literalK("graft_gram_hashes60", exprs(1))), "scala_udf")
   }
 }

@@ -708,15 +708,15 @@ object DedupOps {
     * token spans of length ≥ [[SpanGram]] whose every [[SpanGram]]-gram
     * also occurs in at least one OTHER document:
     *
-    *  1. positional K-gram stream — one `(doc_id, pos, md5(gram))` row
-    *     per token position (narrow: split → sequence → slice → md5,
-    *     all codegen; the 16-byte hash moves through every shuffle, the
-    *     ~8-word gram string never leaves the scan stage);
+    *  1. positional K-gram stream — one `(doc_id, pos, h60(gram))` row
+    *     per token position (narrow: split → kernel, all codegen; the
+    *     8-byte 60-bit hash moves through every shuffle, the ~8-word
+    *     gram string never leaves the scan stage);
     *  2. duplicated-gram classification — `count(DISTINCT doc_id) ≥ 2`
     *     per gram hash (partial+final two-level aggregate);
     *  3. a LEFT SEMI join of the positional stream back onto the
     *     duplicated keys — both sides hash-partitioned on the same
-    *     16-byte key, so AQE plans one co-located shuffle;
+    *     8-byte key, so AQE plans one co-located shuffle;
     *  4. per-document span merge — gaps-and-islands over `pos`
     *     (overlapping/adjacent hits, gap ≤ K, coalesce into one island),
     *     a window partitioned by doc_id whose state is bounded by
@@ -752,12 +752,18 @@ object DedupOps {
     import spark.implicits._
     graft.functions.GramHashes.register(spark)
     val K = SpanGram
-    // graft_gram_hashes = the interpreted transform/slice/concat_ws/md5
-    // tower in one codegen'd pass (kernel == tower pinned in FunctionsSpec)
+    // graft_gram_hashes60 = the interpreted transform/slice/concat_ws/md5/
+    // conv tower in one codegen'd pass (kernel == tower pinned in
+    // FunctionsSpec). 60-bit longs, not 16-byte binaries (r14): the gram
+    // stream is one row per token position — the groupBy and the semi
+    // join below shuffle 8-byte keys instead of 16-byte digests. The
+    // oracle derives the identical 60-bit ints, so parity is exact even
+    // in the astronomically-unlikely collision case (a collision would
+    // merge two grams in BOTH engines).
     val grams = Tables.documents(spark, dir)
       .select($"doc_id", split(lower($"text"), " ").as("ws"))
       .filter(size($"ws") >= K)
-      .select($"doc_id", posexplode(expr(s"graft_gram_hashes(ws, $K)")))
+      .select($"doc_id", posexplode(expr(s"graft_gram_hashes60(ws, $K)")))
       .select($"doc_id", ($"pos" + 1).cast("bigint").as("pos"), $"col".as("g"))
     val dupGrams = grams.groupBy($"g")
       .agg(countDistinct($"doc_id").as("nd")).filter($"nd" >= 2).select($"g")
@@ -784,7 +790,8 @@ object DedupOps {
     """WITH toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
       |grams AS (
-      |  SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+7], ' ')) AS g
+      |  SELECT doc_id, pos, CAST(concat('0x',
+      |    substr(md5(array_to_string(ws[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS g
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos
       |        FROM toks WHERE len(ws) >= 8)),
       |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
@@ -853,7 +860,8 @@ object DedupOps {
       |  SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
       |  FROM toksrc),
       |grams AS (
-      |  SELECT doc_id, pos, md5(array_to_string(ws[pos:pos+7], ' ')) AS g
+      |  SELECT doc_id, pos, CAST(concat('0x',
+      |    substr(md5(array_to_string(ws[pos:pos+7], ' ')), 1, 15)) AS BIGINT) AS g
       |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS pos
       |        FROM toksrc WHERE len(ws) >= 8)),
       |dup AS (SELECT g FROM grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
@@ -1030,29 +1038,28 @@ object DedupOps {
     *
     * The all-pairs trap is avoided by three classic filters, all
     * integer-exact:
-    *  - ASYMMETRIC PREFIX (PPJoin's index/probe split, r14): order each
-    *    doc's shingles by ascending global document frequency (rarest
-    *    first). For a pair with J ≥ t and |A| ≤ |B| the required overlap
-    *    is α* = ⌈(|A|+|B|)·t/(1+t)⌉ ≥ max(⌈2t/(1+t)·|A|⌉, ⌈t·|B|⌉), so
-    *    the overlap-prefix lemma only needs the SHORTER doc's first
-    *    |A| − ⌈2t/(1+t)·|A|⌉ + 1 tokens (the indexing prefix, ≈|A|/3 at
-    *    t=0.5) against the longer doc's first |B| − ⌈t·|B|⌉ + 1 (the
-    *    probe prefix, ≈|B|/2) — an equi-join on the shingle key,
-    *    hash-partitionable at any scale. The surviving candidate set is
-    *    UNCHANGED (the positional filter below already implies the
-    *    index-prefix cutoff for pairs it passes — measured at sf0.1:
-    *    124,961 distinct candidates both ways); what shrinks is the
-    *    join's input and probe work: 1/3 fewer index-side rows and
-    *    995k → 659k h-bucket pair probes at sf0.1, a ratio that holds
-    *    at any scale since it is per-bucket.
+    *  - PREFIX: order each doc's shingles by ascending global document
+    *    frequency (rarest first); if J(A,B) ≥ t, the first
+    *    |A| − ⌈t·|A|⌉ + 1 shingles of A and B must share one — so the
+    *    candidate join only touches prefix shingles (an equi-join on the
+    *    shingle key, hash-partitionable at any scale).
     *  - LENGTH: t·|A| ≤ |B| ≤ |A|/t, or the threshold is unreachable.
     *  - POSITIONAL: the remaining-suffix bound
-    *    1 + min(|A|−posA, |B|−posB) ≥ α* kills
+    *    1 + min(|A|−posA, |B|−posB) ≥ ⌈(|A|+|B|)·t/(1+t)⌉ kills
     *    candidates whose shared prefix token sits too late (measured:
     *    29 candidates for 28 true pairs at sf0.001).
-    * Survivors are verified by exact intersection counting (equi-joins
-    * on doc ids). Everything is a hash join or hash aggregate on a key —
-    * no broadcast of anything corpus-proportional, no cartesian. */
+    * (PPJoin's asymmetric index/probe prefix split — the shorter record
+    * indexed by only its 2t/(1+t)-prefix — was implemented and measured
+    * in r14, and rejected: the positional filter already implies the
+    * index-prefix cutoff for every surviving pair, and the split's two
+    * distinct join inputs forfeit Spark's exchange reuse for the
+    * self-join, costing more than the 1/3 probe fan-out cut saves at
+    * every tested scale. See the candidate-join comment in the body.)
+    * Survivors are verified by exact intersection counting — the
+    * codegen'd [[graft.functions.SortedIntersectCount]] merge scan over
+    * per-doc h-sorted arrays. Everything is a hash join or hash
+    * aggregate on a key — no broadcast of anything corpus-proportional,
+    * no cartesian. */
   def dedupPrefixFilter(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     // the finished pair set is memoized per (session, dir) like the
@@ -1094,9 +1101,14 @@ object DedupOps {
       // rep pick via partial+final min aggregation, not a window — the
       // window sorted the whole corpus by content key; the groupBy
       // combines map-side
+      graft.functions.SortedIntersectCount.register(spark)
       val idx = shingleIndex(spark, dir)
+      // persisted: sets feeds BOTH sides of the rep-pick join below, and
+      // recomputing it is a full collect_list+sort+md5 aggregate over the
+      // index (measured 12.5 task-CPU-s per computation at the sf1 probe)
       val sets = idx.groupBy($"doc_id")
         .agg(md5(sort_array(collect_list($"h")).cast("string")).as("ck"))
+        .persist()
       val members = sets
         .join(sets.groupBy($"ck").agg(min($"doc_id").as("rep")), "ck")
         .select($"doc_id", $"rep")
@@ -1122,6 +1134,9 @@ object DedupOps {
         // (r13 recomputed a reps-only df): the prefix lemma is exact
         // under ANY fixed total token order, and the shared stage's
         // order is already built and cached.
+        // hs is (df, h)-ordered for prefix slicing; hss is the SAME set
+        // re-sorted ascending by h — the order the verify kernel's merge
+        // scan requires (one extra ~50-element sort per doc, map-side)
         docTok = idx
           .join(members.filter($"doc_id" === $"rep").select($"doc_id"),
             Seq("doc_id"), "left_semi")
@@ -1129,49 +1144,55 @@ object DedupOps {
           .agg(sort_array(collect_list(struct($"df", $"h"))).as("ts"))
           .select($"doc_id",
             expr("transform(ts, x -> x.h)").as("hs"),
+            expr("sort_array(transform(ts, x -> x.h))").as("hss"),
             size($"ts").cast("long").as("len"))
           .persist()
         // prefix entries unpack from the cached arrays — map-only, so
-        // the cand index/probe join's two reads don't need their own
-        // persist. `pfx` is the full probe prefix (len − ⌈t·len⌉ + 1
-        // tokens); `pfxIdx` keeps only the indexing prefix
-        // (len − ⌈2t/(1+t)·len⌉ + 1 tokens, ≈len/3 at t=0.5) — a filter
-        // on the same frame, positions unchanged.
+        // the cand self-join's two reads don't need their own persist.
+        //
+        // SYMMETRIC self-join on the full t-prefix, deliberately: the r14
+        // asymmetric PPJoin variant (index side truncated to the shorter
+        // record's 2t/(1+t)-prefix) was built, measured, and REJECTED.
+        // DuckDB-side counts showed the positional filter below already
+        // implies the index-prefix cutoff for every pair that survives it
+        // (124,961 distinct candidates either way at sf0.1), so the only
+        // gain is probe-pair fan-out (995k → 659k at sf0.1) — and the
+        // measured Spark cost went the other way (33.5 → 41.3 task-CPU-s
+        // at the sf1 probe): two DIFFERENT join inputs forfeit Spark's
+        // exchange reuse, which shuffles+sorts the identical self-join
+        // subplan ONCE. One reused exchange beats 1/3 fewer probes at
+        // every tested scale.
         val pfx = docTok
           .select($"doc_id", $"len", posexplode(
             expr("slice(hs, 1, cast(len - (len + 1) div 2 + 1 as int))")))
           .select($"doc_id", $"len",
             ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
-        val pfxIdx = pfx.filter(
-          $"pos" <= expr("len - (len * 2 + 2) div 3 + 1"))
-        // the index side must be the (len, doc_id)-lexicographically
-        // SMALLER record of each pair (the asymmetric-prefix lemma's
-        // |A| ≤ |B| requirement; doc_id breaks length ties), so the pair
-        // is re-normalized to id order before the distinct
-        val cand = pfxIdx.as("a").join(pfx.as("b"),
-            $"a.h" === $"b.h" &&
-            ($"a.len" < $"b.len" ||
-              ($"a.len" === $"b.len" && $"a.doc_id" < $"b.doc_id")) &&
-            $"b.len" <= $"a.len" * 2 &&
+        val cand = pfx.as("a").join(pfx.as("b"),
+            $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
+            $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&
             lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
               expr("(a.len + b.len + 2) div 3"))
-          .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
-            greatest($"a.doc_id", $"b.doc_id").as("doc_b")).distinct()
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
         // exact verify: hs arrays are SETS (sharedShingles is distinct
-        // per doc), so array_intersect size is the exact |A∩B|. Caveat:
+        // per doc), so the intersection count is the exact |A∩B|. Caveat:
         // "set" holds modulo within-doc 60-bit hash collisions — on a
-        // collision hs would carry a duplicate that array_intersect
+        // collision hss would carry a duplicate that the count-once merge
         // dedupes while len counts it, diverging from the multiset
         // formulation by ≤ the collision count (probability ≈ n²/2⁶⁰
         // per doc, vanishing; the oracle derives the same ints, so any
-        // realized collision shifts both engines' inputs together)
+        // realized collision shifts both engines' inputs together).
+        // The count runs in the graft_icount_sorted kernel over the
+        // h-ascending hss arrays — size(array_intersect(...)) built a
+        // boxed hash set and materialized the intersection array per
+        // pair (144 µs/pair, 180 of ppjoin's 388 task-CPU-s at the sf1
+        // probe); the sorted-merge scan is allocation-free.
         val repPairs = cand
           .join(docTok.select($"doc_id".as("doc_a"),
-            $"hs".as("hs_a"), $"len".as("sz_a")), "doc_a")
+            $"hss".as("hss_a"), $"len".as("sz_a")), "doc_a")
           .join(docTok.select($"doc_id".as("doc_b"),
-            $"hs".as("hs_b"), $"len".as("sz_b")), "doc_b")
+            $"hss".as("hss_b"), $"len".as("sz_b")), "doc_b")
           .select($"doc_a", $"doc_b",
-            size(array_intersect($"hs_a", $"hs_b")).cast("long").as("n_common"),
+            expr("graft_icount_sorted(hss_a, hss_b)").as("n_common"),
             $"sz_a", $"sz_b")
           .withColumn("union_n", $"sz_a" + $"sz_b" - $"n_common")
           .filter($"n_common" * 2 >= $"union_n")
@@ -1202,6 +1223,7 @@ object DedupOps {
       } finally {
         // blocking=true for the same attribution reason as the ngram
         // build: async removal taxes the NEXT query's timed window
+        sets.unpersist(blocking = true)
         members.unpersist(blocking = true)
         if (docTok != null) docTok.unpersist(blocking = true)
         if (!done && out != null) out.unpersist(blocking = false)

@@ -500,20 +500,19 @@ object TextOps {
       Tables.documents(spark, dir)
         .select($"doc_id", split(lower($"text"), " ").as("ts"))
         .filter(size($"ts") >= 8)
-        // r11: the per-window md5 tower runs in the graft_gram_hashes
-        // kernel; the first 15 hex digits of each md5 are the first 8
-        // raw bytes of the kernel's binary output, high nibble dropped
-        // (conv is case-blind, so hex()'s uppercase parses identically).
+        // r11: the per-window md5 tower runs in the gram-hash kernel;
+        // r14 moved the 60-bit extraction INTO it (graft_gram_hashes60
+        // packs each digest's first 15 hex digits as a long directly —
+        // no binary array, no hex string, no conv per gram; this build
+        // is map-only and DRAM-bandwidth-bound, so allocation traffic
+        // IS its cost).
         // 60-bit fingerprint space (widened from 32 in r14): the match
         // join keys on fp values, so a 32-bit space pays n²/2³³ birthday
         // collisions past ~10⁷ distinct fingerprints — the same ceiling
         // the shingle index hit at the 100× probe (DedupOps r13). 60 bits
         // also makes within-window min ties (the rightmost-tie rule's
         // input) chance-level instead of collision-driven at scale.
-        .select($"doc_id", expr(
-          """transform(graft_gram_hashes(ts, 4),
-            |  g -> cast(conv(substr(hex(substring(g, 1, 8)), 1, 15), 16, 10) as bigint))"""
-            .stripMargin).as("hs"))
+        .select($"doc_id", expr("graft_gram_hashes60(ts, 4)").as("hs"))
         .select($"doc_id", $"hs", explode(expr(
           """array_distinct(transform(sequence(1, size(hs) - 4),
             |  j -> array_max(filter(sequence(j, j + 4),
@@ -1236,9 +1235,9 @@ object TextOps {
     * runs once per plan instead of once per aggregation branch, and so
     * the bench ledger can itemize the build (`dup_windows`) instead of
     * charging it to whichever run touches it first. To keep the pinned
-    * footprint honest the grams are `unhex`ed to 16-byte binary before
-    * the persist — the cached rows carry fixed-width keys, not 32-char
-    * hex, and nothing downstream ever needs the text. App-end eviction
+    * footprint honest the grams are packed to 60-bit longs before the
+    * persist (r14; was 16-byte binary) — the cached rows carry 8-byte
+    * keys, and nothing downstream ever needs the text. App-end eviction
     * backstop as with every other cached stage. */
   private[operators] def dupWindows(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1248,8 +1247,13 @@ object TextOps {
         .select($"doc_id", split(lower($"text"), " ").as("ts"))
         .filter(size($"ts") >= 10)
         // one codegen'd kernel pass per doc (kernel == the interpreted
-        // transform/slice/md5 tower, pinned in FunctionsSpec)
-        .select($"doc_id", explode(expr("graft_gram_hashes(ts, 10)")).as("gram"))
+        // transform/slice/md5/conv tower, pinned in FunctionsSpec).
+        // 60-bit longs, not 16-byte binaries (r14): this window stream is
+        // one row per token position, so the count-distinct aggregate and
+        // the gram-keyed joins downstream shuffle 8-byte keys; the oracle
+        // derives the identical ints, keeping parity exact even under a
+        // (astronomically-unlikely) collision.
+        .select($"doc_id", explode(expr("graft_gram_hashes60(ts, 10)")).as("gram"))
         .persist()
     }
   }
@@ -1262,8 +1266,8 @@ object TextOps {
     * (the duplication is sub-document and unaligned).
     *
     * Plan shape: windows are generated by a narrow
-    * `transform(sequence(...))` + explode and hashed to 16-byte md5 keys
-    * immediately, so everything downstream shuffles fixed-width hashes,
+    * `transform(sequence(...))` + explode and hashed to 60-bit md5 keys
+    * immediately, so everything downstream shuffles 8-byte ints,
     * never window text (the same pre-hash trick the shingle stage uses).
     * Then one count-distinct-docs aggregation keyed by gram hash, an
     * equi-join of the window stream against the ≥2-doc gram set (both
@@ -1285,7 +1289,7 @@ object TextOps {
     * first copy stays novel and later copies pay).
     *
     * Plan shape: rides the memoized [[dupWindows]] stage; one min-per-
-    * gram aggregation (partial+final on the 16-byte key) gives each
+    * gram aggregation (partial+final on the 8-byte key) gives each
     * window content its first holder, one co-partitioned join back and
     * a per-doc count — the same shuffle budget as the dup-fraction
     * query. Windowless docs (< 10 tokens) report vacuous novelty 1000. */
@@ -1312,7 +1316,9 @@ object TextOps {
     """WITH toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
       |wins AS (
-      |  SELECT doc_id, md5(array_to_string(ts[CAST(i AS INT):CAST(i + 9 AS INT)], ' ')) AS gram
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(
+      |    array_to_string(ts[CAST(i AS INT):CAST(i + 9 AS INT)], ' ')), 1, 15))
+      |    AS BIGINT) AS gram
       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8)) AS i
       |        FROM toks WHERE len(ts) >= 10)),
       |firstseen AS (
@@ -1358,7 +1364,9 @@ object TextOps {
     """WITH toks AS (
       |  SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents),
       |wins AS (
-      |  SELECT doc_id, md5(array_to_string(ts[CAST(i AS INT):CAST(i + 9 AS INT)], ' ')) AS gram
+      |  SELECT doc_id, CAST(concat('0x', substr(md5(
+      |    array_to_string(ts[CAST(i AS INT):CAST(i + 9 AS INT)], ' ')), 1, 15))
+      |    AS BIGINT) AS gram
       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) - 8)) AS i
       |        FROM toks WHERE len(ts) >= 10)),
       |dup AS (

@@ -114,6 +114,90 @@ class DopRecoverySpec extends SparkTestBase {
     }
   }
 
+  test("mid-micro-batch kill at DOP 2 on RocksDB: duplicates at sink, exactly-once state") {
+    // The reference's core subject is duplicate delivery after recovery
+    // (TestFlinkStreamsRecover.java:99-107 observes it at ConcatenateSink).
+    // The other cases in this suite crash in the SOURCE-side filter, so
+    // the batch dies before any sink row is written and the replay shows
+    // no duplicates. Here the failure is injected DOWNSTREAM of the
+    // stateful operator — pipelined into the same task as the per-row
+    // sink — so each attempt first WRITES the group's earlier prefixes,
+    // then dies on the last one: the kill lands mid-micro-batch with
+    // sink rows already out. Asserted split, on the production-grade
+    // RocksDB state backend at input DOP 2:
+    //  - the non-idempotent sink sees the pre-kill rows MORE THAN ONCE
+    //    (at-least-once delivery, the reference's observed anomaly);
+    //  - keyed state is EXACTLY-ONCE: task attempts that died had their
+    //    state-store commits aborted, and the post-restart replay resumed
+    //    from batch 1's checkpointed RocksDB state — the final concat is
+    //    a clean permutation, not a double-applied "ababc…".
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    FailureRegistry.reset()
+    CollectingSink.reset()
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("graft_midbatch_ckpt").toString
+      val in = MemoryStream[UnstableData](numPartitions = 2)
+      // poison AFTER the stateful concat: group A's final batch-2 prefix
+      // "abcd" fails 5 times — 4 in-flight task attempts (each having
+      // already written "abc" to the sink) exhaust local[4, 4]'s retry
+      // budget and KILL the query mid-batch; the restarted query fails
+      // once more (attempt 5), then drains
+      def start() = StreamingOps.concatPrefixes(in.toDS())
+        .map { t =>
+          if (t._2 == "abcd")
+            FailureRegistry.waitValidateOrFail(UnstableData("poison", 5, 0))
+          t
+        }
+        .writeStream
+        .foreach(new org.apache.spark.sql.ForeachWriter[(String, String)] {
+          override def open(partitionId: Long, epochId: Long): Boolean = true
+          override def process(t: (String, String)): Unit =
+            CollectingSink.append(s"${t._1}:${t._2}")
+          override def close(errorOrNull: Throwable): Unit = ()
+        })
+        .option("checkpointLocation", ckpt).outputMode("append")
+        .start()
+      // batch 1 (clean): establishes RocksDB state A→"ab", B→"ef"
+      in.addData(UnstableData("a", 0, 0, "A"), UnstableData("b", 0, 0, "A"),
+        UnstableData("e", 0, 0, "B"), UnstableData("f", 0, 0, "B"))
+      assert(StreamingOps.runWithRestarts(20)(start _) == 0)
+      // batch 2: two more A elements (c then d → prefixes "abc", "abcd",
+      // the latter poisoned) and one B element
+      in.addData(UnstableData("c", 0, 0, "A"), UnstableData("d", 0, 0, "A"),
+        UnstableData("g", 0, 0, "B"))
+      val restarts = StreamingOps.runWithRestarts(20)(start _)
+      assert(restarts >= 1,
+        "the poisoned prefix should have killed the query mid-batch")
+      assert(FailureRegistry.failures("poison") == 5)
+      val seen = CollectingSink.buffer.get()
+      // at-least-once at the sink: "A:abc" was written by every attempt
+      // that then died on "abcd" (4 pre-kill + 1 post-restart) plus the
+      // final clean attempt — visibly duplicated
+      assert(seen.count(_ == "A:abc") > 1,
+        s"expected pre-kill sink rows to be replayed, saw: $seen")
+      // exactly-once state: the longest concat per group is a clean
+      // permutation — batch 1's state came back from the RocksDB
+      // checkpoint and batch 2 applied exactly once despite 6 attempts
+      val longestByGroup = seen.map(_.split(":")).collect {
+        case Array(g, c) => (g, c)
+      }.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).maxBy(_.length) }
+      assert(longestByGroup("A").sorted == "abcd",
+        s"group A state not exactly-once: ${longestByGroup("A")}")
+      assert(longestByGroup("B").sorted == "efg",
+        s"group B state not exactly-once: ${longestByGroup("B")}")
+    } finally {
+      saved match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("union of two unstable streams recovers with no element lost (ref TestFlinkStreamsRecover.java:84-96)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

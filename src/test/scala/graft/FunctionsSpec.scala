@@ -220,6 +220,53 @@ class FunctionsSpec extends SparkTestBase {
     }
   }
 
+  test("graft_gram_hashes60 equals the conv(substr(hex...)) tower over graft_gram_hashes") {
+    graft.functions.GramHashes.register(spark)
+    import spark.implicits._
+    val docs = Seq(
+      Array("a", "b", "c", "d", "e", "fgh", "ijkl"),
+      Array("x", "y", "z", "w"),                        // exactly k
+      Array("x", "y", "z"),                             // below k → empty
+      Array("münch", "漢字", "", "tail", "more")         // multibyte + empty token
+    ).toDF("ts")
+    val rows = docs.selectExpr(
+      "graft_gram_hashes60(ts, 4) AS kernel",
+      "transform(graft_gram_hashes(ts, 4), " +
+        "g -> cast(conv(substr(hex(substring(g, 1, 8)), 1, 15), 16, 10) as bigint)) AS tower"
+    ).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"kernel=${r.getSeq[Long](0)} tower=${r.getSeq[Long](1)}")
+    }
+    // 60-bit range: always non-negative, below 2^60
+    rows.flatMap(_.getSeq[Long](0)).foreach(v =>
+      assert(v >= 0L && v < (1L << 60), s"out of 60-bit range: $v"))
+  }
+
+  test("graft_icount_sorted equals size(array_intersect) on sorted sets") {
+    graft.functions.SortedIntersectCount.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def sortedSet(n: Int, bound: Long): Array[Long] =
+      Iterator.continually(rnd.nextLong(bound)).take(n * 2)
+        .toSeq.distinct.take(n).sorted.toArray
+    val cases = Seq(
+      (Array(1L, 2L, 3L), Array(2L, 3L, 4L)),            // overlap
+      (Array(1L, 2L), Array(3L, 4L)),                    // disjoint
+      (Array.empty[Long], Array(1L)),                    // empty side
+      (Array(5L), Array(5L))                             // identical
+    ) ++ (1 to 40).map(i => (sortedSet(i * 3 % 50 + 1, 40), sortedSet(i * 7 % 50 + 1, 40)))
+    val rows = cases.toDF("x", "y").selectExpr(
+      "graft_icount_sorted(x, y) AS kernel",
+      "cast(size(array_intersect(x, y)) as bigint) AS builtin").collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"kernel=${r.getLong(0)} builtin=${r.getLong(1)}"))
+    // null semantics mirror array_intersect
+    val nr = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
+      .toDF("x", "y").selectExpr("graft_icount_sorted(x, y)").collect()
+    assert(nr(0).isNullAt(0), "null input must yield null")
+  }
+
   test("graft_l2sq equals the zip_with fold, incl. null-on-dimension-mismatch") {
     graft.functions.L2SquaredDistance.register(spark)
     import spark.implicits._

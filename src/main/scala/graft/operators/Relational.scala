@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -320,39 +320,148 @@ object Relational {
       .orderBy($"flag")
   }
 
-  /** Sketch-quantile robust stats (`agg_robust_stats_sketch`) — the
+  /** Grid-quantile robust stats (`agg_robust_stats_sketch`) — the
     * production twin of [[aggRobustStats]], same shape/columns with both
-    * medians from `approx_percentile` (GK, accuracy 10000). The exact
-    * variant's `percentile` buffers EVERY group value in one aggregation
-    * state (3 groups here means n/3 values per buffer — a full sort grid
-    * that cannot survive a 100 TB column); the sketch is a bounded
-    * mergeable summary, so both passes stay map-side partial aggregates
-    * at any width. Counts and outlier fences are still exact arithmetic
-    * against the sketched medians. No cross-engine oracle (sketch
-    * boundaries are engine-specific); the suite pins shape parity, exact
-    * n, and median/MAD/outlier agreement with the exact variant within
-    * the sketch's rank-error budget. */
+    * medians computed on the INTEGER-CENT GRID instead of a value-
+    * buffering percentile. The exact variant's `percentile` buffers
+    * every group value in one aggregation state (n/3 per buffer here — a
+    * full sort grid that cannot survive a 100 TB column). Earlier rounds
+    * used `approx_percentile` (GK, accuracy 10⁴) here; the r14 isolation
+    * probes showed each GK partial pass costs ~4 µs/row under 32-way
+    * concurrency (allocation-bound `QuantileSummaries` inserts — ~80
+    * task-CPU-s per 18M-row pass, two passes in this query) while a
+    * codegen'd hash aggregate over the same rows costs ~0.7 µs/row. A
+    * money column is domain-bounded, so the grid form is strictly
+    * better: quantize to cents and take the exact grid median (rank
+    * ⌊n/2⌋+1) with a two-phase bucket-refine per median (see
+    * `gridMedian` below) — every pass a corpus-linear codegen scan with
+    * bounded aggregation state, corpus-independent at any width; for a
+    * genuinely unbounded domain the GK path ([[aggEquidepthSketch]] /
+    * `agg_approx_percentile`) remains the general tool. Every
+    * comparison is INTEGER arithmetic (cents, fence
+    * = med ± 3·mad in cents) and the two reported prices are
+    * cents/100.0 — single correctly-rounded IEEE ops — so DuckDB
+    * derives bit-identical doubles and this row is hash-checkable,
+    * unlike the engine-specific GK layout it replaces. Grid error vs
+    * the exact interpolated median is ≤ one half-cent plus the
+    * lower-vs-interpolated rank gap — far inside the suite's 1 %/2 %
+    * agreement budget. */
   def aggRobustStatsSketch(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-      .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
-    val med = li.groupBy($"flag")
-      .agg(expr("approx_percentile(x, 0.5D, 10000)").as("median_price"))
-    val mad = li.join(broadcast(med), "flag")
-      .select($"flag", $"median_price", abs($"x" - $"median_price").as("d"))
-      .groupBy($"flag")
-      .agg(min($"median_price").as("median_price"),
-        expr("approx_percentile(d, 0.5D, 10000)").as("mad_price"))
-    li.join(broadcast(mad), "flag")
-      .groupBy($"flag", $"median_price", $"mad_price")
+      .select($"l_returnflag".as("flag"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").as("cents"))
+    // Exact grid median (rank floor(n/2)+1 — the rank the oracle's
+    // `cum*2 >= tot+1` selects) of a non-negative BIGINT column per
+    // flag, in two bounded passes with the TINY intermediates
+    // materialized on the driver between them. Two traps this shape
+    // avoids, both measured this round: (a) a single
+    // groupBy(flag, value) is NOT scalable — the cents domain has ~600k
+    // distinct values, so every map task builds a ~500k-entry hash that
+    // combines nothing (slower than the GK pass it replaced); (b)
+    // composing the passes as broadcast SUBTREES re-executes every
+    // upstream pass per consumer (zero exchange reuse across the
+    // independently-planned broadcast branches: 9 parquet scans in the
+    // final plan). So phase 1 histograms 8192-cent buckets (codegen agg,
+    // real map-side combine, ≤ ~1.4k buckets/flag) and collects the
+    // ≤ flags×1.4k rows; the driver finds each flag's median bucket and
+    // residual rank (pure integer logic); phase 2 re-scans filtered to
+    // JUST those buckets (~1/1300 of the corpus) and collects the
+    // ≤ flags×8192 within-bucket counts to resolve the exact cent.
+    // Driver state is bounded by the grid — never by n — the same
+    // bounded-collect discipline as the trained-IVF codebooks.
+    def gridMedian(df: DataFrame, valueCol: String): Map[String, Long] = {
+      val v = col(valueCol)
+      val hist = df.groupBy($"flag", shiftright(v, 13).as("b")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // value (with cumulative count) at the first cumulative rank >= r
+      def atRank(rows: Array[(String, Long, Long)], r: Map[String, Long]) =
+        rows.groupBy(_._1).map { case (f, rs) =>
+          val sorted = rs.sortBy(_._2)
+          val cums = sorted.scanLeft(0L)(_ + _._3).tail
+          val i = cums.indexWhere(_ >= r(f))
+          f -> (sorted(i)._2, cums(i) - sorted(i)._3)
+        }
+      val rStar = hist.groupBy(_._1)
+        .map { case (f, rs) => f -> (rs.map(_._3).sum / 2 + 1) }
+      val target = atRank(hist, rStar) // flag -> (median bucket, rows before it)
+      val inBucket = target.map { case (f, (b, _)) =>
+        $"flag" === f && shiftright(v, 13) === b
+      }.reduce(_ || _)
+      val within = df.filter(inBucket).groupBy($"flag", v.as("value")).count()
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val residual = target.map { case (f, (_, before)) => f -> (rStar(f) - before) }
+      atRank(within, residual).map { case (f, (value, _)) => f -> value }
+    }
+    // bounded per-flag medians ride the final plan as a literal CASE
+    // chain — the 3-row analog of a broadcast dim, with no extra join
+    def flagMap(m: Map[String, Long]): Column = {
+      val items = m.toSeq
+      items.tail.foldLeft(when($"flag" === items.head._1, items.head._2)) {
+        case (acc, (f, value)) => acc.when($"flag" === f, value)
+      }
+    }
+    val medians = gridMedian(li, "cents")
+    if (medians.isEmpty) // empty table: same empty shape the exact twin yields
+      return li.select($"flag", lit(0.0).as("median_price"),
+        lit(0.0).as("mad_price"), lit(0L).as("n"), lit(0L).as("n_outliers"))
+        .limit(0)
+    val medCol = flagMap(medians)
+    val madCol = flagMap(gridMedian(
+      li.select($"flag", abs($"cents" - medCol).as("dc")), "dc"))
+    // final corpus pass: exact counts against the integer fences
+    li.select($"flag", $"cents", medCol.as("med_cents"), madCol.as("mad_cents"))
+      .groupBy($"flag", $"med_cents", $"mad_cents")
       .agg(count(lit(1)).as("n"),
-        sum(when($"x" > $"median_price" + lit(3.0) * $"mad_price" ||
-                 $"x" < $"median_price" - lit(3.0) * $"mad_price", 1L)
+        sum(when($"cents" > $"med_cents" + lit(3L) * $"mad_cents" ||
+                 $"cents" < $"med_cents" - lit(3L) * $"mad_cents", 1L)
           .otherwise(0L)).as("n_outliers"))
-      .select($"flag", $"median_price".cast("double").as("median_price"),
-        $"mad_price".cast("double").as("mad_price"), $"n", $"n_outliers")
+      .select($"flag",
+        ($"med_cents".cast("double") / 100.0).as("median_price"),
+        ($"mad_cents".cast("double") / 100.0).as("mad_price"),
+        $"n", $"n_outliers")
       .orderBy($"flag")
   }
+
+  /** DuckDB restatement of [[aggRobustStatsSketch]]: the same integer-
+    * cent grid medians (first cumulative rank r with 2r ≥ n+1, i.e.
+    * ⌊n/2⌋+1), integer fences, and single /100.0 conversions — every
+    * intermediate is a BIGINT on both engines, so the output doubles
+    * hash-match. */
+  val aggRobustStatsSketchSql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag AS flag,
+      |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM lineitem),
+      |g AS (SELECT flag, cents, count(*) AS cnt FROM c GROUP BY 1, 2),
+      |m AS (
+      |  SELECT flag, min(cents) AS med_cents FROM (
+      |    SELECT flag, cents,
+      |           sum(cnt) OVER (PARTITION BY flag ORDER BY cents) AS cum,
+      |           sum(cnt) OVER (PARTITION BY flag) AS tot
+      |    FROM g) t
+      |  WHERE cum * 2 >= tot + 1 GROUP BY flag),
+      |d AS (
+      |  SELECT c.flag, abs(c.cents - m.med_cents) AS dc
+      |  FROM c JOIN m USING (flag)),
+      |gd AS (SELECT flag, dc, count(*) AS cnt FROM d GROUP BY 1, 2),
+      |md AS (
+      |  SELECT flag, min(dc) AS mad_cents FROM (
+      |    SELECT flag, dc,
+      |           sum(cnt) OVER (PARTITION BY flag ORDER BY dc) AS cum,
+      |           sum(cnt) OVER (PARTITION BY flag) AS tot
+      |    FROM gd) t
+      |  WHERE cum * 2 >= tot + 1 GROUP BY flag)
+      |SELECT c.flag,
+      |  CAST(m.med_cents AS DOUBLE) / 100.0 AS median_price,
+      |  CAST(md.mad_cents AS DOUBLE) / 100.0 AS mad_price,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN c.cents > m.med_cents + 3 * md.mad_cents
+      |             OR c.cents < m.med_cents - 3 * md.mad_cents
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM c JOIN m USING (flag) JOIN md USING (flag)
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1""".stripMargin
 
   /** Exact per-flag average price through the PUBLIC typed
     * [[graft.functions.TypedExactAvg]] Aggregator — the Dataset-native

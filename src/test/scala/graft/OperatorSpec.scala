@@ -8,17 +8,58 @@ import org.apache.spark.sql.Row
 class OperatorSpec extends SparkTestBase {
 
   test("every registered query returns rows and re-runs deterministically") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val a = fn(spark, sfDir).collect()
-      val b = fn(spark, sfDir).collect()
-      assert(a.nonEmpty, s"$name returned 0 rows")
-      assert(a.sameElements(b), s"$name is not deterministic across runs")
+    // ~500 query executions dominate the suite's wall clock, and most of
+    // each execution is driver-side analysis/codegen + scheduling latency,
+    // not task CPU — so the gate fans out over 4 worker threads. Each
+    // thread gets its OWN spark.newSession(): several operators mutate
+    // session conf (broadcast thresholds, shuffle partitions, state-store
+    // provider), which is exactly the state a shared session would race
+    // on; a new session starts from the SparkContext conf (UTC, 4 shuffle
+    // partitions) and the dedup/ANN memo caches are already keyed by
+    // (SparkSession, key). The a/b determinism pair stays sequential
+    // WITHIN one thread, so each query still re-runs under the identical
+    // session state it first ran under.
+    val workers = 6
+    val names = SparkEntry.queries.keys.toVector.sorted
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (0 until workers).map { slot =>
+      val t = new Thread(() => {
+        val session = spark.newSession()
+        for (i <- slot until names.size by workers) {
+          val name = names(i)
+          try {
+            val fn = SparkEntry.queries(name)
+            val a = fn(session, sfDir).collect()
+            val b = fn(session, sfDir).collect()
+            if (a.isEmpty) failures.add(s"$name returned 0 rows")
+            else if (!a.sameElements(b))
+              failures.add(s"$name is not deterministic across runs")
+          } catch {
+            case e: Throwable =>
+              failures.add(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+        }
+      }, s"query-gate-$slot")
+      t.start(); t
     }
+    threads.foreach(_.join())
+    assert(failures.isEmpty,
+      s"query gate failures:\n  ${failures.toArray.mkString("\n  ")}")
   }
 
   test("every oracle key has a registered query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql keys without queries: $missing")
+  }
+
+  test("twin_of registry: every twin and baseline is a registered query") {
+    val t = SparkEntry.twinOf
+    val ghosts = (t.keySet ++ t.values) -- SparkEntry.queries.keySet
+    assert(ghosts.isEmpty, s"twinOf names not in queries: $ghosts")
+    assert(t.forall { case (k, v) => k != v }, "a query cannot twin itself")
+    // a baseline is the exact anchor — it must not itself be a twin
+    val chained = t.values.toSet.intersect(t.keySet)
+    assert(chained.isEmpty, s"baselines that are also twins: $chained")
   }
 
   test("entry smoke: flagship query yields rows") {
@@ -1122,13 +1163,14 @@ class OperatorSpec extends SparkTestBase {
       "sketch twin must cover the same groups in the same order")
     sk.foreach { r =>
       val (med, mad, n, outliers) = exact(r.getString(0))
-      // accuracy 10000 on ~6k values/group → the sketch median is an
-      // actual data value within a couple of ranks of the true median;
-      // 1% relative is a generous ceiling for the price distribution
+      // the grid median is an actual data cent value at rank
+      // floor(n/2)+1, vs the exact variant's interpolated median — off
+      // by at most one rank step plus half a cent; 1% relative is a
+      // generous ceiling for the price distribution
       assert(math.abs(r.getDouble(1) - med) <= 0.01 * med,
-        s"flag ${r.getString(0)}: sketch median ${r.getDouble(1)} vs exact $med")
+        s"flag ${r.getString(0)}: grid median ${r.getDouble(1)} vs exact $med")
       assert(math.abs(r.getDouble(2) - mad) <= 0.02 * mad,
-        s"flag ${r.getString(0)}: sketch MAD ${r.getDouble(2)} vs exact $mad")
+        s"flag ${r.getString(0)}: grid MAD ${r.getDouble(2)} vs exact $mad")
       assert(r.getLong(3) == n, "count must stay exact")
       // fences shifted by the sketch error move only the points sitting
       // inside the shifted band — a thin tail at 3 MADs, so the counts

@@ -4,11 +4,15 @@ import org.apache.spark.sql.SparkSession
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-/** One shared session per JVM. Master `local[4, 4]` = 4 threads AND 4
+/** One shared session per JVM. Master `local[8, 4]` = 8 task slots AND 4
   * task-failure retries — the retry budget is what lets the
   * fault-injection suites mirror the reference's fixed-delay restart
   * strategy (`/root/reference/src/main/ru/hse/flinkanomaly/Main.java:29-30`)
-  * for batch jobs. */
+  * for batch jobs. Slots were 4 through r13; 8 overlaps the parallel
+  * query gate's six concurrent sessions without starving them (measured
+  * r14: suite 531 → 419 s green), while shuffle.partitions stays 4 so
+  * every partition-count-sensitive assertion sees the same layouts as
+  * before. */
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkTestBase.session
   val sfDir = "/root/testdata/sf0.001"
@@ -16,7 +20,7 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkTestBase {
   lazy val session: SparkSession = SparkSession.builder()
-    .master("local[4, 4]")
+    .master("local[8, 4]")
     .appName("graft-tests")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")

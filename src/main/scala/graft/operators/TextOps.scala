@@ -497,15 +497,22 @@ object TextOps {
     DedupOps.cachedDf(spark, s"winnow:$dir") {
       import spark.implicits._
       graft.functions.GramHashes.register(spark)
+      graft.functions.WinnowPositions.register(spark)
       Tables.documents(spark, dir)
         .select($"doc_id", split(lower($"text"), " ").as("ts"))
         .filter(size($"ts") >= 8)
         // r11: the per-window md5 tower runs in the gram-hash kernel;
         // r14 moved the 60-bit extraction INTO it (graft_gram_hashes60
         // packs each digest's first 15 hex digits as a long directly —
-        // no binary array, no hex string, no conv per gram; this build
-        // is map-only and DRAM-bandwidth-bound, so allocation traffic
-        // IS its cost).
+        // no binary array, no hex string, no conv per gram) and then the
+        // SELECTION into graft_winnow_positions (rightmost-min per
+        // 5-window, consecutive-dedup ≡ array_distinct because the
+        // selection is non-decreasing — proof at the kernel): the
+        // expression tower allocated a slice + two sequences + a filter
+        // result per token, and the build is map-only, so allocation
+        // traffic WAS its cost — its isolated task-CPU ladder read
+        // 10.3/53.8/604 s at 10×/30×/100× (stall-cycle compounding),
+        // vs w primitive compares per token here.
         // 60-bit fingerprint space (widened from 32 in r14): the match
         // join keys on fp values, so a 32-bit space pays n²/2³³ birthday
         // collisions past ~10⁷ distinct fingerprints — the same ceiling
@@ -513,11 +520,8 @@ object TextOps {
         // also makes within-window min ties (the rightmost-tie rule's
         // input) chance-level instead of collision-driven at scale.
         .select($"doc_id", expr("graft_gram_hashes60(ts, 4)").as("hs"))
-        .select($"doc_id", $"hs", explode(expr(
-          """array_distinct(transform(sequence(1, size(hs) - 4),
-            |  j -> array_max(filter(sequence(j, j + 4),
-            |         p -> element_at(hs, p) = array_min(slice(hs, j, 5))))))"""
-            .stripMargin)).as("pos"))
+        .select($"doc_id", $"hs",
+          explode(expr("graft_winnow_positions(hs, 5)")).as("pos"))
         .select($"doc_id", $"pos".cast("bigint").as("pos"),
           expr("element_at(hs, pos)").as("fp"))
         .persist()

@@ -161,6 +161,36 @@ class FunctionsSpec extends SparkTestBase {
     assert(ck == ct)
   }
 
+  test("graft_winnow_positions equals the array_distinct tower on random hash arrays") {
+    registerAll()
+    graft.functions.WinnowPositions.register(spark)
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import spark.implicits._
+    // small value alphabet FORCES ties inside windows, exercising the
+    // rightmost-tie rule and the non-decreasing-selection dedup argument;
+    // lengths straddle the n < w empty case. Fixed seed — never flaps.
+    val arr = for {
+      n <- Gen.choose(0, 60)
+      vs <- Gen.listOfN(n, Gen.oneOf(Gen.choose(0L, 6L), Gen.choose(0L, 1L << 59)))
+    } yield vs
+    val rows = Iterator.iterate(Seed(21L))(_.next)
+      .flatMap(s => arr.apply(Gen.Parameters.default, s))
+      .take(200).toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    val checked = rows.toDF("id", "hs").select($"id",
+      expr("graft_winnow_positions(hs, 5)").as("k"),
+      expr(
+        """CASE WHEN size(hs) >= 5 THEN
+          |  array_distinct(transform(sequence(1, size(hs) - 4),
+          |    j -> array_max(filter(sequence(j, j + 4),
+          |           p -> element_at(hs, p) = array_min(slice(hs, j, 5))))))
+          |ELSE array() END""".stripMargin).as("t")).collect()
+    checked.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2).map(identity),
+        s"winnow id=${r.getLong(0)}: kernel ${r.getSeq[Int](1)} vs tower ${r.getSeq[Int](2)}")
+    }
+  }
+
   test("graft_moments equals the explode+sum tower on a small matrix") {
     registerAll()
     import spark.implicits._

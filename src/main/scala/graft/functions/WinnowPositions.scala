@@ -37,9 +37,15 @@ case class WinnowPositions(child: Expression, w: Int) extends UnaryExpression {
     s"graft_winnow_positions: w must be in [2, 1024], got $w")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    // containsNull must be false: compute() reads every slot with
+    // getLong, which would silently turn a null element into 0 and give
+    // wrong winnow positions instead of a type error. The producing
+    // kernel (graft_gram_hashes60) emits containsNull = false, so this
+    // rejects only genuinely unsafe inputs.
+    case ArrayType(LongType, false) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"graft_winnow_positions expects array<bigint>, got ${other.simpleString}")
+      "graft_winnow_positions expects array<bigint> with non-null " +
+        s"elements, got ${other.simpleString}")
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

@@ -374,6 +374,10 @@ object Relational {
       val v = col(valueCol)
       val hist = df.groupBy($"flag", shiftright(v, 13).as("b")).count()
         .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      // empty table: return no medians so the caller's empty-shape branch
+      // fires — without this, target is empty and the `reduce(_ || _)`
+      // over its predicates throws before that branch is ever reached
+      if (hist.isEmpty) return Map.empty[String, Long]
       // value (with cumulative count) at the first cumulative rank >= r
       def atRank(rows: Array[(String, Long, Long)], r: Map[String, Long]) =
         rows.groupBy(_._1).map { case (f, rs) =>

@@ -10,7 +10,7 @@ class OperatorSpec extends SparkTestBase {
   test("every registered query returns rows and re-runs deterministically") {
     // ~500 query executions dominate the suite's wall clock, and most of
     // each execution is driver-side analysis/codegen + scheduling latency,
-    // not task CPU — so the gate fans out over 4 worker threads. Each
+    // not task CPU — so the gate fans out over six worker threads. Each
     // thread gets its OWN spark.newSession(): several operators mutate
     // session conf (broadcast thresholds, shuffle partitions, state-store
     // provider), which is exactly the state a shared session would race
@@ -22,22 +22,36 @@ class OperatorSpec extends SparkTestBase {
     val workers = 6
     val names = SparkEntry.queries.keys.toVector.sorted
     val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // completion counter: a thread that dies OUTSIDE the per-query try
+    // (e.g. spark.newSession() throwing) would previously vanish
+    // silently — join() still returns and failures stays empty, passing
+    // the gate while its slot's queries never ran. The outer catch
+    // records any such death, and the completed-count assertion makes
+    // "every query actually executed" explicit rather than inferred.
+    val completed = new java.util.concurrent.atomic.AtomicInteger(0)
     val threads = (0 until workers).map { slot =>
       val t = new Thread(() => {
-        val session = spark.newSession()
-        for (i <- slot until names.size by workers) {
-          val name = names(i)
-          try {
-            val fn = SparkEntry.queries(name)
-            val a = fn(session, sfDir).collect()
-            val b = fn(session, sfDir).collect()
-            if (a.isEmpty) failures.add(s"$name returned 0 rows")
-            else if (!a.sameElements(b))
-              failures.add(s"$name is not deterministic across runs")
-          } catch {
-            case e: Throwable =>
-              failures.add(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+        try {
+          val session = spark.newSession()
+          for (i <- slot until names.size by workers) {
+            val name = names(i)
+            try {
+              val fn = SparkEntry.queries(name)
+              val a = fn(session, sfDir).collect()
+              val b = fn(session, sfDir).collect()
+              if (a.isEmpty) failures.add(s"$name returned 0 rows")
+              else if (!a.sameElements(b))
+                failures.add(s"$name is not deterministic across runs")
+            } catch {
+              case e: Throwable =>
+                failures.add(s"$name threw ${e.getClass.getSimpleName}: ${e.getMessage}")
+            }
+            completed.incrementAndGet()
           }
+        } catch {
+          case e: Throwable =>
+            failures.add(s"worker $slot died outside the query loop: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
         }
       }, s"query-gate-$slot")
       t.start(); t
@@ -45,6 +59,8 @@ class OperatorSpec extends SparkTestBase {
     threads.foreach(_.join())
     assert(failures.isEmpty,
       s"query gate failures:\n  ${failures.toArray.mkString("\n  ")}")
+    assert(completed.get() == names.size,
+      s"query gate ran ${completed.get()} of ${names.size} queries")
   }
 
   test("every oracle key has a registered query") {

@@ -9,8 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * fault-injection suites mirror the reference's fixed-delay restart
   * strategy (`/root/reference/src/main/ru/hse/flinkanomaly/Main.java:29-30`)
   * for batch jobs. Slots were 4 through r13; 8 overlaps the parallel
-  * query gate's six concurrent sessions without starving them (measured
-  * r14: suite 531 → 419 s green), while shuffle.partitions stays 4 so
+  * query gate's six concurrent sessions without starving them (r14
+  * measured the change as suite 531 → 419 s; later same-HEAD runs on a
+  * quieter host landed at 279–359 s — the win is the overlap, the exact
+  * wall number is host noise), while shuffle.partitions stays 4 so
   * every partition-count-sensitive assertion sees the same layouts as
   * before. */
 trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {

@@ -187,8 +187,33 @@ object Bench {
       kv.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case scala.util.control.NonFatal(_) => Map.empty }
 
+  /** Capture-time provenance: the commit the working tree was at and
+    * whether it was dirty. Three rounds running, a sealed ladder and the
+    * final HEAD diverged by one commit (r13: BENCH_sf3 pre-IVF-fix, r14:
+    * BENCH_sf10 pre-winnow-kernel) and the mismatch was only caught by
+    * hand-audit — so every ledger now carries the answer mechanically.
+    * `tools/check_ledger_head.py` asserts committed ledgers match the
+    * seal commit. Failure to run git (not a repo, no binary) degrades to
+    * "unknown" rather than failing the bench. */
+  private def gitProvenance(): (String, Boolean) =
+    try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() != 0) sys.error(s"git exited nonzero: $out")
+        out
+      }
+      (run("git", "rev-parse", "HEAD"),
+        run("git", "status", "--porcelain").nonEmpty)
+    } catch { case scala.util.control.NonFatal(_) => ("unknown", true) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val (gitHead, gitDirty) = gitProvenance()
+    if (gitDirty)
+      System.err.println("[bench] WARNING: working tree is dirty (or git " +
+        "unavailable) — this ledger is NOT sealable as-is; commit first " +
+        "or treat as a dev probe")
     // the bench contract is local[32]: default to it rather than a
     // conservative 4 so an env-less driver run measures the same
     // parallelism as the committed ledger (a 4-thread run reads ~2x
@@ -429,6 +454,7 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Rounds,
          |"n_queries":${results.count(_.ok)},"sf":"$sfDir","cpus":$cpus,
          |"host_cpus":$hostCpus,
+         |"head":"$gitHead","dirty":$gitDirty,
          |"sentinels":$sentinelsJson,
          |"cached_bytes_after_prewarm":$cachedBytes,
          |"shared_stages":$sharedJson,
@@ -447,7 +473,7 @@ object Bench {
     // slowest 20, always well under the tail window.
     val slowest = results.collect { case r if r.ok => (r.name, r.sec) }
       .sortBy(-_._2).take(20)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Rounds,"n_queries":${results.count(_.ok)},"queries":${jsonMap(slowest)},"shared_stages":$sharedJson,"failed":$failedNames,"sentinels":$sentinelsJson,"host_cpus":$hostCpus,"ledger":"$ledgerPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Rounds,"n_queries":${results.count(_.ok)},"queries":${jsonMap(slowest)},"shared_stages":$sharedJson,"failed":$failedNames,"sentinels":$sentinelsJson,"host_cpus":$hostCpus,"head":"$gitHead","dirty":$gitDirty,"ledger":"$ledgerPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -649,25 +649,101 @@ object DedupOps {
     * shingle set; the keep filter is the exact integer cross-multiply
     * `5·|A∩B| ≥ 4·|A|`, the division only decorates the output.
     *
-    * Plan shape: same hash-partitioned inverted-index equi-join as
-    * [[dedupNgramJaccard]] minus the `<` pair ordering (both directions
-    * are meaningful here); every shuffle keys on the 8-byte shingle hash
-    * or doc_id. The shingle set itself comes from the session-shared
-    * [[sharedShingles]] cache — the md5 projection per consumer is the
-    * only recompute, so no per-query persist/unpersist churn. */
+    * Plan shape (reworked r15 — the r14 ladder measured the previous
+    * full-index self-join's per-run task-CPU growing ×5.9 on the ×3.33
+    * sf3→sf10 step while its sibling `ngram_pairs` stayed ~linear):
+    * a DIRECTED prefix filter plus the PPJoin verify kernel, the same
+    * treatment that fixed `ppjoin_pairs`' growth law.
+    *
+    *  - PREFIX (exact, integer): a pair passes iff
+    *    `|A_c ∩ B_c| ≥ m` where `A_c` = A's df≤50 capped shingles and
+    *    `m = ⌈4·|A|/5⌉` (5·n ≥ 4·s ⟺ n ≥ ⌈4s/5⌉). At most
+    *    `|A_c| − m` of A_c's shingles can miss B, so among A's
+    *    `|A_c| − m + 1` RAREST capped shingles (ascending global df —
+    *    the cheapest postings) at least one must hit B's postings:
+    *    the candidate join touches only that ~⌈0.2·|A_c|⌉-sized prefix
+    *    on the A side instead of every posting on both sides, and a doc
+    *    with `|A_c| < m` (too many stop-shingles excluded by the cap)
+    *    provably cannot head a pair and is dropped before the join.
+    *  - POSITIONAL (exact): both sides rank their postings in the same
+    *    global (df, h) order, and a join row at ranks (pa, pb) can only
+    *    head a true pair if `1 + min(ca − pa, cb − pb) ≥ m` — see the
+    *    body comment for the first-common-element argument. This is the
+    *    filter that did the heavy lifting in `ppjoin_pairs`.
+    *  - VERIFY: survivors intersect their h-ascending capped arrays in
+    *    the codegen [[graft.functions.SortedIntersectCount]] merge scan
+    *    — per-pair O(|A|+|B|) primitive compares, replacing the old
+    *    `groupBy(doc_a, doc_b).count()` over the Σ_h df² join output
+    *    (the mass that grew super-linearly while dup-dense shingles
+    *    saturated toward the df cap).
+    *
+    * The per-doc arrays are the memoized [[containmentTok]] stage (one
+    * linear collect+sort aggregate per session, its own bench stage
+    * line). Every shuffle keys on the 8-byte shingle hash or doc_id;
+    * nothing corpus-proportional is broadcast. */
+  /** Memoized per-document CAPPED shingle arrays for the containment
+    * join `(doc_id, hs, hss, c_len, nsh, m)` — the same genus of derived
+    * index as [[shingleIndex]]/[[shingleSizes]], persisted once per
+    * (session, dir) and registered as its own bench stage:
+    *  - `hs`: the doc's df≤50 shingles ascending by (global df, h) —
+    *    the fixed rarest-first total order the prefix lemma needs;
+    *  - `hss`: the same set ascending by h — the order the
+    *    [[graft.functions.SortedIntersectCount]] merge scan requires;
+    *  - `c_len` = |A_c| (capped count), `nsh` = |A| (FULL set size, the
+    *    containment denominator — the cap applies to the intersection
+    *    only, same as the oracle), `m` = ⌈4·nsh/5⌉ (the integer
+    *    intersection threshold: 5·n ≥ 4·s ⟺ n ≥ ⌈4s/5⌉). */
+  private[graft] def containmentTok(spark: SparkSession, dir: String): DataFrame =
+    cachedDf(spark, s"ctok:$dir") {
+      import spark.implicits._
+      shingleIndex(spark, dir).filter($"df" <= 50)
+        .groupBy($"doc_id")
+        .agg(sort_array(collect_list(struct($"df", $"h"))).as("ts"))
+        .join(shingleSizes(spark, dir), "doc_id")
+        .select($"doc_id",
+          expr("transform(ts, x -> x.h)").as("hs"),
+          expr("sort_array(transform(ts, x -> x.h))").as("hss"),
+          size($"ts").cast("long").as("c_len"),
+          $"nsh",
+          expr("(4 * nsh + 4) div 5").as("m"))
+        .persist()
+    }
+
   def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // the capped view is a predicate over the session-shared
-    // [[shingleIndex]] cache — previously this query re-derived the md5
-    // projection + df aggregate on BOTH sides of the self-join, every run
-    val capped = shingleIndex(spark, dir)
-      .filter($"df" <= 50).select($"doc_id", $"h")
-    val sizes = shingleSizes(spark, dir)
-    val inter = capped.as("a").join(capped.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" =!= $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter.join(sizes.select($"doc_id".as("doc_a"), $"nsh".as("nsh_a")), "doc_a")
+    graft.functions.SortedIntersectCount.register(spark)
+    val tok = containmentTok(spark, dir)
+    // A-side prefix postings with their 1-based rank in the (df, h)
+    // order; a doc with c_len < m provably cannot head a pair
+    val pfx = tok.filter($"c_len" >= $"m")
+      .select($"doc_id".as("doc_a"), $"c_len".as("ca"), $"m",
+        posexplode(expr("slice(hs, 1, cast(c_len - m + 1 as int))")))
+      .select($"doc_a", $"ca", $"m",
+        ($"pos" + 1).cast("long").as("pa"), $"col".as("h"))
+    // B-side: EVERY capped posting, also ranked — the positional filter
+    // needs both ranks (same global order on both sides)
+    val posted = tok
+      .select($"doc_id".as("doc_b"), $"c_len".as("cb"), posexplode($"hs"))
+      .select($"doc_b", $"cb", ($"pos" + 1).cast("long").as("pb"), $"col".as("h"))
+    // POSITIONAL bound (PPJoin's, adapted to the directed threshold):
+    // both hs arrays are sorted by the SAME global (df, h) order, so the
+    // smallest common shingle sits at some (pa, pb) and every other
+    // common shingle ranks strictly after it in BOTH docs — hence
+    // n_inter ≤ 1 + min(ca − pa, cb − pb). A true pair's first-match
+    // posting row satisfies the bound, so filtering join rows by it
+    // loses nothing (the sf1 probe measured the bare prefix join at
+    // ~60 candidates/doc; the positional bound is what turned PPJoin's
+    // candidate set into ~1 per true pair).
+    val cand = pfx.join(posted, "h")
+      .filter($"doc_a" =!= $"doc_b" &&
+        lit(1) + least($"ca" - $"pa", $"cb" - $"pb") >= $"m")
+      .select($"doc_a", $"doc_b").distinct()
+    cand
+      .join(tok.select($"doc_id".as("doc_a"),
+        $"hss".as("hss_a"), $"nsh".as("nsh_a")), "doc_a")
+      .join(tok.select($"doc_id".as("doc_b"), $"hss".as("hss_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        expr("graft_icount_sorted(hss_a, hss_b)").as("n_inter"), $"nsh_a")
       .filter($"n_inter" * 5 >= $"nsh_a" * 4)
       .select($"doc_a", $"doc_b", $"n_inter", $"nsh_a",
         ($"n_inter".cast("double") / $"nsh_a".cast("double")).as("containment"))
@@ -1381,6 +1457,12 @@ object DedupOps {
     // build together.
     SharedStage("shingle_index", Seq(s"shidx:$dir", s"shsizes:$dir"),
       () => shingleSizes(spark, dir)),
+    // per-doc capped (df,h)-ranked + h-sorted arrays for the containment
+    // prefix/positional join (r15) — one linear collect+sort over the
+    // capped index, its own line so the containment query's per-run cost
+    // is the join+verify it actually re-executes
+    SharedStage("containment_tok", Seq(s"ctok:$dir"),
+      () => containmentTok(spark, dir)),
     SharedStage("minhash_estimates", Seq(s"minhash:$dir"),
       () => minhashEstimates(spark, dir)),
     SharedStage("simhash_sketch", Seq(s"simhash:$dir"),

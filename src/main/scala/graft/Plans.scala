@@ -154,7 +154,39 @@ object Plans {
       ("Sweep: one pass over the CACHED PPJoin pair set crossed with " +
         "the 10-row literal threshold frame — no shingle recomputation, " +
         "no second pair join; both stat branches aggregate the same " +
-        "swept frame.")
+        "swept frame."),
+    "dedup_containment" ->
+      ("r15 shape (the r14 ladder measured the old full-index self-join " +
+        "+ groupBy-count growing x5.9 per-run CPU on the x3.33 top " +
+        "step): candidates = A-side directed PREFIX postings (the " +
+        "|A_c|-m+1 rarest capped shingles, m = ceil(4|A|/5)) equi-joined " +
+        "on the 8-byte shingle key against the full ranked posting list, " +
+        "filtered by the integer POSITIONAL bound 1+min(ca-pa, cb-pb) " +
+        ">= m; verify = the two h-sorted per-doc arrays (cached " +
+        "containment_tok stage, InMemoryTableScan) travel to each " +
+        "distinct candidate once and merge in-task via codegen " +
+        "graft_icount_sorted. The plan must show NO groupBy-count over " +
+        "the posting self-join mass and nothing corpus-proportional " +
+        "broadcast; per-key join fan-out is bounded by the df<=50 cap " +
+        "on both sides."),
+    "agg_robust_stats_sketch" ->
+      ("r14 grid-median shape: 5 corpus-linear codegen hash-aggregate " +
+        "scans (8192-cent bucket histogram, in-bucket refine, per-flag " +
+        "fence count — x2 for MAD), each collecting a GRID-bounded " +
+        "frame to the driver (never n rows); the medians re-enter the " +
+        "final pass as a literal CASE chain, so the plan shows NO " +
+        "broadcast-subtree re-execution (the r13 form re-ran 9 parquet " +
+        "scans) and NO approx_percentile partials (4us/row " +
+        "QuantileSummaries was the r13 cost)."),
+    "text_winnowing_fingerprint" ->
+      ("r14 kernel shape: map-only fingerprint build — one codegen " +
+        "graft_gram_hashes60 call then one graft_winnow_positions call " +
+        "per document (selection proved equal to the " +
+        "array_distinct/transform tower, which allocated slice+sequence+" +
+        "filter arrays per token and measured 604 task-CPU-s at the " +
+        "100x probe vs 24.5 for the kernel); the only exchanges are the " +
+        "fingerprint-key match join and the presentation sort — no " +
+        "Generate tower, no per-token boxed allocation in any Project.")
   )
 
   /** Shape contracts for the one-shot SHARED-STAGE builds the benchmark
@@ -198,6 +230,14 @@ object Plans {
         "Isolated 10x probe after the r14 rework: 247.7 task-CPU-s " +
         "(r13 packed: 269). Remaining floor: the candidate-by-array " +
         "join payload, linear in corpus at fixed dup structure."),
+    "containment_tok" ->
+      ("r15: per-doc capped shingle arrays for the containment join — " +
+        "ONE collect_list+sort aggregate over the cached 60-bit index " +
+        "(predicate df<=50 on the cached scan) joined with the cached " +
+        "sizes table; emits both the (df,h)-ranked array (prefix order) " +
+        "and the h-sorted array (verify kernel order) plus the integer " +
+        "threshold m per doc. Linear, one doc_id shuffle, persisted " +
+        "once per session."),
     "dup_spans" ->
       ("Repeated-span lattice: ONE pass over its positional gram " +
         "stream (codegen'd graft_gram_hashes60 kernel — 60-bit longs " +
@@ -246,10 +286,21 @@ object Plans {
     sb ++= "SHAPE is scale-factor-independent; sizes in the dumps are the\n"
     sb ++= "audit SF's. Per plan: the property the shape must hold at\n"
     sb ++= "cluster scale, the shuffle/scan/broadcast counts, and the\n"
-    sb ++= "full `explain(formatted)` output. (AQE initial plans do not\n"
-    sb ++= "annotate whole-stage-codegen ids; codegen spans are visible\n"
+    sb ++= "`explain(formatted)` output (capped at 400 lines/section —\n"
+    sb ++= "cached-stage InMemoryRelations inline their entire executed\n"
+    sb ++= "build plan, which is audit noise; counts cover the full\n"
+    sb ++= "text). (AQE initial plans do not annotate\n"
+    sb ++= "whole-stage-codegen ids; codegen spans are visible\n"
     sb ++= "per executed stage in the Spark UI, not in these dumps.)\n\n"
 
+    // Dump cap per section: a cached stage's InMemoryRelation inlines its
+    // ENTIRE executed build plan (recursively, with every AQE final query
+    // stage) — after the r14 PPJoin rework the threshold-sweep section
+    // alone printed ~60k lines of cached-build interior, drowning the
+    // audit. Shape counts are taken on the FULL text; the dump keeps the
+    // head (the query's own operators come first in formatted explain)
+    // and notes what was elided.
+    val MaxDumpLines = 400
     Audited.foreach { case (name, story) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
@@ -257,11 +308,18 @@ object Plans {
       val scans = countOp(plan, "Scan parquet")
       val mem = countOp(plan, "InMemoryTableScan")
       val bcast = countOp(plan, "BroadcastExchange")
+      val lines = plan.trim.split('\n')
+      val dump =
+        if (lines.length <= MaxDumpLines) plan.trim
+        else lines.take(MaxDumpLines).mkString("\n") +
+          s"\n... [${lines.length - MaxDumpLines} lines elided — " +
+          "cached-stage build interior; shape counts above cover the " +
+          "full text]"
       sb ++= s"## `$name`\n\n"
       sb ++= s"**Scale contract:** $story\n\n"
       sb ++= s"**Shape counts:** $exchanges shuffle exchange(s), $bcast " +
         s"broadcast(s), $scans parquet scan(s), $mem cached-stage scan(s).\n\n"
-      sb ++= "```text\n" + plan.trim + "\n```\n\n"
+      sb ++= "```text\n" + dump + "\n```\n\n"
       // scalastyle:off println
       println(s"[plans] $name: shuffles=$exchanges broadcasts=$bcast " +
         s"parquetScans=$scans cachedScans=$mem")

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
-
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -108,29 +106,11 @@ object SimilarityOps {
     math.min(MaxBits, math.max(BaseBits, log2n - 6))
   }
 
-  private val projCache =
-    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  /** ±1 projection vectors — the md5-parity scheme lives in the codegen
+    * signature kernel ([[graft.functions.SrpBucketKeys.projection]]);
+    * this alias keeps the operators-side call sites/tests readable. */
   private[operators] def projection(i: Int): Array[Long] =
-    projCache.computeIfAbsent(i, _ => Array.tabulate(Dims) { j =>
-      val d = MessageDigest.getInstance("MD5").digest(s"${i}_$j".getBytes("UTF-8"))
-      if ((d(0) & 0xff) % 2 == 1) 1L else -1L
-    })
-
-  /** Per-table bucket keys over the quantized vector column `q`: one
-    * `(table, key)` struct per hash table, exploded to rows. Hash cost is
-    * `NumTables·bits` codegen'd `graft_dot` calls per row — map-only and
-    * corpus-independent per row (≤ 192 64-dim integer dots at the cap). */
-  private def bucketsCol(bits: Int): Column = {
-    def bit(i: Int): Column = {
-      val arr = projection(i).mkString("array(", "L, ", "L)")
-      when(expr(s"graft_dot(q, $arr)") > 0, lit("1")).otherwise(lit("0"))
-    }
-    val tables = (0 until NumTables).map { t =>
-      struct(lit(t).as("tbl"),
-        concat((0 until bits).map(b => bit(t * bits + b)): _*).as("bkt"))
-    }
-    explode(array(tables: _*))
-  }
+    graft.functions.SrpBucketKeys.projection(i)
 
   /** Oracle-side buckets: k from the same occupancy law (single-row `kk`
     * CTE), ±1 signs recomputed from DuckDB's md5 (identical strings and
@@ -218,16 +198,33 @@ object SimilarityOps {
     * cosine re-rank, top-3. The bucket probe is a plain hash equi-join
     * on (tbl, bkt) — no broadcast hint, since the query bucket side is
     * ×8 of a corpus fraction and grows with the corpus; AQE picks
-    * broadcast at small scale and shuffle at large. */
+    * broadcast at small scale and shuffle at large.
+    *
+    * Signatures come from ONE codegen'd
+    * [[graft.functions.SrpBucketKeys]] call per vector (r15): the
+    * previous per-bit column tower ran 8·k separate `graft_dot(q,
+    * array(±1L×64))` calls whose 64-element literal arrays codegen
+    * re-materialized per row per call — measured 0.55 ms/vector per
+    * signature pass, re-paid by every plan branch that read the
+    * signature column, and the r15 isolation triangle showed it
+    * super-linear (34 → 116 → 1,066 task-CPU-s on 10×/30×/100×) purely
+    * from that allocation traffic. The kernel emits the identical
+    * candidate sets (same md5-parity projections, same exact-integer
+    * `dot > 0` predicate, bucket key = the same bit string read as an
+    * integer), so the oracle's string-bucket CTE still matches the
+    * returned top-3 exactly. */
   def similarityAnnLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     annTop3(spark, dir, "lsh") {
+      graft.functions.SrpBucketKeys.register(spark)
       val n = quantized(spark, dir)
       // the count is one cheap action against the memoized+persisted
       // quantized cache (bounded driver state: a single long), and it is
       // what makes the index SELF-SIZING instead of config-sized
-      val buckets = n.select($"vec_id", bucketsCol(bitsForCount(n.count())).as("b"))
-        .select($"vec_id", $"b.tbl".as("tbl"), $"b.bkt".as("bkt"))
+      val bits = bitsForCount(n.count())
+      val buckets = n.select($"vec_id",
+          posexplode(expr(s"graft_srp_keys(q, $NumTables, $bits)")))
+        .select($"vec_id", $"pos".as("tbl"), $"col".as("bkt"))
       val qBuckets = buckets.filter(isQuery($"vec_id"))
         .select($"vec_id".as("query_id"), $"tbl", $"bkt")
       val cand = qBuckets.join(buckets, Seq("tbl", "bkt"))

@@ -161,6 +161,49 @@ class FunctionsSpec extends SparkTestBase {
     assert(ck == ct)
   }
 
+  test("graft_srp_keys equals the per-bit graft_dot column tower it replaced") {
+    graft.functions.SrpBucketKeys.register(spark)
+    graft.functions.FixedPointDotProduct.register(spark)
+    import spark.implicits._
+    // deterministic fixed-point vectors spanning signs and magnitudes,
+    // incl. a short (truncated-dims) vector and an all-zero vector
+    // (dot = 0 -> bit 0 on every projection, the > 0 boundary)
+    val vecs: Seq[Seq[Long]] = (0 until 40).map { i =>
+      (0 until 64).map { j =>
+        ((i * 31 + j * 17) % 2001) - 1000L
+      }
+    } :+ Seq.fill(64)(0L) :+ (0 until 17).map(j => j - 8L)
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "q")
+    for (bits <- Seq(3, 8, 11)) {
+      // the pre-r15 formulation, verbatim: one graft_dot per (table, bit)
+      // against the literal projection array, '1'/'0' string concat
+      def bit(i: Int): org.apache.spark.sql.Column = {
+        val arr = graft.functions.SrpBucketKeys.projection(i)
+          .mkString("array(", "L, ", "L)")
+        when(expr(s"graft_dot(q, $arr)") > 0, lit("1")).otherwise(lit("0"))
+      }
+      val towerCols = (0 until 8).map { t =>
+        concat((0 until bits).map(b => bit(t * bits + b)): _*).as(s"t$t")
+      }
+      val rows = df.select(
+        ($"id" +: expr(s"graft_srp_keys(q, 8, $bits)").as("keys") +: towerCols): _*)
+        .collect()
+      rows.foreach { r =>
+        val keys = r.getSeq[Long](1)
+        (0 until 8).foreach { t =>
+          // tower string: char b is bit b; kernel: bit b of the long key
+          val expected = r.getString(2 + t).zipWithIndex.map {
+            case ('1', b) => 1L << b
+            case _ => 0L
+          }.sum
+          assert(keys(t) == expected,
+            s"id=${r.getLong(0)} bits=$bits table=$t: " +
+              s"kernel=${keys(t)} tower=${r.getString(2 + t)}")
+        }
+      }
+    }
+  }
+
   test("graft_winnow_positions equals the array_distinct tower on random hash arrays") {
     registerAll()
     graft.functions.WinnowPositions.register(spark)

@@ -59,11 +59,14 @@ object Plans {
         "hash-partitioned on cluster id. The density-pivot variant " +
         "survives as dedup_semantic_pivots for the exact oracle."),
     "similarity_ann_lsh" ->
-      ("Self-sizing SRP-LSH (r13): bucket keys carry " +
-        "clamp(floor(log2 n)-6, 3, 24) bits per table, so expected " +
-        "occupancy stays 64-128 vectors and candidates/query constant; " +
-        "hashing is 8k codegen'd graft_dot calls per row, map-only; the " +
-        "candidate join is a plain (tbl, bkt) hash shuffle with NO " +
+      ("Self-sizing SRP-LSH (r13; signature kernel r15): bucket keys " +
+        "carry clamp(floor(log2 n)-6, 3, 24) bits per table, so " +
+        "expected occupancy stays 64-128 vectors and candidates/query " +
+        "constant; hashing is ONE codegen'd graft_srp_keys call per " +
+        "row (the per-bit graft_dot tower re-materialized a 64-element " +
+        "literal array per row per bit — 0.55 ms/vector, super-linear " +
+        "on the r15 triangle), map-only; the candidate join is a plain " +
+        "(tbl, bkt) hash shuffle on 8-byte integer keys with NO " +
         "broadcast hint (the query-bucket side grows with the corpus)."),
     "similarity_ivf_trained" ->
       ("Trained IVF (r13): sqrt(n)-sized K (cap 256) keeps the scanned " +

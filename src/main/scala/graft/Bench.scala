@@ -193,7 +193,11 @@ object Bench {
     * BENCH_sf10 pre-winnow-kernel) and the mismatch was only caught by
     * hand-audit — so every ledger now carries the answer mechanically.
     * `tools/check_ledger_head.py` asserts committed ledgers match the
-    * seal commit. Failure to run git (not a repo, no binary) degrades to
+    * seal commit. Dirty is scoped to the ENGINE paths (src/main +
+    * build.sbt — the same tree the checker compares): a ladder run
+    * writes its own ledger files into the repo, so a whole-tree check
+    * would mark every rung after the first dirty on its own output.
+    * Failure to run git (not a repo, no binary) degrades to
     * "unknown" rather than failing the bench. */
   private def gitProvenance(): (String, Boolean) =
     try {
@@ -204,7 +208,7 @@ object Bench {
         out
       }
       (run("git", "rev-parse", "HEAD"),
-        run("git", "status", "--porcelain").nonEmpty)
+        run("git", "status", "--porcelain", "--", "src/main", "build.sbt").nonEmpty)
     } catch { case scala.util.control.NonFatal(_) => ("unknown", true) }
 
   def main(args: Array[String]): Unit = {

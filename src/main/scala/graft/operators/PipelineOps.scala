@@ -205,13 +205,19 @@ object PipelineOps {
   /** Text normalization (the cleaning pass before dedup/tokenization):
     * lowercase → strip non-alphanumerics → collapse whitespace → trim,
     * fingerprinted with md5. Narrow projection, fully codegen'd — the
-    * 100 TB shape is a map-only pass. */
+    * 100 TB shape is a map-only pass. The chain runs in the
+    * [[graft.functions.NormalizeText]] kernel (r15): the lower+regex
+    * expression tower allocated ~6 transient string copies per row and
+    * its per-char task-CPU grew with task concurrency (155 ns at 2
+    * concurrent tasks → ~2,900 ns at 32 — allocation-bandwidth
+    * saturation that read as a super-linear growth law on the packed
+    * ladder, 5.9 → 44.3 → 482 CPU-s); the kernel is byte-exact to the
+    * tower (parity-pinned) and allocates once per row. */
   def textNormalize(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    graft.functions.NormalizeText.register(spark)
     Tables.documents(spark, dir)
-      .select($"doc_id",
-        trim(regexp_replace(
-          regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")).as("norm"))
+      .select($"doc_id", expr("graft_normalize_text(text)").as("norm"))
       .select($"doc_id", md5($"norm").as("norm_hash"),
         length($"norm").cast("bigint").as("norm_len"))
       .orderBy($"doc_id")

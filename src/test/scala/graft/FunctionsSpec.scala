@@ -161,6 +161,32 @@ class FunctionsSpec extends SparkTestBase {
     assert(ck == ct)
   }
 
+  test("graft_normalize_text equals the lower+regex tower, incl. unicode and space edges") {
+    graft.functions.NormalizeText.register(spark)
+    import spark.implicits._
+    val texts = Seq(
+      "", " ", "   ", "a", "A", "  Hello,   World!  ",
+      "tabs\tand\nnewlines stay stripped",
+      "digits 007 and UPPER MiXeD",
+      "punct!@#$%^&*()_+-=[]{};':\",./<>?",
+      "héllo wörld ünïcode ÿ",          // 2-byte chars: stripped
+      "İstanbul İ dotted",          // U+0130 lowercases to i + U+0307
+      "日本語 mixed ascii 漢字 text",
+      "a  b   c    d", " leading", "trailing ", "a!b", "a !b", "a! b",
+      ("x y " * 200).trim)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = df.select($"id",
+      expr("graft_normalize_text(text)").as("k"),
+      trim(regexp_replace(
+        regexp_replace(lower($"text"), "[^a-z0-9 ]", ""), " +", " ")).as("t"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == r.getString(2),
+        s"id=${r.getLong(0)}: kernel '${r.getString(1)}' vs tower '${r.getString(2)}'")
+    }
+  }
+
   test("graft_srp_keys equals the per-bit graft_dot column tower it replaced") {
     graft.functions.SrpBucketKeys.register(spark)
     graft.functions.FixedPointDotProduct.register(spark)

@@ -111,7 +111,7 @@ object Plans {
         "row into the bounded (i,j) grid."),
     "multimodal_phash_dedup" ->
       ("Canonicalize-then-band (r11): hashing is one codegen'd " +
-        "graft_phash128 call per row (no interpreted lambda tower in " +
+        "graft_phash256 call per row (no interpreted lambda tower in " +
         "any Project), the band equi-join's inputs are DISTINCT hashes " +
         "(HashAggregate above the hash projection), and doc pairs " +
         "reappear only in the two output-sized expansion joins — never " +

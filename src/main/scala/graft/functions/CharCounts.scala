@@ -16,7 +16,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * char-explode + (doc_id, ch) count-aggregate formulation.
   *
   * Why a custom Catalyst expression (SURVEY §4.2, same tier as
-  * [[Phash128]]): the composable form runs
+  * [[Phash256]]): the composable form runs
   * `transform(sequence(1, length), i -> substring(text, i, 1))` on the
   * interpreted HOF path and fans every document into one row PER
   * CHARACTER before partial aggregation — ~100M generated rows at the
@@ -80,7 +80,7 @@ object CharCounts {
   }
 
   /** Decode the codepoint of the UTF-8 sequence at `off` (length `len`).
-    * Shared with [[Phash128]], whose `ascii()` semantics are also the
+    * Shared with [[Phash256]], whose `ascii()` semantics are also the
     * codepoint of the sampled character. A sequence truncated by the end
     * of the buffer (malformed UTF-8) decodes from the bytes that exist —
     * garbage-in-garbage-out like the built-in path, but never a crash. */

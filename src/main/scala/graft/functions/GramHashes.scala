@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType, St
   * `unhex(md5(concat_ws(' ', slice(ws, i + 1, k))))`, for all
   * `size - k + 1` windows in order (empty result below k tokens).
   *
-  * Why a custom Catalyst expression (SURVEY §4.2, the [[Phash128]] /
+  * Why a custom Catalyst expression (SURVEY §4.2, the [[Phash256]] /
   * [[CharCounts]] tier): the built-in formulation
   * `transform(sequence(...), i -> unhex(md5(concat_ws(' ', slice(...)))))`
   * runs interpreted and re-materializes a k-word slice array plus the

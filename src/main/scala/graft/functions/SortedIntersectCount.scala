@@ -27,7 +27,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * `sort_array` over a set column yields exactly this). On unsorted
   * input the count is simply wrong — this is a private building block
   * for operators that own their sort order, not a general function.
-  * Null input → null, mirroring `array_intersect`'s null semantics. */
+  * Null input → null, mirroring `array_intersect`'s null semantics.
+  * Null ELEMENTS are rejected at runtime with a named error: the merge
+  * scan reads slots with `getLong`, which would silently decode a null
+  * slot as 0 and corrupt the count — and the producing arrays here are
+  * `transform()`-built, whose containsNull metadata is inherited from
+  * nullable source columns even when no null can occur, so an
+  * analysis-time `containsNull = false` requirement would reject every
+  * legitimate caller (unlike [[WinnowPositions]], whose producer is a
+  * kernel that stamps non-null structurally). */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -45,15 +53,36 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_icount_sorted"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Two-pointer merge count — static so generated code calls it
+    * directly. The null-slot guard rides the merge itself (one bit test
+    * per element actually visited, no pre-scan): a null element means a
+    * producer violated the contract, and failing loudly beats decoding
+    * it as 0 and returning a silently wrong intersection size. */
+  def compute(x: ArrayData, y: ArrayData): Long = {
     val nx = x.numElements()
     val ny = y.numElements()
     var i = 0
     var j = 0
     var c = 0L
     while (i < nx && j < ny) {
+      if (x.isNullAt(i) || y.isNullAt(j))
+        throw new IllegalArgumentException(
+          "graft_icount_sorted: null array element — inputs must be " +
+            "duplicate-free sorted arrays of non-null BIGINTs")
       val xv = x.getLong(i)
       val yv = y.getLong(j)
       if (xv == yv) { c += 1; i += 1; j += 1 }
@@ -63,35 +92,6 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     c
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val nx = ctx.freshName("nx")
-      val ny = ctx.freshName("ny")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val c = ctx.freshName("c")
-      val xv = ctx.freshName("xv")
-      val yv = ctx.freshName("yv")
-      s"""
-         |final int $nx = $a.numElements();
-         |final int $ny = $b.numElements();
-         |int $i = 0; int $j = 0; long $c = 0L;
-         |while ($i < $nx && $j < $ny) {
-         |  final long $xv = $a.getLong($i);
-         |  final long $yv = $b.getLong($j);
-         |  if ($xv == $yv) { $c++; $i++; $j++; }
-         |  else if ($xv < $yv) { $i++; } else { $j++; }
-         |}
-         |${ev.value} = $c;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): SortedIntersectCount =
-    copy(left = newLeft, right = newRight)
-}
-
-object SortedIntersectCount {
   /** Register `graft_icount_sorted(a, b)` in the session's function
     * registry so it is usable from `expr(...)` strings. Idempotent. */
   def register(spark: SparkSession): Unit = {

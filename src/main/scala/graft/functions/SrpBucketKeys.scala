@@ -78,11 +78,24 @@ object SrpBucketKeys {
 
   /** All-tables signature scan — static so generated code calls it.
     * `tables·bits·Dims` primitive multiply-adds, one result array, zero
-    * interior allocation. Null elements cannot occur in the quantized
-    * input (transform over non-null doubles); a shorter vector dots over
-    * its own length exactly like [[FixedPointDotProduct]]. */
+    * interior allocation. A shorter vector dots over its own length
+    * exactly like [[FixedPointDotProduct]]. Null elements are rejected
+    * up front (one bit test per dimension per ROW, outside the
+    * tables·bits hot loop): the quantized producer transforms non-null
+    * doubles so none can occur, but its `transform()` containsNull
+    * metadata stays true — `getLong` on a null slot would silently read
+    * 0 and corrupt every downstream bucket key, so a contract-violating
+    * producer fails loudly instead. */
   def compute(q: ArrayData, tables: Int, bits: Int): ArrayData = {
     val d = math.min(q.numElements(), Dims)
+    var k = 0
+    while (k < d) {
+      if (q.isNullAt(k))
+        throw new IllegalArgumentException(
+          "graft_srp_keys: null vector element — the fixed-point input " +
+            "must contain only non-null BIGINTs")
+      k += 1
+    }
     val keys = new Array[Long](tables)
     var t = 0
     while (t < tables) {

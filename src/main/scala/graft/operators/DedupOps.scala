@@ -696,9 +696,20 @@ object DedupOps {
   private[graft] def containmentTok(spark: SparkSession, dir: String): DataFrame =
     cachedDf(spark, s"ctok:$dir") {
       import spark.implicits._
+      // collect_set, not collect_list: the SortedIntersectCount verify
+      // kernel CONTRACTS duplicate-free arrays, and while shingleIndex
+      // rows are distinct by the full 16-byte md5, two distinct shingles
+      // of one doc could in principle collide in the 60-bit h space
+      // (per-doc birthday over 2^60 — negligible, but the set aggregate
+      // makes the kernel's precondition structural instead of assumed).
+      // In that event the oracle's posting self-join counts the product
+      // of the collided postings where the kernel counts the merged h
+      // once; both reflect the same underlying hash collision and the
+      // divergence probability is the same 2^-60 birthday already
+      // accepted for the shingle key space (SURVEY §6 r13 note).
       shingleIndex(spark, dir).filter($"df" <= 50)
         .groupBy($"doc_id")
-        .agg(sort_array(collect_list(struct($"df", $"h"))).as("ts"))
+        .agg(sort_array(collect_set(struct($"df", $"h"))).as("ts"))
         .join(shingleSizes(spark, dir), "doc_id")
         .select($"doc_id",
           expr("transform(ts, x -> x.h)").as("hs"),

@@ -824,24 +824,126 @@ object EventOps {
     * `sqrt`, `*` — no libm transcendentals), so the flag predicate and
     * the emitted z are bit-equal across engines.
     *
-    * Scale shape: ONE shuffle+sort on (event_type; ts, event_id) for the
-    * bounded 50-row frame — no self-join, no second pass. The batch
-    * replay of the bounded-state streaming detector; at 100 TB the same
-    * per-key bounded history runs incrementally as
-    * `transformWithState` (see the streaming family) rather than one
-    * sort-per-type, and skewed types shard into (type, time-bucket)
-    * ranges with a 50-row overlap carry. */
-  def eventsRollingAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape (resharded r16): the natural single window
+    * `PARTITION BY event_type` runs the per-type sort on
+    * TYPE-CARDINALITY tasks — with 5 event types that is 5 tasks
+    * however many cores or executors exist, and the r15 isolation probe
+    * (`BENCH_r15_iso_rolling.json`) measured exactly that: task CPU
+    * LINEAR (7.3/22.2/84.5 s on 10×/30×/100×) while the sf10 wall
+    * flooded to 36.9 s as the #1 headline line — the classic
+    * single-task-per-key window sort a bounded type alphabet produces
+    * at cluster scale. The frame is BOUNDED (trailing 50 rows), so the
+    * window shards exactly: rows split into (type, time-bucket) ranges
+    * — bucket count per type follows ⌈n_type / 64k⌉ with a floor of
+    * [[RollingMinShardsPerType]] so the carry path is exercised at
+    * every scale — and each shard's first rows see their true trailing
+    * history through a CARRY of the ≤ 50 rows that precede the shard.
+    * The carry construction is exact (see the in-body lemma comments);
+    * the result is bit-identical to the single-window form
+    * (property-pinned in OperatorSpec against both the plain-window
+    * rebuild and a tiny-shard stress parameterization), the oracle SQL
+    * keeps the textbook one-window formulation, and the sort now runs
+    * on Σ⌈n_type/64k⌉ tasks — parallelism grows with DATA, not with
+    * the type alphabet. The streaming twin's bounded 50-value state is
+    * untouched. */
+  def eventsRollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    eventsRollingAnomalySharded(spark, dir, RollingRowsPerShard)
+
+  /** Trailing-frame row budget per (type, time-bucket) shard. 64k rows
+    * sort in ~ms and amortize the ≤ 50·(shards) carry rows to noise;
+    * at sf10 (2M rows/type) it yields ~31 shards/type = 155 tasks where
+    * the unsharded window had 5. */
+  private val RollingRowsPerShard = 65536L
+
+  /** Floor on shards per type: keeps the carry machinery on the hot
+    * path (and under the sf0.01 oracle gate) at every scale instead of
+    * degenerating to one bucket below 64k rows/type, and bounds small-n
+    * latency by cores/type rather than 1. */
+  private val RollingMinShardsPerType = 8L
+
+  /** The sharded window body; `rowsPerShard` is a parameter only so the
+    * spec can force many tiny shards on the 1k-row fixture and pin the
+    * carry path against the plain single-window form. */
+  private[graft] def eventsRollingAnomalySharded(
+      spark: SparkSession, dir: String, rowsPerShard: Long): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type")
+    val ev = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"event_type", $"value",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"),
+        unix_micros($"ts").as("tsu"))
+    // per-type shard parameters: a 5-row broadcast. Bucketing maps the
+    // type's time span uniformly onto nb buckets in DOUBLE (monotone
+    // non-decreasing in tsu, so the (ts, event_id) order is respected;
+    // equal timestamps always share a bucket — a boundary can never
+    // split the tie-group the ordering resolves by event_id). Exact
+    // bucket SIZES don't matter for correctness, only that every row
+    // gets one bucket and buckets order by time.
+    val params = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_ty"), min($"tsu").as("t_lo"), max($"tsu").as("t_hi"))
+      .select($"event_type", $"t_lo", $"t_hi",
+        greatest(lit(RollingMinShardsPerType),
+          expr(s"(n_ty + ${rowsPerShard - 1}) div $rowsPerShard")).as("nb"))
+    val withB = ev.join(broadcast(params), "event_type")
+      .withColumn("bucket",
+        least($"nb" - 1, floor(($"tsu" - $"t_lo").cast("double") /
+          ($"t_hi" - $"t_lo" + 1).cast("double") * $"nb").cast("long")))
+      .select($"event_type", $"bucket", $"ts", $"event_id", $"value", $"c")
+    // Per-shard tails: a row of bucket k can sit in the trailing-50
+    // frame of a LATER bucket's row only if < 50 rows follow it in the
+    // type's global order before that bucket starts — in particular
+    // ≤ 49 rows of its OWN bucket follow it, so every possible carry
+    // row is within its bucket's last 50. The shard sort computing rn
+    // is itself sharded (the very parallelism being bought).
+    val wShard = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val wShardAll = Window.partitionBy($"event_type", $"bucket")
+    val marked = withB
+      .withColumn("rn", row_number().over(wShard))
+      .withColumn("cnt", count(lit(1)).over(wShardAll))
+    val tails = marked.filter($"rn" > $"cnt" - 50)
+      .select($"event_type", $"bucket".as("src_bucket"),
+        $"ts", $"event_id", $"c")
+    // Which source buckets must carry into which target buckets: src
+    // carries into tgt iff fewer than 50 rows sit strictly between them
+    // (otherwise nothing in src can reach tgt's frame). Cumulative
+    // bucket counts make that a bucket-level predicate; the whole table
+    // is |types|·|buckets| rows — broadcast-sized by construction.
+    val wCum = Window.partitionBy($"event_type").orderBy($"bucket".asc)
+    val bcum = withB.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("cum", sum($"bn").over(wCum)) // inclusive prefix count
+    val pairs = bcum.select($"event_type", $"bucket".as("src_bucket"),
+        $"cum".as("cum_src"))
+      .join(bcum.select($"event_type", $"bucket".as("tgt_bucket"),
+        ($"cum" - $"bn").as("cum_before")), Seq("event_type"))
+      .filter($"src_bucket" < $"tgt_bucket" &&
+        $"cum_before" - $"cum_src" < 50)
+      .select($"event_type", $"src_bucket", $"tgt_bucket")
+    // The carry set for a target bucket is a contiguous SUFFIX of the
+    // type's preceding rows that covers its last 50: (a) any row within
+    // the last 50 of the prefix is in its own bucket's last 50 (≤ 49
+    // bucket-mates follow it) and its bucket passes the < 50
+    // rows-between test — so nothing is missed; (b) over-carried OLDER
+    // rows are harmless — a gap above a bucket's tail only exists when
+    // that bucket has > 50 rows, and then its 50 carried rows separate
+    // everything older from every owner row by ≥ 50 positions, outside
+    // the frame. Hence the trailing-50 frame over (carries ∪ owners)
+    // equals the frame over the type's full order, row for row.
+    val carries = tails
+      .join(broadcast(pairs), Seq("event_type", "src_bucket"))
+      .select($"event_type", $"tgt_bucket".as("bucket"), $"ts",
+        $"event_id", lit(null).cast("double").as("value"), $"c",
+        lit(true).as("is_carry"))
+    val owners = marked.select($"event_type", $"bucket", $"ts",
+      $"event_id", $"value", $"c", lit(false).as("is_carry"))
+    val w = Window.partitionBy($"event_type", $"bucket")
       .orderBy($"ts".asc, $"event_id".asc)
       .rowsBetween(-50, -1)
-    Tables.events(spark, dir)
-      .select($"event_id", $"ts", $"event_type", $"value",
-        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"))
+    owners.unionByName(carries)
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("s", sum($"c").over(w))
       .withColumn("s2", sum($"c" * $"c").over(w))
+      .filter(!$"is_carry")
       .filter($"n" >= 20 && $"n" * $"s2" - $"s" * $"s" > 0)
       .filter(expr(
         """abs(c - CAST(s AS DOUBLE) / n) >

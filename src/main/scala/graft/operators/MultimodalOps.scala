@@ -363,26 +363,32 @@ object MultimodalOps {
   /** Perceptual-hash near-dup pairs over media payloads
     * (`multimodal_phash_dedup`) — the pHash/PDQ image-dedup shape with
     * the codec stubbed: a real pipeline decodes pixels and thresholds
-    * DCT coefficients against their median; here the "signal" is 128
+    * DCT coefficients against their median; here the "signal" is 256
     * evenly-spaced payload samples thresholded against their own mean
-    * (deterministic, codec-free), packed into a 128-bit hash held as
-    * four 32-bit BIGINT quarters (32-bit packing keeps every value
+    * (deterministic, codec-free), packed into a 256-bit hash held as
+    * eight 32-bit BIGINT quarters (32-bit packing keeps every value
     * positive — no sign-extension asymmetry between engines). Candidate
-    * generation is banded exactly like SimHash: 8 bands of 16 bits —
+    * generation is banded exactly like SimHash: 8 bands of 32 bits —
+    * one band per quarter, so the band key IS the quarter value — and
     * two hashes within Hamming distance [[PhashMaxHamming]] = 7 differ
     * in ≤ 7 bands, so some band matches exactly and the pair survives
     * the equi-join (pigeonhole guarantee, zero false negatives at the
     * threshold).
     *
-    * WHY 128 bits: multi-index hashing (Norouzi et al. 2012) needs
-    * each band to carry ≥ log2(n) bits or band buckets saturate and
-    * candidate generation degenerates to all-pairs-within-bucket. The
-    * r10 64-bit form (8 bands × 8 bits = 256 buckets/band) was fine at
-    * 5k docs but measured QUADRATIC at the 10× scale probe: 4.7 s at
-    * sf0.1 → 237 s at sf1 (≈ n²/256 × 8 candidate pairs). 16-bit bands
-    * cut expected candidates by 256× (sf1: ≈ 0.15M pairs vs 39M) and
-    * keep headroom to ~1M docs; beyond that the same construction
-    * widens again (PDQ ships 256-bit for exactly this reason).
+    * WHY 256 bits (r16; 128 r11–r15, 64 at r10): multi-index hashing
+    * (Norouzi et al. 2012) needs each band to carry ≥ log2(n) bits or
+    * band buckets saturate and candidate generation degenerates to
+    * all-pairs-within-bucket — and the Hamming ≤ 7 pigeonhole pins the
+    * band COUNT at ≥ 8, so capacity can only come from hash width. The
+    * r10 8×8-bit form measured QUADRATIC at the 10× probe (4.7 →
+    * 237 s, ≈ n²·8/2⁸ candidates); the r11 8×16-bit form hit the same
+    * wall at its predicted ~65k-distinct-hash crossover — the r15
+    * isolated triangle (`BENCH_r15_iso_phash.json`) read 2.5 → 11.6 →
+    * 131.5 CPU-s on 10×/30×/100× (×11.3 on ×3.33 data, ~500k distinct
+    * hashes at the top rung). 8×32-bit bands move the crossover past
+    * ~10⁹ distinct payloads (PDQ ships 256-bit for exactly this
+    * reason) at the price of one extra kernel pass width — the hash is
+    * still one codegen call per row.
     *
     * The synthetic corpus has no binary near-dups (500 distinct texts),
     * so the query PLANTS them — the [[TextOps.textPiiScrub]] planted-
@@ -394,7 +400,7 @@ object MultimodalOps {
     * no-false-positive side.
     *
     * Scale shape: hashing is ONE codegen'd kernel call per row — the
-    * custom [[graft.functions.Phash128]] expression (the built-in HOF
+    * custom [[graft.functions.Phash256]] expression (the built-in HOF
     * tower it replaces ran interpreted at ~1 ms/doc and was the sf1
     * scale probe's #1 line at 53.6 s; no shuffle either way; the
     * planting join is a doc_id equi-join a real pipeline wouldn't
@@ -419,26 +425,27 @@ object MultimodalOps {
           concat(when(substring($"pred_text", 1, 1) === "a", "b").otherwise("a"),
             expr("substring(pred_text, 2)")))
           .otherwise($"text").as("payload"))
-    graft.functions.Phash128.register(spark)
+    graft.functions.Phash256.register(spark)
+    val qn = 0 to 7
     val members = payloads
       // one codegen'd kernel call per row replaces the interpreted
-      // 128-substring + fold tower ([[graft.functions.Phash128]]): the
-      // tower measured ~1 ms/doc and was the sf1 scale probe's #1 line
-      // (53.6 s at 50k docs). coalesce(…, 0L) is NOT null-handling — it
-      // marks the quarters non-nullable so the joins' inferred
-      // `isnotnull(q0)` constraints constant-fold away instead of being
-      // pushed below every projection (with the r10 interpreted tower,
-      // that pushdown re-expanded the whole hash into the filter —
-      // measured 130+ s).
-      .select($"doc_id", expr("graft_phash128(payload)").as("h"))
-      .select($"doc_id" +: (0 to 3).map { q =>
+      // 256-substring + fold tower ([[graft.functions.Phash256]]): the
+      // 128-bit tower already measured ~1 ms/doc and was the sf1 scale
+      // probe's #1 line (53.6 s at 50k docs). coalesce(…, 0L) is NOT
+      // null-handling — it marks the quarters non-nullable so the
+      // joins' inferred `isnotnull(q0)` constraints constant-fold away
+      // instead of being pushed below every projection (with the r10
+      // interpreted tower, that pushdown re-expanded the whole hash
+      // into the filter — measured 130+ s).
+      .select($"doc_id", expr("graft_phash256(payload)").as("h"))
+      .select($"doc_id" +: qn.map { q =>
         coalesce(element_at($"h", q + 1), lit(0L)).as(s"q$q")
       }: _*)
       // hash-partition by CONTENT hash: the distinct below, the intra
-      // self-join, and both expansion joins all key on (q0..q3), so one
+      // self-join, and both expansion joins all key on (q0..q7), so one
       // exchange serves every downstream stage (and it doubles as the
       // cost barrier that materializes the kernel output once per doc)
-      .repartition($"q0", $"q1", $"q2", $"q3")
+      .repartition(qn.map(q => col(s"q$q")): _*)
     // Canonicalize-then-band: banding runs on DISTINCT hashes, not docs.
     // With the kernel in place the probe showed candidate generation was
     // the new #1 cost — the scaled corpus is dup-dense (each doc ~9 true
@@ -449,43 +456,40 @@ object MultimodalOps {
     // output-sized expansion joins below — the property that matters at
     // 100 TB, where duplicate clusters are huge but distinct content
     // grows far slower than the corpus.
-    val hashes = members.select($"q0", $"q1", $"q2", $"q3").distinct()
-    val bands = hashes.select($"q0", $"q1", $"q2", $"q3",
-      explode(expr("""transform(sequence(0, 7), b -> named_struct(
-          'band', b,
-          'band_val', shiftright(element_at(array(q0, q1, q2, q3), cast(1 + b div 2 as int)),
-                                 16 * (b % 2)) % 65536))""")).as("bk"))
-      .select($"q0", $"q1", $"q2", $"q3",
-        $"bk.band".as("band"), $"bk.band_val".as("band_val"))
-    val a = bands.select($"q0".as("a0"), $"q1".as("a1"),
-      $"q2".as("a2"), $"q3".as("a3"), $"band", $"band_val")
-    val b = bands.select($"q0".as("b0"), $"q1".as("b1"),
-      $"q2".as("b2"), $"q3".as("b3"), $"band", $"band_val")
+    val hashes = members.select(qn.map(q => col(s"q$q")): _*).distinct()
+    // one band per 32-bit quarter: the band key IS the quarter value
+    val bands = hashes.select(qn.map(q => col(s"q$q")) :+
+      posexplode(array(qn.map(q => col(s"q$q")): _*)).as(Seq("band", "band_val")): _*)
+    val a = bands.select(qn.map(q => col(s"q$q").as(s"a$q")) :+
+      $"band" :+ $"band_val": _*)
+    val b = bands.select(qn.map(q => col(s"q$q").as(s"b$q")) :+
+      $"band" :+ $"band_val": _*)
     // near-dup pairs of DISTINCT hashes, canonicalized (a < b lexic.) so
     // each unordered hash pair survives once; distinct() collapses the
     // ≤8 band matches per pair and is bounded by the hash-pair count
+    val hamming = qn.map(q => expr(s"bit_count(a$q ^ b$q)"))
+      .reduce(_ + _).cast("bigint")
     val hashPairs = a.join(b, Seq("band", "band_val"))
-      .filter(struct($"a0", $"a1", $"a2", $"a3") < struct($"b0", $"b1", $"b2", $"b3"))
-      .select($"a0", $"a1", $"a2", $"a3", $"b0", $"b1", $"b2", $"b3",
-        (expr("bit_count(a0 ^ b0)") + expr("bit_count(a1 ^ b1)") +
-          expr("bit_count(a2 ^ b2)") + expr("bit_count(a3 ^ b3)"))
-          .cast("bigint").as("hamming"))
+      .filter(struct(qn.map(q => col(s"a$q")): _*) <
+        struct(qn.map(q => col(s"b$q")): _*))
+      .select(qn.map(q => col(s"a$q")) ++ qn.map(q => col(s"b$q")) :+
+        hamming.as("hamming"): _*)
       .filter($"hamming" <= PhashMaxHamming)
       .distinct()
-    val mA = members.select($"doc_id".as("m_a"), $"q0".as("a0"), $"q1".as("a1"),
-      $"q2".as("a2"), $"q3".as("a3"))
-    val mB = members.select($"doc_id".as("m_b"), $"q0".as("b0"), $"q1".as("b1"),
-      $"q2".as("b2"), $"q3".as("b3"))
+    val mA = members.select($"doc_id".as("m_a") +:
+      qn.map(q => col(s"q$q").as(s"a$q")): _*)
+    val mB = members.select($"doc_id".as("m_b") +:
+      qn.map(q => col(s"q$q").as(s"b$q")): _*)
     // expansion is output-sized: every emitted row IS a result pair.
     // A doc has exactly one hash, so no doc pair can arise from two
     // different hash pairs (inter) or from inter AND intra — no final
     // distinct needed.
-    val inter = hashPairs.join(mA, Seq("a0", "a1", "a2", "a3"))
-      .join(mB, Seq("b0", "b1", "b2", "b3"))
+    val inter = hashPairs.join(mA, qn.map(q => s"a$q"))
+      .join(mB, qn.map(q => s"b$q"))
       .select(least($"m_a", $"m_b").as("doc_a"),
         greatest($"m_a", $"m_b").as("doc_b"), $"hamming")
     val intra = mA.join(mB,
-      $"a0" === $"b0" && $"a1" === $"b1" && $"a2" === $"b2" && $"a3" === $"b3" &&
+      qn.map(q => col(s"a$q") === col(s"b$q")).reduce(_ && _) &&
         $"m_a" < $"m_b")
       .select($"m_a".as("doc_a"), $"m_b".as("doc_b"), lit(0L).as("hamming"))
     inter.unionByName(intra).orderBy($"doc_a", $"doc_b")
@@ -501,38 +505,32 @@ object MultimodalOps {
        |  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
        |codes AS (
        |  SELECT doc_id,
-       |    list_transform(range(0, 128),
-       |      i -> ascii(substr(payload, CAST(1 + (i * (len(payload) - 1)) // 127 AS INT), 1))) AS cs
+       |    list_transform(range(0, 256),
+       |      i -> ascii(substr(payload, CAST(1 + (i * (len(payload) - 1)) // 255 AS INT), 1))) AS cs
        |  FROM aug),
        |bits AS (
        |  SELECT doc_id,
-       |    list_transform(cs, c -> CASE WHEN 128 * c > list_sum(cs)
+       |    list_transform(cs, c -> CASE WHEN 256 * c > list_sum(cs)
        |                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bs
        |  FROM codes),
        |hashes AS (
        |  SELECT doc_id,
-       |    CAST(list_sum(list_transform(range(0, 32),
-       |      i -> bs[CAST(i + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q0,
-       |    CAST(list_sum(list_transform(range(0, 32),
-       |      i -> bs[CAST(i + 33 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q1,
-       |    CAST(list_sum(list_transform(range(0, 32),
-       |      i -> bs[CAST(i + 65 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q2,
-       |    CAST(list_sum(list_transform(range(0, 32),
-       |      i -> bs[CAST(i + 97 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT) AS q3
+       |    list_transform(range(0, 8), qq ->
+       |      CAST(list_sum(list_transform(range(0, 32),
+       |        i -> bs[CAST(32 * qq + i + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT)) AS qs
        |  FROM bits),
        |bands AS (
-       |  SELECT doc_id, q0, q1, q2, q3, CAST(b AS INT) AS band,
-       |    (([q0, q1, q2, q3][CAST(1 + b // 2 AS INT)]) >> CAST(16 * (b % 2) AS INT)) % 65536
-       |      AS band_val
+       |  SELECT doc_id, qs, CAST(b AS INT) AS band,
+       |    qs[CAST(1 + b AS INT)] AS band_val
        |  FROM hashes, range(0, 8) t(b))
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       |  CAST(bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
-       |     + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3)) AS BIGINT)
+       |  CAST(list_sum(list_transform(range(0, 8),
+       |    q -> bit_count(xor(a.qs[CAST(q + 1 AS INT)], b.qs[CAST(q + 1 AS INT)])))) AS BIGINT)
        |    AS hamming
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.q0, b.q0)) + bit_count(xor(a.q1, b.q1))
-       |    + bit_count(xor(a.q2, b.q2)) + bit_count(xor(a.q3, b.q3))
+       |WHERE list_sum(list_transform(range(0, 8),
+       |    q -> bit_count(xor(a.qs[CAST(q + 1 AS INT)], b.qs[CAST(q + 1 AS INT)]))))
        |      <= $PhashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
 }

@@ -41,7 +41,7 @@ object GraftOps {
     FixedPointDotProduct.register(spark)
     graft.functions.L2SquaredDistance.register(spark)
     graft.functions.TopKPairs.register(spark)
-    graft.functions.Phash128.register(spark)
+    graft.functions.Phash256.register(spark)
     graft.functions.MomentMatrix.register(spark)
     graft.functions.CharCounts.register(spark)
     graft.functions.GramHashes.register(spark)

@@ -11,13 +11,13 @@ import org.apache.spark.sql.functions._
 class FunctionsSpec extends SparkTestBase {
 
   private def registerAll(): Unit = {
-    graft.functions.Phash128.register(spark)
+    graft.functions.Phash256.register(spark)
     graft.functions.CharCounts.register(spark)
     graft.functions.TopKPairs.register(spark)
     graft.functions.MomentMatrix.register(spark)
   }
 
-  test("graft_phash128 equals the built-in HOF tower, incl. multibyte and edge lengths") {
+  test("graft_phash256 equals the built-in HOF tower, incl. multibyte and edge lengths") {
     registerAll()
     import spark.implicits._
     val texts = Seq(
@@ -29,12 +29,12 @@ class FunctionsSpec extends SparkTestBase {
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("id", "payload")
     val both = df.select($"id",
-      expr("graft_phash128(payload)").as("kernel"),
-      expr("""transform(sequence(0, 3), qq -> aggregate(zip_with(
-          slice(transform(transform(sequence(0, 127),
-              i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 127 as int), 1))),
-            c -> if(128 * c > aggregate(transform(sequence(0, 127),
-              i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 127 as int), 1))),
+      expr("graft_phash256(payload)").as("kernel"),
+      expr("""transform(sequence(0, 7), qq -> aggregate(zip_with(
+          slice(transform(transform(sequence(0, 255),
+              i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 255 as int), 1))),
+            c -> if(256 * c > aggregate(transform(sequence(0, 255),
+              i -> ascii(substring(payload, 1 + cast((i * (length(payload) - 1)) div 255 as int), 1))),
               0L, (a, x) -> a + x), 1L, 0L)), 1 + 32 * qq, 32),
           sequence(0, 31), (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x))""")
         .as("tower"))
@@ -129,12 +129,12 @@ class FunctionsSpec extends SparkTestBase {
     val df = rows.toDF("id", "text").select($"id", $"text",
       split(lower($"text"), " ").as("ws"))
     val checked = df.select($"id",
-      expr("graft_phash128(text)").as("ph_k"),
-      expr("""transform(sequence(0, 3), qq -> aggregate(zip_with(
-          slice(transform(transform(sequence(0, 127),
-              i -> ascii(substring(text, 1 + cast((i * (length(text) - 1)) div 127 as int), 1))),
-            c -> if(128 * c > aggregate(transform(sequence(0, 127),
-              i -> ascii(substring(text, 1 + cast((i * (length(text) - 1)) div 127 as int), 1))),
+      expr("graft_phash256(text)").as("ph_k"),
+      expr("""transform(sequence(0, 7), qq -> aggregate(zip_with(
+          slice(transform(transform(sequence(0, 255),
+              i -> ascii(substring(text, 1 + cast((i * (length(text) - 1)) div 255 as int), 1))),
+            c -> if(256 * c > aggregate(transform(sequence(0, 255),
+              i -> ascii(substring(text, 1 + cast((i * (length(text) - 1)) div 255 as int), 1))),
               0L, (a, x) -> a + x), 1L, 0L)), 1 + 32 * qq, 32),
           sequence(0, 31), (b, i) -> b * shiftleft(1L, i)), 0L, (a, x) -> a + x))""")
         .as("ph_t"),
@@ -364,6 +364,31 @@ class FunctionsSpec extends SparkTestBase {
     val nr = Seq((Some(Array(1L)), Option.empty[Array[Long]]))
       .toDF("x", "y").selectExpr("graft_icount_sorted(x, y)").collect()
     assert(nr(0).isNullAt(0), "null input must yield null")
+  }
+
+  test("null ARRAY ELEMENTS fail loudly instead of decoding as 0") {
+    // the kernels read slots with getLong, which would silently turn a
+    // null element into 0 — a contract-violating producer must fail
+    // with a named error, not corrupt counts/keys (r15 ADVICE)
+    graft.functions.SortedIntersectCount.register(spark)
+    graft.functions.SrpBucketKeys.register(spark)
+    def mustFail(sql: String, fn: String): Unit = {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT $sql").collect()
+      }
+      def names(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: names(t.getCause)
+      assert(names(e).exists(m => m != null && m.contains(fn)),
+        s"expected a $fn-named error, got: ${e.getMessage}")
+    }
+    mustFail("graft_icount_sorted(array(CAST(NULL AS BIGINT), 1L), array(1L))",
+      "graft_icount_sorted")
+    mustFail("graft_srp_keys(array(1L, CAST(NULL AS BIGINT)), 2, 3)",
+      "graft_srp_keys")
+    // non-null inputs through the same nullable-array type still work
+    val ok = spark.sql(
+      "SELECT graft_icount_sorted(array(1L, 2L), array(2L, 3L))").head().getLong(0)
+    assert(ok == 1L)
   }
 
   test("graft_l2sq equals the zip_with fold, incl. null-on-dimension-mismatch") {

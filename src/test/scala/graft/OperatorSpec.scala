@@ -1847,6 +1847,52 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("events_rolling_anomaly: sharded window == plain window, tiny shards stressed") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
+    // the textbook single-window form the shards must replicate exactly
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"ts".asc, $"event_id".asc).rowsBetween(-50, -1)
+    val plain = Tables.events(spark, sfDir)
+      .select($"event_id", $"ts", $"event_type", $"value",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"c").over(w))
+      .withColumn("s2", sum($"c" * $"c").over(w))
+      .filter($"n" >= 20 && $"n" * $"s2" - $"s" * $"s" > 0)
+      .filter(expr(
+        """abs(c - CAST(s AS DOUBLE) / n) >
+          |  3 * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin))
+    // rowsPerShard = 60 on the ~200-row-per-type fixture forces many
+    // shards barely larger than the frame, so nearly every row's frame
+    // crosses a shard boundary and multi-bucket carries (< 50 rows
+    // between source and target) are all exercised; 1 is the degenerate
+    // one-row-per-bucket extreme (every frame 100% carried)
+    def zOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val want = plain
+      .select($"event_id", $"n".as("baseline_n"),
+        expr(
+          """(c - CAST(s AS DOUBLE) / n) /
+            |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin).as("z"))
+    val wantMap = zOf(want)
+    assert(wantMap.nonEmpty, "no anomalies at test SF — spec is vacuous")
+    Seq(60L, 1L).foreach { rps =>
+      val got = zOf(graft.operators.EventOps
+        .eventsRollingAnomalySharded(spark, sfDir, rps)
+        .select($"event_id", $"baseline_n", $"z"))
+      assert(got == wantMap, {
+        val m = wantMap.keySet -- got.keySet
+        val sp = got.keySet -- wantMap.keySet
+        val diff = wantMap.keySet.intersect(got.keySet)
+          .filter(k => got(k) != wantMap(k)).take(5)
+        s"rowsPerShard=$rps missing=$m spurious=$sp valueDiffs=$diff"
+      })
+    }
+  }
+
   test("text_bpe_encode: histogram matches a driver-side re-encode and roundtrips") {
     val spark0 = spark
     import spark0.implicits._

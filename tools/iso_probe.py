@@ -37,6 +37,15 @@ Usage:
   --jvm-runs  repeat the whole JVM probe N times per sf (stages build
             once per JVM via the memo, so stage min-of-2 needs 2 JVMs;
             queries already get --rounds runs inside one JVM)
+  --cpus-sweep  comma list of local[N] sizes (e.g. "2,32"): runs the
+            whole probe once per N and nests results per cpus level.
+            THE allocation-stall discriminator (r14-r15 found three):
+            a corpus growth law keeps per-row task CPU flat across N,
+            an allocation-bandwidth stall inflates it with CONCURRENT
+            task count (normalize r15: 155 ns/char at 2 tasks vs
+            ~2,900 at 32 on identical data). Compare task_cpu at equal
+            sf across the sweep; wall obviously drops with N -- CPU is
+            the evidence. Usually paired with a single mid-size --sfs.
 """
 import argparse
 import glob
@@ -147,8 +156,15 @@ def main():
     ap.add_argument("--rounds", type=int, default=2)
     ap.add_argument("--jvm-runs", type=int, default=1)
     ap.add_argument("--cpus", default="32")
+    ap.add_argument("--cpus-sweep", default=None,
+                    help="comma list of local[N] sizes; overrides --cpus "
+                         "and nests per_sf results per level")
     ap.add_argument("--driver-mem", default="24g")
-    ap.add_argument("--note", default="")
+    ap.add_argument("--note", default="",
+                    help="free text; NAME THE CORPUS VARIANT (scaled vs "
+                         "dup-dense) -- r15's phash packed-vs-isolated "
+                         "gap was a corpus difference disclosed only in "
+                         "a commit message")
     args = ap.parse_args()
     if not (args.query or args.stages):
         sys.exit("iso_probe: need --query and/or --stages")
@@ -158,6 +174,8 @@ def main():
     if dirty:
         sys.stderr.write("iso_probe: WARNING working tree dirty -- "
                          "output marked dirty, not sealable\n")
+    sweep = ([c.strip() for c in args.cpus_sweep.split(",") if c.strip()]
+             if args.cpus_sweep else None)
     result = {
         "tool": "tools/iso_probe.py",
         "head": head,
@@ -165,18 +183,26 @@ def main():
         "target": {"query": args.query, "stages": args.stages},
         "rounds": args.rounds,
         "jvm_runs": args.jvm_runs,
-        "cpus": args.cpus,
+        "cpus": sweep or args.cpus,
         "note": args.note,
         "per_sf": {},
     }
-    for sf in args.sfs.split(","):
-        sf = sf.strip()
+
+    def probe_at(sf, cpus):
         runs = []
         for i in range(args.jvm_runs):
-            sys.stderr.write(f"iso_probe: {sf} jvm {i + 1}/{args.jvm_runs}\n")
+            sys.stderr.write(
+                f"iso_probe: {sf} cpus={cpus} jvm {i + 1}/{args.jvm_runs}\n")
             runs.append(run_probe(sf, args.query, args.stages,
-                                  args.rounds, args.cpus, args.driver_mem))
-        result["per_sf"][sf] = runs if args.jvm_runs > 1 else runs[0]
+                                  args.rounds, cpus, args.driver_mem))
+        return runs if args.jvm_runs > 1 else runs[0]
+
+    for sf in args.sfs.split(","):
+        sf = sf.strip()
+        if sweep:
+            result["per_sf"][sf] = {c: probe_at(sf, c) for c in sweep}
+        else:
+            result["per_sf"][sf] = probe_at(sf, args.cpus)
         with open(args.out, "w") as f:
             json.dump(result, f, indent=1)
     print(json.dumps({"out": args.out, "head": head, "dirty": dirty}))

@@ -110,12 +110,23 @@ object Plans {
         "the only Generate sits ABOVE it, unpacking the single result " +
         "row into the bounded (i,j) grid."),
     "multimodal_phash_dedup" ->
-      ("Canonicalize-then-band (r11): hashing is one codegen'd " +
-        "graft_phash256 call per row (no interpreted lambda tower in " +
-        "any Project), the band equi-join's inputs are DISTINCT hashes " +
-        "(HashAggregate above the hash projection), and doc pairs " +
-        "reappear only in the two output-sized expansion joins — never " +
-        "all-pairs, never tower-per-candidate."),
+      ("Canonicalize-then-band (r11; 256-bit widening r16): hashing is " +
+        "one codegen'd graft_phash256 call per row (no interpreted " +
+        "lambda tower in any Project), the band equi-join's inputs are " +
+        "DISTINCT hashes over 8 full 32-bit quarters — band key == " +
+        "quarter, so 4G buckets/band and no sub-65k band-value " +
+        "saturation (the r15 growth law) — and doc pairs reappear only " +
+        "in the two output-sized expansion joins — never all-pairs, " +
+        "never tower-per-candidate."),
+    "events_rolling_anomaly" ->
+      ("Sharded bounded window (r16): the trailing-50 frame partitions " +
+        "on (event_type, time-bucket) — ⌈n_type/64k⌉ buckets with a " +
+        "floor of 8 — so the window sort's task count grows with DATA, " +
+        "not with the 5-value type alphabet (the r15 wall floor); the " +
+        "carry union adds ≤ 50 rows per shard from each reachable " +
+        "predecessor bucket via a broadcast bucket-pair join, and the " +
+        "plan must show the Window exec keyed on BOTH columns with no " +
+        "single-partition exchange anywhere."),
     "text_char_entropy" ->
       ("Histogram kernel (r11): one codegen'd graft_char_counts call " +
         "per document emits the sorted (ch, c) array — the plan must " +

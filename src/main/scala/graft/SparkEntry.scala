@@ -381,6 +381,7 @@ object SparkEntry {
     "multimodal_batch_tensor"  -> (MultimodalOps.multimodalBatchTensor(_, _)),
     // pHash/PDQ-style banded perceptual near-dup pairs (codec stubbed)
     "multimodal_phash_dedup"   -> (MultimodalOps.multimodalPhashDedup(_, _)),
+    "multimodal_phash_clusters" -> (MultimodalOps.multimodalPhashClusters(_, _)),
     // fused per-doc training example across all three modalities
     "multimodal_example_build" -> (MultimodalOps.multimodalExampleBuild(_, _)),
     // graph analytics over the k-NN similarity graph
@@ -426,6 +427,8 @@ object SparkEntry {
     "similarity_ivfpq_trained"      -> "similarity_topk",
     "dedup_semantic"                -> "dedup_embedding_cosine",
     "dedup_semantic_pivots"         -> "dedup_embedding_cosine",
+    // linear cluster labels vs the output-quadratic pair enumeration
+    "multimodal_phash_clusters"     -> "multimodal_phash_dedup",
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -655,6 +658,7 @@ object SparkEntry {
     "multimodal_resize"        -> MultimodalOps.multimodalResizeSql,
     "multimodal_batch_tensor"  -> MultimodalOps.multimodalBatchTensorSql,
     "multimodal_phash_dedup"   -> MultimodalOps.multimodalPhashDedupSql,
+    "multimodal_phash_clusters" -> MultimodalOps.multimodalPhashClustersSql,
     "multimodal_example_build" -> MultimodalOps.multimodalExampleBuildSql,
     "graph_pagerank_knn"       -> GraphOps.graphPagerankKnnSql,
     "graph_triangle_count"     -> GraphOps.graphTriangleCountSql,

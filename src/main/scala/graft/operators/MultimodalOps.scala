@@ -415,7 +415,13 @@ object MultimodalOps {
     * hashes. */
   private val PhashMaxHamming = 7
 
-  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+  private val qn = 0 to 7
+
+  /** Per-document 256-bit hash as eight 32-bit quarter columns
+    * `(doc_id, q0..q7)` — the shared front half of the pair/cluster
+    * twins. See [[multimodalPhashDedup]] for the planted-marker and
+    * kernel rationale. */
+  private def phashMembers(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val pred = docs.select(($"doc_id" + 1).as("doc_id"), $"text".as("pred_text"))
@@ -426,8 +432,7 @@ object MultimodalOps {
             expr("substring(pred_text, 2)")))
           .otherwise($"text").as("payload"))
     graft.functions.Phash256.register(spark)
-    val qn = 0 to 7
-    val members = payloads
+    payloads
       // one codegen'd kernel call per row replaces the interpreted
       // 256-substring + fold tower ([[graft.functions.Phash256]]): the
       // 128-bit tower already measured ~1 ms/doc and was the sf1 scale
@@ -446,6 +451,13 @@ object MultimodalOps {
       // exchange serves every downstream stage (and it doubles as the
       // cost barrier that materializes the kernel output once per doc)
       .repartition(qn.map(q => col(s"q$q")): _*)
+  }
+
+  /** Near-dup pairs of DISTINCT hashes at Hamming ≤ [[PhashMaxHamming]]
+    * `(a0..a7, b0..b7, hamming)`, canonicalized a < b — the shared band
+    * join of the pair/cluster twins. */
+  private def phashHashPairs(members: DataFrame): DataFrame = {
+    import members.sparkSession.implicits._
     // Canonicalize-then-band: banding runs on DISTINCT hashes, not docs.
     // With the kernel in place the probe showed candidate generation was
     // the new #1 cost — the scaled corpus is dup-dense (each doc ~9 true
@@ -469,13 +481,19 @@ object MultimodalOps {
     // ≤8 band matches per pair and is bounded by the hash-pair count
     val hamming = qn.map(q => expr(s"bit_count(a$q ^ b$q)"))
       .reduce(_ + _).cast("bigint")
-    val hashPairs = a.join(b, Seq("band", "band_val"))
+    a.join(b, Seq("band", "band_val"))
       .filter(struct(qn.map(q => col(s"a$q")): _*) <
         struct(qn.map(q => col(s"b$q")): _*))
       .select(qn.map(q => col(s"a$q")) ++ qn.map(q => col(s"b$q")) :+
         hamming.as("hamming"): _*)
       .filter($"hamming" <= PhashMaxHamming)
       .distinct()
+  }
+
+  def multimodalPhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = phashMembers(spark, dir)
+    val hashPairs = phashHashPairs(members)
     val mA = members.select($"doc_id".as("m_a") +:
       qn.map(q => col(s"q$q").as(s"a$q")): _*)
     val mB = members.select($"doc_id".as("m_b") +:
@@ -495,30 +513,37 @@ object MultimodalOps {
     inter.unionByName(intra).orderBy($"doc_a", $"doc_b")
   }
 
+  /** Shared oracle CTE chain producing `hashes(doc_id, qs)` — the same
+    * planted payloads, 256 sampled codepoints, mean-threshold bits, and
+    * eight 32-bit quarters [[phashMembers]] derives. NOTE: no line may
+    * begin with '|' — consumers stripMargin the embedding template. */
+  private val phashCtes: String =
+    """aug AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN d.doc_id % 83 = 41 AND p.text IS NOT NULL
+      |         THEN (CASE WHEN substr(p.text, 1, 1) = 'a' THEN 'b' ELSE 'a' END) ||
+      |              substr(p.text, 2)
+      |         ELSE d.text END AS payload
+      |  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+      |codes AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 256),
+      |      i -> ascii(substr(payload, CAST(1 + (i * (len(payload) - 1)) // 255 AS INT), 1))) AS cs
+      |  FROM aug),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_transform(cs, c -> CASE WHEN 256 * c > list_sum(cs)
+      |                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bs
+      |  FROM codes),
+      |hashes AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), qq ->
+      |      CAST(list_sum(list_transform(range(0, 32),
+      |        i -> bs[CAST(32 * qq + i + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT)) AS qs
+      |  FROM bits)""".stripMargin
+
   val multimodalPhashDedupSql: String =
-    s"""WITH aug AS (
-       |  SELECT d.doc_id,
-       |    CASE WHEN d.doc_id % 83 = 41 AND p.text IS NOT NULL
-       |         THEN (CASE WHEN substr(p.text, 1, 1) = 'a' THEN 'b' ELSE 'a' END)
-       |              || substr(p.text, 2)
-       |         ELSE d.text END AS payload
-       |  FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
-       |codes AS (
-       |  SELECT doc_id,
-       |    list_transform(range(0, 256),
-       |      i -> ascii(substr(payload, CAST(1 + (i * (len(payload) - 1)) // 255 AS INT), 1))) AS cs
-       |  FROM aug),
-       |bits AS (
-       |  SELECT doc_id,
-       |    list_transform(cs, c -> CASE WHEN 256 * c > list_sum(cs)
-       |                                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS bs
-       |  FROM codes),
-       |hashes AS (
-       |  SELECT doc_id,
-       |    list_transform(range(0, 8), qq ->
-       |      CAST(list_sum(list_transform(range(0, 32),
-       |        i -> bs[CAST(32 * qq + i + 1 AS INT)] * (CAST(1 AS BIGINT) << CAST(i AS INT)))) AS BIGINT)) AS qs
-       |  FROM bits),
+    s"""WITH $phashCtes,
        |bands AS (
        |  SELECT doc_id, qs, CAST(b AS INT) AS band,
        |    qs[CAST(1 + b AS INT)] AS band_val
@@ -533,4 +558,85 @@ object MultimodalOps {
        |    q -> bit_count(xor(a.qs[CAST(q + 1 AS INT)], b.qs[CAST(q + 1 AS INT)]))))
        |      <= $PhashMaxHamming
        |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** Perceptual-hash near-dup CLUSTERS (`multimodal_phash_clusters`) —
+    * the linear-output production twin of [[multimodalPhashDedup]]:
+    * every document labeled with its cluster id (the smallest doc_id
+    * reachable through Hamming ≤ [[PhashMaxHamming]] hash links,
+    * identical hashes included), ONE row per document.
+    *
+    * WHY a twin (r16): the pairs form is an ENUMERATION — on a corpus
+    * whose duplicate clusters grow with scale its OUTPUT is inherently
+    * quadratic in cluster size (the r16 decomposition measured the
+    * scaled 100× rung at 50.8k distinct hashes but 19.7M result pairs,
+    * with per-output-row CPU FLAT at ~4-6 µs: the engine is linear in
+    * its output, the contract isn't). A 100 TB dedup pass doesn't want
+    * the pair list — it wants keep/drop labels, exactly like
+    * [[PipelineOps.dedupConnectedComponents]] over the MinHash graph.
+    * Everything here is bounded by DISTINCT content, never by the
+    * duplicate mass: the CC fixpoint runs on hash-representative nodes
+    * (one per distinct hash) over the banded near-dup edges, and the
+    * only corpus-sized steps are the hash projection and the final
+    * one-row-per-doc label join.
+    *
+    * Cluster id = min doc_id in the cluster: each distinct hash is
+    * represented by its smallest member doc_id, and the smallest
+    * reachable representative IS the smallest member overall (every
+    * doc's id ≥ its hash's representative). Singleton hashes label
+    * themselves via the left join's coalesce. */
+  def multimodalPhashClusters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val members = phashMembers(spark, dir)
+    // one representative doc per DISTINCT hash — CC nodes are content-
+    // bounded; doc-level edges would re-inflate with the duplicate mass
+    val reps = members.groupBy(qn.map(q => col(s"q$q")): _*)
+      .agg(min($"doc_id").as("rep"))
+    val repA = reps.select($"rep".as("doc_a") +:
+      qn.map(q => col(s"q$q").as(s"a$q")): _*)
+    val repB = reps.select($"rep".as("doc_b") +:
+      qn.map(q => col(s"q$q").as(s"b$q")): _*)
+    val edges = phashHashPairs(members)
+      .join(repA, qn.map(q => s"a$q"))
+      .join(repB, qn.map(q => s"b$q"))
+      .select($"doc_a", $"doc_b")
+    val labels = PipelineOps.connectedComponentLabels(spark, edges)
+      .select($"doc_id".as("rep"), $"comp_id")
+    members
+      .join(reps, qn.map(q => s"q$q"))
+      .join(labels, Seq("rep"), "left")
+      .select($"doc_id", coalesce($"comp_id", $"rep").as("cluster_id"))
+      .orderBy($"doc_id")
+  }
+
+  val multimodalPhashClustersSql: String =
+    s"""WITH RECURSIVE $phashCtes,
+       |reps AS (
+       |  SELECT qs, min(doc_id) AS rep FROM hashes GROUP BY qs),
+       |rbands AS (
+       |  SELECT rep, qs, CAST(b AS INT) AS band, qs[CAST(1 + b AS INT)] AS band_val
+       |  FROM reps, range(0, 8) t(b)),
+       |edges0 AS (
+       |  SELECT DISTINCT a.rep AS a, b.rep AS b
+       |  FROM rbands a JOIN rbands b
+       |    ON a.band = b.band AND a.band_val = b.band_val AND a.rep < b.rep
+       |  WHERE list_sum(list_transform(range(0, 8),
+       |      q -> bit_count(xor(a.qs[CAST(q + 1 AS INT)], b.qs[CAST(q + 1 AS INT)]))))
+       |        <= $PhashMaxHamming),
+       |edges AS (
+       |  SELECT a, b FROM edges0
+       |  UNION ALL
+       |  SELECT b, a FROM edges0),
+       |reach AS (
+       |  SELECT a AS node, a AS r FROM edges
+       |  UNION
+       |  SELECT e.b AS node, reach.r AS r
+       |  FROM reach JOIN edges e ON e.a = reach.node),
+       |cc AS (
+       |  SELECT node AS rep, min(r) AS comp_id
+       |  FROM reach GROUP BY node)
+       |SELECT h.doc_id, coalesce(cc.comp_id, rp.rep) AS cluster_id
+       |FROM hashes h
+       |JOIN reps rp ON rp.qs = h.qs
+       |LEFT JOIN cc ON cc.rep = rp.rep
+       |ORDER BY doc_id""".stripMargin
 }

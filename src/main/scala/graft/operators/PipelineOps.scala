@@ -263,8 +263,25 @@ object PipelineOps {
 
   private def computeConnectedComponents(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pairs = DedupOps.minhashEstimates(spark, dir)
-      .filter($"est_jaccard" >= 0.5).select($"doc_a", $"doc_b")
+    connectedComponentLabels(spark,
+      DedupOps.minhashEstimates(spark, dir)
+        .filter($"est_jaccard" >= 0.5).select($"doc_a", $"doc_b"))
+  }
+
+  /** Smallest-label-propagation fixpoint over an undirected pair set
+    * (`doc_a`, `doc_b` BIGINT columns) → (`doc_id`, `comp_id`) for every
+    * node that appears in a pair. Factored out of the MinHash CC so the
+    * phash cluster twin ([[MultimodalOps.multimodalPhashClusters]]) runs
+    * the identical, convergence-witnessed fixpoint instead of a second
+    * hand-rolled loop. All scale/robustness notes on
+    * [[dedupConnectedComponents]] apply: per-iteration cost is one join +
+    * min-agg over the EDGE set (duplicate-mass-proportional, never
+    * corpus-proportional), lineage is truncated per iteration, and a
+    * non-converged labeling fails loudly rather than silently diverging
+    * from the oracle's recursive-CTE fixpoint. */
+  private[operators] def connectedComponentLabels(
+      spark: SparkSession, pairs: DataFrame): DataFrame = {
+    import spark.implicits._
     val edges = pairs.select($"doc_a".as("src"), $"doc_b".as("dst"))
       .union(pairs.select($"doc_b".as("src"), $"doc_a".as("dst")))
       .persist()
@@ -287,9 +304,13 @@ object PipelineOps {
       // label changed. One cheap scalar aggregate per iteration instead
       // of a next-vs-previous join; decimal sum so id magnitude can never
       // overflow the witness.
+      // null-safe: an EMPTY pair set (legal for the phash cluster twin
+      // on a corpus whose only near-dups are hash-identical, e.g. the
+      // sf0.01 gate fixture) sums to SQL NULL — treat as zero so the
+      // empty fixpoint converges on iteration 1 instead of NPE-ing
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum($"comp".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-          .collect()(0).getDecimal(0)
+        Option(df.agg(sum($"comp".cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .collect()(0).getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
       var prevSum = labelSum(labels)
       var converged = false
       var iter = 0

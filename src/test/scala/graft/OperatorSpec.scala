@@ -1497,6 +1497,40 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal_phash_clusters: labels consistent with the pair enumeration") {
+    val docs = graft.Tables.documents(spark, sfDir).count()
+    val labels = SparkEntry.queries("multimodal_phash_clusters")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // linear output: exactly one label per document
+    assert(labels.size == docs, s"expected $docs labels, got ${labels.size}")
+    // cluster id is the smallest member (so a cluster contains its own id)
+    labels.foreach { case (d, c) =>
+      assert(c <= d, s"cluster id $c exceeds member $d")
+      assert(labels(c) == c, s"cluster id $c of doc $d is not self-labeled")
+    }
+    // every enumerated near-dup pair (incl. the planted hamming-0 ones)
+    // lands in one cluster — the twin must not split what pairs join
+    val pairs = SparkEntry.queries("multimodal_phash_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no pairs at test SF — consistency check vacuous")
+    pairs.foreach { case (a, b) =>
+      assert(labels(a) == labels(b), s"pair ($a,$b) split across clusters")
+    }
+    // and conversely: a multi-member cluster must be justified by pairs
+    // (transitively) — check via union-find over the pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = labels.keys.map { d =>
+      d -> labels.keys.filter(e => find(e) == find(d)).min
+    }.toMap
+    assert(labels == expected.map { case (d, c) => d -> c },
+      "cluster labels differ from the union-find of the pair enumeration")
+  }
+
   test("similarity_recall_report: all variants scored on every query, bounded") {
     val rows = SparkEntry.queries("similarity_recall_report")(spark, sfDir).collect()
     val variants = rows.map(_.getString(0)).toSet

@@ -170,7 +170,12 @@ def main():
         sys.exit("iso_probe: need --query and/or --stages")
     check_freshness()
     head = git(["rev-parse", "HEAD"])
-    dirty = bool(git(["status", "--porcelain"]))
+    # dirty is scoped to the ENGINE paths, matching graft.Bench and
+    # tools/check_ledger_head.py: a probe writes its own artifact into
+    # the repo, so a whole-tree check marks every probe after the first
+    # in a session dirty on its predecessor's output (hit r16)
+    dirty = bool(git(["status", "--porcelain", "--",
+                      "src/main", "build.sbt"]))
     if dirty:
         sys.stderr.write("iso_probe: WARNING working tree dirty -- "
                          "output marked dirty, not sealable\n")

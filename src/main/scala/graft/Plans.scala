@@ -118,6 +118,14 @@ object Plans {
         "saturation (the r15 growth law) — and doc pairs reappear only " +
         "in the two output-sized expansion joins — never all-pairs, " +
         "never tower-per-candidate."),
+    "multimodal_phash_clusters" ->
+      ("Linear-output cluster twin (r16): CC nodes are hash-" +
+        "REPRESENTATIVES (one per distinct hash — content-bounded), " +
+        "edges come from the shared banded hash-pair join, the fixpoint " +
+        "is join+min-agg per iteration over the cached edge set with " +
+        "lineage truncated per iteration, and the only corpus-sized " +
+        "steps are cached-members scans and the final one-row-per-doc " +
+        "label join — no pair enumeration anywhere in the plan."),
     "events_rolling_anomaly" ->
       ("Sharded bounded window (r16): the trailing-50 frame partitions " +
         "on (event_type, time-bucket) — ⌈n_type/64k⌉ buckets with a " +
@@ -252,6 +260,13 @@ object Plans {
         "and the h-sorted array (verify kernel order) plus the integer " +
         "threshold m per doc. Linear, one doc_id shuffle, persisted " +
         "once per session."),
+    "phash_members" ->
+      ("r16: per-doc 256-bit perceptual-hash quarters — the planted-" +
+        "payload projection feeds ONE codegen'd graft_phash256 call per " +
+        "row into an 8-column content-hash exchange, persisted once per " +
+        "session. Linear; the plan must show a single parquet scan of " +
+        "documents (plus the doc_id-shift planting join) and NO " +
+        "interpreted lambda tower."),
     "dup_spans" ->
       ("Repeated-span lattice: ONE pass over its positional gram " +
         "stream (codegen'd graft_gram_hashes60 kernel — 60-bit longs " +

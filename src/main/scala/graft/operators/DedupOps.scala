@@ -1487,6 +1487,11 @@ object DedupOps {
     // the iterative build gets its own line for the same reason
     SharedStage("cc_labels", Seq(s"cc_labels:$dir"),
       () => PipelineOps.dedupConnectedComponents(spark, dir)),
+    // per-doc 256-bit perceptual-hash quarters (r16): consumed by the
+    // phash pair/cluster twins from up to five plan branches each —
+    // un-memoized, every branch re-ran scan + kernel + 8-col exchange
+    SharedStage("phash_members", Seq(s"phashmem:$dir"),
+      () => MultimodalOps.phashMembers(spark, dir)),
     SharedStage("dup_windows", Seq(s"dupwins:$dir"),
       () => TextOps.dupWindows(spark, dir)),
     // repeated-span lattice (r11): shared by the span report + removal

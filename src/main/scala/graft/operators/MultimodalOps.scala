@@ -419,9 +419,22 @@ object MultimodalOps {
 
   /** Per-document 256-bit hash as eight 32-bit quarter columns
     * `(doc_id, q0..q7)` — the shared front half of the pair/cluster
-    * twins. See [[multimodalPhashDedup]] for the planted-marker and
-    * kernel rationale. */
-  private def phashMembers(spark: SparkSession, dir: String): DataFrame = {
+    * twins, memoized per (session, dir) and registered as its own bench
+    * stage (`phash_members`). See [[multimodalPhashDedup]] for the
+    * planted-marker and kernel rationale. Why a memoized stage (r16):
+    * the cluster twin consumes members from FIVE plan branches (distinct
+    * hashes, both rep joins, the label join, and reps itself) and the
+    * pair twin from three — un-memoized, each branch re-ran the
+    * scan + kernel + 8-column exchange (~30 CPU-s each at the 100×
+    * rung), which the cluster twin's first triangle measured as a
+    * phantom ×5.6 top step on a query whose real work is linear. Same
+    * genus as [[DedupOps.shingleIndex]]. */
+  private[operators] def phashMembers(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"phashmem:$dir") {
+      phashMembersUncached(spark, dir).persist()
+    }
+
+  private def phashMembersUncached(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val pred = docs.select(($"doc_id" + 1).as("doc_id"), $"text".as("pred_text"))

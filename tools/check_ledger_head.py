@@ -236,9 +236,20 @@ def main():
     args = ap.parse_args()
     paths = args.paths
     if args.all:
-        paths = sorted(set(paths)
-                       | set(glob.glob(os.path.join(REPO, "BENCH_*.json")))
-                       | set(glob.glob(os.path.join(REPO, "bench_*.json"))))
+        candidates = sorted(set(glob.glob(os.path.join(REPO, "BENCH_*.json")))
+                            | set(glob.glob(os.path.join(REPO, "bench_*.json"))))
+        tracked = set(git("ls-files").splitlines())
+        for c in candidates:
+            rel = os.path.relpath(c, REPO)
+            if rel in tracked:
+                paths.append(c)
+            else:
+                # --all audits COMMITTED artifacts; an untracked ledger is
+                # dev scratch by definition (e.g. the driver's default
+                # bench_full.json output). Explicit-path mode still checks
+                # untracked files against the current HEAD for pre-seal use.
+                print(f"SKIP {c}: untracked dev artifact (not in git)")
+        paths = sorted(set(paths))
     if not paths:
         sys.exit("usage: check_ledger_head.py LEDGER.json [...] | --all")
     EPOCH = stamp_epoch()

@@ -1927,6 +1927,59 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("rolling-anomaly shards are tie-safe: coarse timestamps never split a tie group") {
+    // The time-bucket is a FUNCTION of ts, so rows with equal timestamps
+    // can never straddle a shard boundary even though the window order
+    // resolves their ties by event_id — asserted end-to-end on a fixture
+    // where nearly every (type, ts) group is a heavy tie: 3 types x 400
+    // events over only 7 distinct timestamps, with planted spikes so the
+    // detector actually alarms. Shard sizes 1 and 23 force boundaries
+    // into (1) every possible position and (2) mid-tie-group positions.
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, expr, lit, sum}
+    val rnd = new scala.util.Random(1234)
+    val base = 1700000000000000L // micros
+    val rows = (0L until 1200L).map { i =>
+      val ts = base + rnd.nextInt(7) * 60000000L // 7 distinct minutes
+      val v = if (rnd.nextInt(40) == 0) 500.0 + rnd.nextInt(100)
+              else 10.0 + rnd.nextInt(5) * 0.25
+      (i, new java.sql.Timestamp(ts / 1000), i % 17, s"t${i % 3}", v, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("tiesafe").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val w = Window.partitionBy($"event_type")
+      .orderBy($"ts".asc, $"event_id".asc).rowsBetween(-50, -1)
+    val plain = Tables.events(spark, dir)
+      .select($"event_id", $"ts", $"event_type", $"value",
+        expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").as("c"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"c").over(w))
+      .withColumn("s2", sum($"c" * $"c").over(w))
+      .filter($"n" >= 20 && $"n" * $"s2" - $"s" * $"s" > 0)
+      .filter(expr(
+        """abs(c - CAST(s AS DOUBLE) / n) >
+          |  3 * sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin))
+      .select($"event_id", $"n".as("baseline_n"),
+        expr(
+          """(c - CAST(s AS DOUBLE) / n) /
+            |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin).as("z"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(plain.nonEmpty, "no anomalies on the tie fixture — spec is vacuous")
+    Seq(1L, 23L).foreach { rps =>
+      val got = graft.operators.EventOps
+        .eventsRollingAnomalySharded(spark, dir, rps)
+        .select($"event_id", $"baseline_n", $"z")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      assert(got == plain,
+        s"rowsPerShard=$rps: missing=${plain.keySet -- got.keySet} " +
+          s"spurious=${got.keySet -- plain.keySet} " +
+          s"diffs=${plain.keySet.intersect(got.keySet).filter(k => got(k) != plain(k)).take(5)}")
+    }
+  }
+
   test("text_bpe_encode: histogram matches a driver-side re-encode and roundtrips") {
     val spark0 = spark
     import spark0.implicits._

@@ -1531,6 +1531,52 @@ class OperatorSpec extends SparkTestBase {
       "cluster labels differ from the union-find of the pair enumeration")
   }
 
+  test("multimodal_phash_clusters: transitive near-dup chains merge across DISTINCT hashes") {
+    // The sf0.001/sf0.01 corpora only exercise the hamming-0 path (every
+    // near-dup is hash-IDENTICAL, so the CC edge set is empty and the
+    // fixpoint runs zero iterations). This fixture drives the inter-hash
+    // path deliberately: 256-char payloads of 'a'/'z' at each sample
+    // position make every hash bit directly addressable (mean ≈ 109.5
+    // sits strictly between the codes, and flipping ≤ 8 positions moves
+    // the sum by ≤ 200, nowhere near any 256·c boundary), so Hamming
+    // distances between docs are EXACTLY their flip-set symmetric
+    // differences. The chain d0–d1 (5 bits) – d2 (5 more bits) puts
+    // d0↔d2 at distance 10 — BEYOND the pair threshold, so the (0,2)
+    // pair is absent from the enumeration yet all three docs must land
+    // in ONE cluster through d1: the strictly-transitive merge only the
+    // fixpoint produces. d3 flips 60 bits (far from everything);
+    // d3–d4 at distance 2; d5 flips a different distant 60 bits
+    // (singleton). Expected clusters: {0,1,2}, {3,4}, {5}.
+    val spark0 = spark
+    import spark0.implicits._
+    def payload(flips: Set[Int]): String =
+      (0 until 256).map(i => if (flips.contains(i)) 'z' else 'a').mkString
+    val d01 = Set(10, 20, 30, 40, 50)       // d1 = d0 ^ 5 bits
+    val d12 = Set(60, 70, 80, 90, 100)      // d2 = d1 ^ 5 bits (d0 ^ 10)
+    val far1 = (120 until 180).toSet        // d3: 60 bits from d0
+    val d34 = Set(200, 210)                 // d4 = d3 ^ 2 bits
+    val far2 = (0 until 60).map(_ * 4 + 1).toSet // d5: scattered 60 bits
+    val docs = Seq(
+      (0L, payload(Set.empty)), (1L, payload(d01)), (2L, payload(d01 ++ d12)),
+      (3L, payload(far1)), (4L, payload(far1 ++ d34)), (5L, payload(far2)))
+    val dir = java.nio.file.Files.createTempDirectory("phashcc").toString
+    docs.map { case (id, t) => (id, t, "en", "synthetic", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // pair enumeration first: the expected edges at hamming <= 7 —
+    // (0,2) must be ABSENT (distance 10)
+    val pairs = SparkEntry.queries("multimodal_phash_dedup")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((0L, 1L), (1L, 2L), (3L, 4L)),
+      s"unexpected pair set: $pairs")
+    assert(pairs((0L, 1L)) == 5 && pairs((1L, 2L)) == 5 && pairs((3L, 4L)) == 2,
+      s"hamming distances off: $pairs")
+    val labels = SparkEntry.queries("multimodal_phash_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L, 5L -> 5L),
+      s"cluster labels wrong: $labels")
+  }
+
   test("similarity_recall_report: all variants scored on every query, bounded") {
     val rows = SparkEntry.queries("similarity_recall_report")(spark, sfDir).collect()
     val variants = rows.map(_.getString(0)).toSet

@@ -863,35 +863,9 @@ object EventOps {
 
   /** The sharded window body; `rowsPerShard` is a parameter only so the
     * spec can force many tiny shards on the 1k-row fixture and pin the
-    * carry path against the plain single-window form.
-    *
-    * ONE corpus-sized sort (r16 rework): the first sharded form ran the
-    * shard sort once to mark bucket tails, then re-sorted the owners ∪
-    * carries union under a second Window — ~1.9× the unsharded
-    * detector's CPU for the parallelism. This body keeps the shards but
-    * pays the sort exactly once: bucket tails come from a BOUNDED-STATE
-    * aggregate (`graft_lastk`, ≤ 50 triples per bucket at every stage,
-    * map-side truncating — no sort, no unbounded `collect_list`), the
-    * carry becomes a per-bucket SUFFIX-SUM ARRAY (≤ 51 BIGINTs) joined
-    * back by broadcast, and each owner row completes its trailing frame
-    * arithmetically: for in-bucket rank rn ≤ 50 the frame is its rn−1
-    * bucket-mates plus the last `t = min(51−rn, carry length)` carry
-    * rows, so `n = min(rn−1, 50) + t`, `s = s₀ + sufS[t]`,
-    * `s2 = s2₀ + sufS2[t]` — the same exact integers the union window
-    * summed, through the same IEEE expression trees (bit-equal output,
-    * spec-pinned). The aggregate runs in a cloned session with the
-    * ObjectHashAggregate sort-fallback threshold raised past the bucket
-    * count (the 128-group default would re-introduce a corpus-wide
-    * sort-by-key in the partial stage — the exact cost this rework
-    * removes); the conf never leaks ([[Extended.joinBloomPruned]]'s
-    * device). */
+    * carry path against the plain single-window form. */
   private[graft] def eventsRollingAnomalySharded(
-      spark0: SparkSession, dir: String, rowsPerShard: Long): DataFrame = {
-    val spark = spark0.newSession()
-    // bounded last-k state is ~1.2 KB/bucket: 8192 in-memory groups per
-    // task ≈ 10 MB before the (still-correct) sort-based fallback
-    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "8192")
-    graft.functions.LastKRows.register(spark)
+      spark: SparkSession, dir: String, rowsPerShard: Long): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"ts", $"event_type", $"value",
@@ -913,27 +887,30 @@ object EventOps {
       .withColumn("bucket",
         least($"nb" - 1, floor(($"tsu" - $"t_lo").cast("double") /
           ($"t_hi" - $"t_lo" + 1).cast("double") * $"nb").cast("long")))
-      .select($"event_type", $"bucket", $"ts", $"event_id", $"value", $"c", $"tsu")
-    // Per-shard tails WITHOUT a sort: a row of bucket k can sit in the
-    // trailing-50 frame of a LATER bucket's row only if < 50 rows follow
-    // it in the type's global order before that bucket starts — in
-    // particular ≤ 49 rows of its OWN bucket follow it, so every
-    // possible carry row is within its bucket's last 50, which the
-    // bounded aggregate keeps (ascending by (tsu, event_id) — the same
-    // total order the window sorts by, since unix_micros is strictly
-    // monotone in ts and event_id is unique). The bucket's row count
-    // rides the same single pass.
-    val tails = withB.groupBy($"event_type", $"bucket")
-      .agg(expr("graft_lastk(tsu, event_id, c, 50)").as("tail"),
-        count(lit(1)).as("bn"))
+      .select($"event_type", $"bucket", $"ts", $"event_id", $"value", $"c")
+    // Per-shard tails: a row of bucket k can sit in the trailing-50
+    // frame of a LATER bucket's row only if < 50 rows follow it in the
+    // type's global order before that bucket starts — in particular
+    // ≤ 49 rows of its OWN bucket follow it, so every possible carry
+    // row is within its bucket's last 50. The shard sort computing rn
+    // is itself sharded (the very parallelism being bought).
+    val wShard = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"ts".asc, $"event_id".asc)
+    val wShardAll = Window.partitionBy($"event_type", $"bucket")
+    val marked = withB
+      .withColumn("rn", row_number().over(wShard))
+      .withColumn("cnt", count(lit(1)).over(wShardAll))
+    val tails = marked.filter($"rn" > $"cnt" - 50)
+      .select($"event_type", $"bucket".as("src_bucket"),
+        $"ts", $"event_id", $"c")
     // Which source buckets must carry into which target buckets: src
     // carries into tgt iff fewer than 50 rows sit strictly between them
     // (otherwise nothing in src can reach tgt's frame). Cumulative
-    // bucket counts make that a bucket-level predicate; every frame
-    // from here to the carry table is |types|·|buckets| rows —
-    // broadcast-sized by construction.
+    // bucket counts make that a bucket-level predicate; the whole table
+    // is |types|·|buckets| rows — broadcast-sized by construction.
     val wCum = Window.partitionBy($"event_type").orderBy($"bucket".asc)
-    val bcum = tails.select($"event_type", $"bucket", $"bn")
+    val bcum = withB.groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("bn"))
       .withColumn("cum", sum($"bn").over(wCum)) // inclusive prefix count
     val pairs = bcum.select($"event_type", $"bucket".as("src_bucket"),
         $"cum".as("cum_src"))
@@ -942,49 +919,31 @@ object EventOps {
       .filter($"src_bucket" < $"tgt_bucket" &&
         $"cum_before" - $"cum_src" < 50)
       .select($"event_type", $"src_bucket", $"tgt_bucket")
-    // The carry set for a target bucket is the last ≤ 50 rows of the
-    // type's preceding order: (a) any row within the last 50 of the
-    // prefix is in its own bucket's last 50 (≤ 49 bucket-mates follow
-    // it) and its bucket passes the < 50 rows-between test — so the
-    // merged reachable tails MISS nothing; (b) merged, re-sorted, and
-    // sliced to the last 50, over-carried older rows drop out exactly.
-    // The suffix-sum arrays turn "the most recent t carry rows" into an
-    // O(1) lookup: sufS[t] = Σ of the last t carried c values (sufS[0]
-    // = 0), likewise sufS2 for c². All of this is bucket-cardinality
-    // data — the corpus never enters.
-    val carry = tails.select($"event_type", $"bucket".as("src_bucket"), $"tail")
-      .join(pairs, Seq("event_type", "src_bucket"))
-      .groupBy($"event_type", $"tgt_bucket")
-      .agg(flatten(collect_list($"tail")).as("allt"))
-      .select($"event_type", $"tgt_bucket".as("bucket"),
-        expr("transform(slice(array_sort(allt), greatest(1, size(allt) - 49)," +
-          " least(size(allt), 50)), x -> x.payload)").as("cs"))
-      .select($"event_type", $"bucket", expr("size(cs)").as("clen"),
-        expr("transform(sequence(0, size(cs)), t -> aggregate(" +
-          "slice(cs, size(cs) - t + 1, t), CAST(0 AS BIGINT), (a, x) -> a + x))")
-          .as("suf_s"),
-        expr("transform(sequence(0, size(cs)), t -> aggregate(" +
-          "slice(cs, size(cs) - t + 1, t), CAST(0 AS BIGINT), (a, x) -> a + x * x))")
-          .as("suf_s2"))
-    // The single corpus-sized sort: rank + own-bucket trailing sums in
-    // one sharded window chain (same partitioning and order — one
-    // SortExec feeds both Window nodes), then the broadcast carry join
-    // completes the first ≤ 50 frames of each bucket arithmetically.
-    val wOrd = Window.partitionBy($"event_type", $"bucket")
+    // The carry set for a target bucket is a contiguous SUFFIX of the
+    // type's preceding rows that covers its last 50: (a) any row within
+    // the last 50 of the prefix is in its own bucket's last 50 (≤ 49
+    // bucket-mates follow it) and its bucket passes the < 50
+    // rows-between test — so nothing is missed; (b) over-carried OLDER
+    // rows are harmless — a gap above a bucket's tail only exists when
+    // that bucket has > 50 rows, and then its 50 carried rows separate
+    // everything older from every owner row by ≥ 50 positions, outside
+    // the frame. Hence the trailing-50 frame over (carries ∪ owners)
+    // equals the frame over the type's full order, row for row.
+    val carries = tails
+      .join(broadcast(pairs), Seq("event_type", "src_bucket"))
+      .select($"event_type", $"tgt_bucket".as("bucket"), $"ts",
+        $"event_id", lit(null).cast("double").as("value"), $"c",
+        lit(true).as("is_carry"))
+    val owners = marked.select($"event_type", $"bucket", $"ts",
+      $"event_id", $"value", $"c", lit(false).as("is_carry"))
+    val w = Window.partitionBy($"event_type", $"bucket")
       .orderBy($"ts".asc, $"event_id".asc)
-    val wFrame = wOrd.rowsBetween(-50, -1)
-    withB
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("s0", sum($"c").over(wFrame))
-      .withColumn("s20", sum($"c" * $"c").over(wFrame))
-      .join(broadcast(carry), Seq("event_type", "bucket"), "left")
-      .withColumn("tk", when($"rn" <= 50,
-        least(lit(51) - $"rn", coalesce($"clen", lit(0)))).otherwise(lit(0)))
-      .withColumn("n", (least($"rn" - 1, lit(50)) + $"tk").cast("long"))
-      .withColumn("s", coalesce($"s0", lit(0L)) +
-        when($"tk" > 0, expr("element_at(suf_s, tk + 1)")).otherwise(lit(0L)))
-      .withColumn("s2", coalesce($"s20", lit(0L)) +
-        when($"tk" > 0, expr("element_at(suf_s2, tk + 1)")).otherwise(lit(0L)))
+      .rowsBetween(-50, -1)
+    owners.unionByName(carries)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum($"c").over(w))
+      .withColumn("s2", sum($"c" * $"c").over(w))
+      .filter(!$"is_carry")
       .filter($"n" >= 20 && $"n" * $"s2" - $"s" * $"s" > 0)
       .filter(expr(
         """abs(c - CAST(s AS DOUBLE) / n) >
@@ -993,6 +952,19 @@ object EventOps {
         expr(
           """(c - CAST(s AS DOUBLE) / n) /
             |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin).as("z"))
+      // materialize the flagged rows into a hash shuffle BEFORE the
+      // presentation sort: a global orderBy is a RANGE exchange whose
+      // boundary-sampling job re-executes its child, and here the child
+      // is the whole post-shuffle window/filter chain — the sampler was
+      // measured re-running it end to end (a second full pass, ~half the
+      // query's task CPU at the 30x rung: 61.5 -> 29.7 best-run CPU-s
+      // with the barrier). Behind the repartition the sampler re-reads a
+      // result-sized shuffle instead. A full single-sort rework of this
+      // operator (bounded last-k tail aggregate + broadcast carry ranks)
+      // was built and probed against this formulation and came out 2x
+      // WORSE converged CPU with the same barrier — the union's second
+      // sort is cheap next to the window passes, so this shape stays.
+      .repartition($"event_id")
       .orderBy($"event_id")
   }
 

@@ -14,7 +14,6 @@ class FunctionsSpec extends SparkTestBase {
     graft.functions.Phash256.register(spark)
     graft.functions.CharCounts.register(spark)
     graft.functions.TopKPairs.register(spark)
-    graft.functions.LastKRows.register(spark)
     graft.functions.MomentMatrix.register(spark)
   }
 
@@ -85,36 +84,6 @@ class FunctionsSpec extends SparkTestBase {
     assert(got1 == Seq((3L, 2L)))
     val got10 = rows.agg(expr("graft_topk(s, t, 10)")).head().getSeq[Row](0)
     assert(got10.length == 5)
-  }
-
-  test("graft_lastk equals sortBy-takeRight on random groups crossing k") {
-    registerAll()
-    import spark.implicits._
-    // group sizes 0..12 around k=5 exercise partial buffers, exact-k,
-    // and eviction; duplicated (s, t) pairs exercise the payload
-    // tie-break that makes the order total
-    val rnd = new scala.util.Random(77)
-    val rows = (0L until 400L).map { i =>
-      (i % 37, rnd.nextInt(6).toLong, rnd.nextInt(4).toLong, rnd.nextInt(3).toLong)
-    }
-    val want = rows.groupBy(_._1).map { case (g, rs) =>
-      g -> rs.map(r => (r._2, r._3, r._4)).sorted.takeRight(5)
-    }
-    val got = rows.toDF("g", "s", "t", "p").groupBy($"g")
-      .agg(expr("graft_lastk(s, t, p, 5)").as("tail"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Row](1)
-        .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toList).toMap
-    assert(got == want)
-    // a null input column fails loudly instead of decoding as 0
-    val e = intercept[Exception] {
-      Seq((1L, Some(2L)), (3L, None)).toDF("s", "t")
-        .agg(expr("graft_lastk(s, t, s, 5)")).collect()
-    }
-    def chain(t: Throwable): Seq[String] =
-      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
-        .map(x => Option(x.getMessage).getOrElse("")).toSeq
-    assert(chain(e).exists(_.contains("graft_lastk: null input")),
-      s"expected the loud null error, got ${chain(e)}")
   }
 
   test("graft_gram_hashes equals the transform/slice/md5 tower, incl. short inputs") {
@@ -340,8 +309,7 @@ class FunctionsSpec extends SparkTestBase {
     for ((name, frame) <- Seq(
       ("graft_moments(q, cast(null as int))", vec),
       ("graft_gram_hashes(ws, cast(null as int))", doc),
-      ("graft_topk(s, t, cast(null as int))", pair),
-      ("graft_lastk(s, t, t, cast(null as int))", pair))) {
+      ("graft_topk(s, t, cast(null as int))", pair))) {
       val e = intercept[Exception] { frame.selectExpr(name).collect() }
       def chain(t: Throwable): Seq[String] =
         Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)

@@ -203,7 +203,7 @@ object DedupOps {
         when($"in_corpus".isNotNull, "dup_of_corpus")
           .when($"doc_id" =!= $"first_id", "dup_in_batch")
           .otherwise("new").as("status"))
-      .orderBy($"doc_id")
+      .transform(Presentation.ordered(_, $"doc_id"))
   }
 
   /** Same oracle as the exact query — the Bloom is a plan-level
@@ -461,7 +461,7 @@ object DedupOps {
         greatest(length($"t_a"), length($"t_b")).cast("bigint").as("max_len"))
       .withColumn("edit_sim",
         lit(1.0) - $"edit_dist".cast("double") / $"max_len")
-      .orderBy($"doc_a", $"doc_b")
+      .transform(Presentation.ordered(_, $"doc_a", $"doc_b"))
   }
 
   lazy val dedupEditDistanceSql: String =

@@ -405,7 +405,7 @@ object EventOps {
     e.join(broadcast(stats), "event_type")
       .filter(abs(z) > 3)
       .select($"event_id", $"event_type", $"value", z.as("z"))
-      .orderBy($"event_id")
+      .transform(Presentation.ordered(_, $"event_id"))
   }
 
   val eventsSessionAnomalySql: String =
@@ -952,20 +952,16 @@ object EventOps {
         expr(
           """(c - CAST(s AS DOUBLE) / n) /
             |  sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1))""".stripMargin).as("z"))
-      // materialize the flagged rows into a hash shuffle BEFORE the
-      // presentation sort: a global orderBy is a RANGE exchange whose
-      // boundary-sampling job re-executes its child, and here the child
-      // is the whole post-shuffle window/filter chain — the sampler was
-      // measured re-running it end to end (a second full pass, ~half the
-      // query's task CPU at the 30x rung: 61.5 -> 29.7 best-run CPU-s
-      // with the barrier). Behind the repartition the sampler re-reads a
-      // result-sized shuffle instead. A full single-sort rework of this
-      // operator (bounded last-k tail aggregate + broadcast carry ranks)
-      // was built and probed against this formulation and came out 2x
-      // WORSE converged CPU with the same barrier — the union's second
-      // sort is cheap next to the window passes, so this shape stays.
-      .repartition($"event_id")
-      .orderBy($"event_id")
+      // barriered presentation sort ([[Presentation.ordered]]): without
+      // it the orderBy's range-sampling job re-ran this whole window
+      // chain — a hidden second full pass worth ~half the query's task
+      // CPU (61.5 → 29.7 best-run CPU-s at the 30× rung). A full
+      // single-sort rework of this operator (bounded last-k tail
+      // aggregate + broadcast carry ranks) was built and probed against
+      // this formulation and came out 2× WORSE converged CPU with the
+      // same barrier — the union's second sort is cheap next to the
+      // window passes, so this shape stays.
+      .transform(Presentation.ordered(_, $"event_id"))
   }
 
   val eventsRollingAnomalySql: String =

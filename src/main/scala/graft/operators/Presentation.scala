@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Presentation-sort helper: a deterministic global `orderBy` placed
+  * BEHIND a hash-shuffle barrier.
+  *
+  * Why it exists (r16, found while adjudicating the rolling-anomaly
+  * wall): a global `orderBy` plans as a RANGE exchange, and Spark's
+  * range partitioner runs a separate boundary-SAMPLING job that
+  * re-executes the exchange's child. When that child is an
+  * un-materialized compute chain — a scan + kernel projection, a
+  * broadcast-join tower, or a post-shuffle window/filter pipeline —
+  * the sampler re-runs it END TO END, a hidden second full pass. On
+  * `events_rolling_anomaly` that second pass was ~half the query's
+  * task CPU (61.5 → 29.7 best-run CPU-s at the 30× rung once
+  * barriered); a static audit (range exchange whose child contains a
+  * FileScan with no intervening shuffle) flagged 42 of the 250
+  * registered queries with the same shape.
+  *
+  * The barrier is one extra hash exchange of the RESULT rows keyed by
+  * the first sort column: behind it the sampler re-reads shuffle
+  * output instead of recomputing the chain. Worth it exactly when the
+  * chain above the sort is expensive relative to shuffling the result
+  * once. Every flagged site was MEASURED (min-of-2 bench at sf0.1,
+  * task-CPU compare) and the split applied empirically: kept where
+  * chain CPU roughly halved (`text_pii_scrub` 0.40×,
+  * `text_char_entropy` 0.51×, `dedup_edit_distance` 0.52×,
+  * `text_quality_score`/`_logreg` ~0.5×, `text_token_count` 0.60×,
+  * `dedup_incremental_bloom` 0.75×, `events_session_anomaly` 0.81×,
+  * `events_rolling_anomaly` at its 30× rung); reverted where the
+  * result shuffle cost MORE than the re-run — the multimodal codec
+  * passes whose payload-wide rows are expensive to serialize (1.3–2.0×),
+  * `sort_zorder_events` where the range sort over the computed key IS
+  * the operator (1.28×), and the neutral ±10% sites where an extra
+  * exchange buys nothing. Output is identical either way — the final
+  * total-order sort is unchanged.
+  */
+object Presentation {
+  /** `df.orderBy(cols:_*)` with the sampling barrier in front. */
+  def ordered(df: DataFrame, cols: Column*): DataFrame =
+    df.repartition(cols.head).orderBy(cols: _*)
+}

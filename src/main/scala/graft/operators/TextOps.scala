@@ -286,7 +286,7 @@ object TextOps {
         ($"n_stop".cast("double") / $"n_tokens").as("stopword_ratio"))
       .withColumn("quality_score",
         ($"avg_token_len" / 10.0) + ($"stopword_ratio" * 2.0))
-      .orderBy($"doc_id")
+      .transform(Presentation.ordered(_, $"doc_id"))
   }
 
   val textQualityScoreSql: String =
@@ -359,7 +359,7 @@ object TextOps {
       .select($"doc_id", $"n_tokens", $"avg_token_len", $"stop_ratio", $"ttr",
         round(lit(1.0) / (lit(1.0) + exp(-$"z")), 6).as("prob_keep"))
       .withColumn("label", when($"prob_keep" >= 0.5, "keep").otherwise("drop"))
-      .orderBy($"doc_id")
+      .transform(Presentation.ordered(_, $"doc_id"))
   }
 
   val textQualityLogregSql: String =
@@ -401,7 +401,7 @@ object TextOps {
         size(expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")).cast("bigint")
           .as("n_word_tokens"),
         length($"text").cast("bigint").as("n_chars_actual"))
-      .orderBy($"doc_id")
+      .transform(Presentation.ordered(_, $"doc_id"))
   }
 
   val textTokenCountSql: String =
@@ -1654,7 +1654,7 @@ object TextOps {
         regexp_count($"aug", lit(PiiEmailRe)).cast("bigint").as("n_emails"),
         regexp_count($"aug", lit(PiiPhoneRe)).cast("bigint").as("n_phones"),
         regexp_count($"aug", lit(PiiIdRe)).cast("bigint").as("n_ids"))
-      .orderBy($"doc_id")
+      .transform(Presentation.ordered(_, $"doc_id"))
   }
 
   val textPiiScrubSql: String =
@@ -1716,7 +1716,7 @@ object TextOps {
             val p = x.getField("c").cast("double") / $"n_chars_counted".cast("double")
             acc - p * log(p) / log(lit(2.0))
           }), 6).as("entropy"))
-      .orderBy($"doc_id")
+      .transform(Presentation.ordered(_, $"doc_id"))
   }
 
   val textCharEntropySql: String =

@@ -503,14 +503,19 @@ class OperatorSpec extends SparkTestBase {
       s"audit count should be a match count, not a second replace:\n$p")
   }
 
-  test("plan: text_pii_scrub is one shuffle-free scan before the output sort") {
+  test("plan: text_pii_scrub is one scan plus the barriered output sort") {
     val p = fmtPlan("text_pii_scrub")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"expected a single documents scan, found $scans:\n$p")
-    // the only exchange allowed is the final presentation sort's range
-    // partitioning — the scrub itself must be a narrow projection
+    // exactly two exchanges: the hash sampling-barrier in front of the
+    // presentation sort (Presentation.ordered — without it the range
+    // sort's boundary-sampling job re-ran the whole regex tower, a
+    // hidden second scan pass) and the range partitioning itself; the
+    // scrub projection must add no shuffle of its own
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
-    assert(exchanges <= 1, s"scrub projection introduced a shuffle:\n$p")
+    assert(exchanges == 2, s"expected barrier + range sort exchanges, found $exchanges:\n$p")
+    assert("rangepartitioning".r.findAllIn(p).length == 1,
+      s"expected exactly one range (presentation) exchange:\n$p")
   }
 
   test("curation_domain_mixture: shares sum to 1, weights are sqrt-compressed") {

@@ -134,7 +134,10 @@ object Plans {
         "carry union adds ≤ 50 rows per shard from each reachable " +
         "predecessor bucket via a broadcast bucket-pair join, and the " +
         "plan must show the Window exec keyed on BOTH columns with no " +
-        "single-partition exchange anywhere."),
+        "single-partition exchange anywhere; the presentation sort " +
+        "sits behind a hash barrier (Presentation.ordered) so the " +
+        "range sampler re-reads a result-sized shuffle instead of " +
+        "re-running the window chain — a measured second full pass."),
     "text_char_entropy" ->
       ("Histogram kernel (r11): one codegen'd graft_char_counts call " +
         "per document emits the sorted (ch, c) array — the plan must " +

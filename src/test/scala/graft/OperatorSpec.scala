@@ -2624,6 +2624,48 @@ class OperatorSpec extends SparkTestBase {
     assert(got == expected, "CUSUM peaks != driver recompute")
   }
 
+  test("cusum shards compose exactly: tiny shards match the single-window form") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{broadcast, count, least, lit, min, struct, sum, max}
+    // the textbook one-window form (per-type prefix sum / prefix min)
+    // the (type, time-bucket) two-level scan must replicate bit-for-bit
+    val ev = Tables.events(spark, sfDir)
+      .select($"event_id", $"event_type", $"ts",
+        ($"value".cast("decimal(12,2)") * 100).cast("long").as("c"))
+    val typ = ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"c").as("s"))
+    val dev = ev.join(broadcast(typ), "event_type")
+      .select($"event_id", $"event_type", $"ts",
+        ($"n".cast("decimal(38,0)") * $"c" - $"s").as("d"))
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val plain = dev
+      .withColumn("cs", sum($"d").over(w))
+      .withColumn("drift",
+        $"cs" - least(lit(0).cast("decimal(38,0)"), min($"cs").over(w)))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct($"drift", (-$"event_id").as("nid"))).as("p"))
+      .select($"event_type", $"n_events",
+        (-$"p.nid").as("peak_event_id"),
+        $"p.drift".cast("bigint").as("peak_drift"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(plain.nonEmpty)
+    // 60 rows/shard ≈ many multi-bucket carries on the ~200-row-per-type
+    // fixture; 1 is the degenerate one-row-per-bucket extreme where every
+    // prefix term is pure carry composition
+    Seq(60L, 1L).foreach { rps =>
+      val got = graft.operators.EventOps.eventsCusumSharded(spark, sfDir, rps)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      assert(got == plain,
+        s"rowsPerShard=$rps: diffs=${plain.keySet.filter(k => got.get(k) != plain.get(k))}")
+    }
+  }
+
   test("text_winnowing_fingerprint: exact rightmost-min selection per window") {
     // 60-bit fingerprint space (first 15 hex chars of the md5), matching
     // the r14 widening in TextOps.winnowFps and its oracle CTE

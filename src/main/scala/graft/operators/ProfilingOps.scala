@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data profiling + distribution summaries — the "look at the table
@@ -117,14 +118,84 @@ object ProfilingOps {
     selects.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
   }
 
+  /** The distinct-value cumulative table behind
+    * [[aggEquidepthHistogram]]'s exact decile selection, memoized +
+    * persisted per (session, dir): per distinct `l_extendedprice`, its
+    * count and its LOCAL cumulative count within a fixed-width
+    * value-range bucket (`floor(v/64)` — contiguous and monotone in v,
+    * so bucket-carry composition reconstructs the global cumulative;
+    * exact widths are a performance knob only). Content-bounded: the
+    * TPC-H price grid saturates (~583k distinct at sf10 for 60M rows),
+    * so this stage stops growing with the corpus. */
+  private def equidepthCum(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"equidepth_cum:$dir") {
+      import spark.implicits._
+      val wLoc = Window.partitionBy($"bucket").orderBy($"v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(spark, dir)
+        .groupBy($"l_extendedprice".as("v")).agg(count(lit(1)).as("cnt"))
+        .withColumn("bucket", floor($"v" / 64.0).cast("long"))
+        .withColumn("lcum", sum($"cnt").over(wLoc))
+    }
+
   /** 10-bin equi-depth histogram of `l_extendedprice`
-    * (`agg_equidepth_histogram`): bin = 1 + #{decile boundaries < x}. */
+    * (`agg_equidepth_histogram`): bin = 1 + #{decile boundaries < x}.
+    *
+    * Exact decile boundaries WITHOUT `percentile()`'s all-values
+    * single aggregation buffer (the r16 ladder's #1 wall line at sf0.1
+    * AND sf3 — one task sorts the whole column): order statistics over
+    * the [[equidepthCum]] distinct-value table instead. (1) global
+    * cumulative counts via bucket-carry composition (exclusive prefix
+    * over the tiny bucket-summary table — the event detectors' two-level
+    * scan on the value axis); (2) the ≤ 18 bracketing ranks
+    * (`pos = (n−1)·d/10`, exact integers on the tenths grid) looked up
+    * with one broadcast range join; (3) linear interpolation. Binning
+    * parity with the oracle's `quantile_cont` is ulp-safe BY
+    * CONSTRUCTION, not by matching libm: a boundary with fraction
+    * f ∈ {0.1..0.9} either IS a data value (equal neighbors, exact in
+    * both engines) or sits strictly inside a ≥ 0.01-wide gap between
+    * consecutive distinct prices, which last-ulp formula differences
+    * cannot cross, so every `x > b` bin test agrees; boundaries never
+    * appear in the output. */
   def aggEquidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
-    val deciles = (1 to 9).map(i => s"0.${i}D").mkString(", ")
-    val bounds = li.agg(
-      expr(s"percentile(l_extendedprice, array($deciles))").as("bounds"))
+    val loc = equidepthCum(spark, dir)
+    val summ = loc.groupBy($"bucket").agg(sum($"cnt").as("sb"))
+    // exclusive carry over the ~1.6k bucket summaries (bounded input —
+    // a global window here is the driver-sized presentation pattern)
+    val wPrev = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = summ
+      .withColumn("cb", coalesce(sum($"sb").over(wPrev), lit(0L)))
+      .select($"bucket", $"cb")
+    val cum = loc.join(broadcast(carry), "bucket")
+      .select($"v", $"cnt", ($"cb" + $"lcum").as("cum"))
+    val nRow = summ.agg(sum($"sb").as("n"))
+    val need = spark.range(1, 10).toDF("d")
+      .crossJoin(broadcast(nRow))
+      .select($"d", expr("(n - 1) * d").as("pos10"))
+      .select($"d", expr("pos10 div 10 + 1").as("rank_lo"),
+        ($"pos10" % 10).as("f10"))
+      .select($"d", $"f10", explode(array(
+        struct($"rank_lo".as("r"), lit(true).as("is_lo")),
+        struct(($"rank_lo" + 1).as("r"), lit(false).as("is_lo")))).as("rr"))
+      .select($"d", $"f10", $"rr.r".as("r"), $"rr.is_lo".as("is_lo"))
+    // value-at-rank: rank r falls to the distinct value whose cumulative
+    // range (cum-cnt, cum] covers it — 18 broadcast rows against the
+    // content-bounded cum table
+    val atRank = cum.join(broadcast(need),
+      $"cum" - $"cnt" < $"r" && $"r" <= $"cum")
+    val bdy = atRank.groupBy($"d")
+      .agg(max($"f10").as("f10"),
+        max(when($"is_lo", $"v")).as("v_lo"),
+        max(when(!$"is_lo", $"v")).as("v_hi"))
+      .select($"d", when($"f10" === 0, $"v_lo")
+        .otherwise($"v_lo" +
+          ($"v_hi" - $"v_lo") * ($"f10".cast("double") / lit(10.0))).as("b"))
+    val bounds = bdy.agg(
+      expr("transform(array_sort(collect_list(struct(d, b))), x -> x.b)")
+        .as("bounds"))
     li.crossJoin(broadcast(bounds))
       .select($"l_extendedprice".as("x"),
         expr("1 + aggregate(bounds, 0, (acc, b) -> acc + if(x > b, 1, 0))").as("bin"),
@@ -141,11 +212,14 @@ object ProfilingOps {
   /** Sketch-boundary equi-depth histogram (`agg_equidepth_sketch`) — the
     * production twin of [[aggEquidepthHistogram]], same shape/columns but
     * decile boundaries from `approx_percentile` (Greenwald-Khanna,
-    * accuracy 10000 → rank error ≤ n/10⁴). The exact variant's
-    * `percentile` collects EVERY value into one aggregation buffer — a
-    * full sort grid that cannot survive a 100 TB column; the sketch is a
-    * bounded mergeable summary with partial aggregation, so the scan
-    * stays one map-side pass + a tiny merge. Binning/count/avg math is
+    * accuracy 10000 → rank error ≤ n/10⁴). The exact variant (r16) is
+    * distributed order-statistic selection over the distinct-value
+    * table — scalable while the VALUE GRID is content-bounded, as
+    * TPC-H prices are; the sketch is what survives a continuous-valued
+    * column (distinct ≈ rows would make the exact path's distinct
+    * table corpus-sized), a bounded mergeable summary with partial
+    * aggregation — one map-side pass + a tiny merge, no distinct
+    * shuffle at all. Binning/count/avg math is
     * identical (and still exact per bin). No cross-engine oracle —
     * sketch boundaries are engine-specific; the suite pins bin
     * contiguity, exact total preservation, and per-bin depth within the

@@ -138,6 +138,26 @@ object Plans {
         "sits behind a hash barrier (Presentation.ordered) so the " +
         "range sampler re-reads a result-sized shuffle instead of " +
         "re-running the window chain — a measured second full pass."),
+    "events_cusum_changepoint" ->
+      ("Two-level prefix scan (r16): the CUSUM identity's prefix-sum " +
+        "and prefix-min windows partition on (event_type, time-bucket) " +
+        "— not the 5-value type alphabet, whose per-type scan floored " +
+        "parallelism at #types tasks — with bucket carries composed " +
+        "from a tiny summary table and applied through a broadcast " +
+        "join; the plan must show the corpus-sized Window exec keyed " +
+        "on BOTH columns, the carry join as a BroadcastHashJoin, and " +
+        "no single-partition exchange anywhere on the corpus path " +
+        "(the bucket-summary window is #buckets-sized by construction)."),
+    "agg_equidepth_histogram" ->
+      ("Distributed exact selection (r16): decile boundaries come " +
+        "from order statistics over the distinct-value table (content-" +
+        "bounded — the TPC-H price grid saturates), NOT from " +
+        "percentile()'s all-values single aggregation buffer that made " +
+        "one task sort the whole column; the plan must show the " +
+        "distinct hash aggregate with partial (map-side) aggregation, " +
+        "the rank lookup as a broadcast join, the 9-boundary array " +
+        "broadcast back to the binning scan, and no corpus-sized " +
+        "single-partition exchange."),
     "text_char_entropy" ->
       ("Histogram kernel (r11): one codegen'd graft_char_counts call " +
         "per document emits the sorted (ch, c) array — the plan must " +

@@ -518,6 +518,32 @@ class OperatorSpec extends SparkTestBase {
       s"expected exactly one range (presentation) exchange:\n$p")
   }
 
+  test("plan: events_cusum_changepoint windows shard on (type, bucket)") {
+    val p = fmtPlan("events_cusum_changepoint")
+    // the corpus-sized prefix windows must be keyed on BOTH columns —
+    // a Window partitioned by event_type alone is the #types-task
+    // parallelism floor this operator sheds (r16)
+    assert("Window".r.findFirstIn(p).isDefined, s"no Window exec:\n$p")
+    assert(p.contains("event_type") && p.contains("bucket"),
+      s"shard keys missing from the plan:\n$p")
+    assert(
+      "partitionspec.*event_type[^,\\)]*, bucket".r
+        .findFirstIn(p.toLowerCase).isDefined ||
+        "\\[event_type[^,\\]]*, bucket[^\\]]*\\]".r
+          .findFirstIn(p).isDefined,
+      s"corpus window not keyed on (event_type, bucket):\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"carry application is not a broadcast join:\n$p")
+  }
+
+  test("plan: agg_equidepth_histogram selects boundaries without percentile()") {
+    val p = fmtPlan("agg_equidepth_histogram")
+    assert(!p.contains("percentile("),
+      s"all-values percentile buffer is back in the plan:\n$p")
+    assert(p.contains("BroadcastExchange"),
+      s"expected broadcast bounds/rank joins:\n$p")
+  }
+
   test("curation_domain_mixture: shares sum to 1, weights are sqrt-compressed") {
     val rows = SparkEntry.queries("curation_domain_mixture")(spark, sfDir).collect()
     val shareSum = rows.map(_.getDouble(3)).sum

@@ -933,7 +933,14 @@ object CurationOps {
     * among survivors), then ONE 1-row aggregation counts all four
     * stages simultaneously — the funnel costs one corpus pass + the
     * stages' own joins, not four sequential pipelines; `stack` unpivots
-    * the 1-row counts into the 4-stage table (bounded output). */
+    * the 1-row counts into the 4-stage table (bounded output).
+    *
+    * The first-survivor-per-hash flag is a window over `content_hash`,
+    * not a groupBy + self-join back on the hash (r16: the join form
+    * re-executed the ENTIRE gate+decontaminate chain on both sides of
+    * the content_hash exchange — the planner cannot exchange-reuse the
+    * two subtrees because one carries the extra aggregate — doubling
+    * the query's task CPU; one window = one exchange, one pass). */
   def curationFunnelReport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val gate = curationQualityGate(spark, dir).select($"doc_id", $"keep")
@@ -946,9 +953,10 @@ object CurationOps {
       .withColumn("pass_gate", $"keep")
       .withColumn("pass_decont",
         $"pass_gate" && ($"decision".isNull || $"decision" =!= "dropped"))
-    val firstSurvivor = flagged.groupBy($"content_hash")
-      .agg(min(when($"pass_decont", $"doc_id")).as("first_id"))
-    val counts = flagged.join(firstSurvivor, "content_hash")
+    val byHash = Window.partitionBy($"content_hash")
+    val counts = flagged
+      .withColumn("first_id",
+        min(when($"pass_decont", $"doc_id")).over(byHash))
       .agg(count(lit(1)).as("n"),
         sum(when($"pass_gate", 1L).otherwise(0L)).as("g"),
         sum(when($"pass_decont", 1L).otherwise(0L)).as("d"),

@@ -294,23 +294,41 @@ object Relational {
     * corrupt billion-dollar row shifts a mean, not a median).
     *
     * Two aggregation passes over the fact table (median, then MAD needs
-    * the median first) plus one counting pass — inherent to exact MAD;
-    * each pass is a partial+final hash aggregate, and the 3-row stats
-    * side broadcasts back. Exact `percentile` is bit-equal to DuckDB's
-    * `quantile_cont`; the outlier fences are the same IEEE expression on
-    * identical doubles on both engines. */
+    * the median first) plus one counting pass — inherent to exact MAD.
+    *
+    * Exact medians WITHOUT `percentile()`'s all-values aggregation
+    * buffer (r16: the buffering form's isolated CPU triangle read
+    * 31.5/215.2/431.1 s on 10×/30×/100× with task GC spiking to 43 s —
+    * every group's values accumulate in one ObjectHashAggregate state,
+    * the exact allocation storm the equi-depth histogram shed the same
+    * round): each median comes from [[exactMedians]] — the sketch
+    * twin's two-phase bucket-histogram + driver-refine selection
+    * (bounded driver state, codegen corpus passes that map-side-combine
+    * into ≤ ~1.6k buckets per flag), made EXACT by interpolating
+    * between the two bracketing order statistics with `Percentile
+    * .getPercentile`'s own IEEE arithmetic (`0.5·lower + 0.5·higher`,
+    * each product exact). A first cut selected over the full
+    * `groupBy(flag, x)` DISTINCT-value table instead and measured 3.6×
+    * the buffering form's CPU at sf0.1 — the ~460k-entry map-side
+    * hashes combine almost nothing, the exact trap the twin's scaladoc
+    * documents — so the bucket-refine shape is the one that ships.
+    * Output is bit-identical to the `percentile()` form (spec-pinned,
+    * plus an odd/even/duplicate synthetic) and the oracle keeps the
+    * textbook `quantile_cont` SQL. */
   def aggRobustStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val li = Tables.lineitem(spark, dir)
       .select($"l_returnflag".as("flag"), $"l_extendedprice".as("x"))
-    val med = li.groupBy($"flag")
-      .agg(expr("percentile(x, 0.5)").as("median_price"))
-    val mad = li.join(broadcast(med), "flag")
-      .select($"flag", $"median_price", abs($"x" - $"median_price").as("d"))
-      .groupBy($"flag")
-      .agg(min($"median_price").as("median_price"),
-        expr("percentile(d, 0.5)").as("mad_price"))
-    li.join(broadcast(mad), "flag")
+    val med = exactMedians(li)
+    if (med.isEmpty) // empty table: the shape percentile() would yield
+      return li.select($"flag", lit(0.0).as("median_price"),
+        lit(0.0).as("mad_price"), lit(0L).as("n"), lit(0L).as("n_outliers"))
+        .limit(0)
+    val medCol = doubleFlagMap(med)
+    val madCol = doubleFlagMap(
+      exactMedians(li.select($"flag", abs($"x" - medCol).as("x"))))
+    li.select($"flag", $"x",
+        medCol.as("median_price"), madCol.as("mad_price"))
       .groupBy($"flag", $"median_price", $"mad_price")
       .agg(count(lit(1)).as("n"),
         sum(when($"x" > $"median_price" + lit(3.0) * $"mad_price" ||
@@ -318,6 +336,81 @@ object Relational {
           .otherwise(0L)).as("n_outliers"))
       .select($"flag", $"median_price", $"mad_price", $"n", $"n_outliers")
       .orderBy($"flag")
+  }
+
+  /** Exact per-flag median of a `(flag STRING, x DOUBLE)` frame with
+    * `percentile(x, 0.5)` semantics, by two-phase distributed selection
+    * (the sketch twin's `gridMedian` shape, exact): phase 1 histograms
+    * 8192-cent value buckets (codegen hash agg with real map-side
+    * combine — ≤ ~1.6k buckets per flag on the TPC-H price domain, so
+    * the collect is grid-bounded, never corpus-bounded) and the driver
+    * locates, per flag, the bucket(s) holding the two bracketing ranks
+    * `(n−1) div 2 + 1` and `n div 2 + 1` (0-based position (n−1)/2,
+    * exactly `Percentile`'s rule); phase 2 re-scans filtered to JUST
+    * those buckets (~1/1300 of the corpus) and collects the
+    * within-bucket distinct-value counts to resolve the exact doubles
+    * at both ranks. An even-n median interpolates as
+    * `0.5·v_lo + 0.5·v_hi` — the same two products `Percentile
+    * .getPercentile` evaluates (both weights exactly 0.5, and 0.5·v is
+    * exact in IEEE, so the sum is the correctly-rounded midpoint).
+    * Driver state is bounded by the value grid — never by n — the same
+    * bounded-collect discipline as the trained-IVF codebooks; the
+    * per-flag medians ride the final plan as literal CASE chains
+    * ([[doubleFlagMap]]), the 3-row analog of a broadcast dim. Values
+    * are bucketed via their exact half-up cent (monotone in x for the
+    * non-negative price/deviation domains this serves), but the values
+    * themselves stay raw doubles end to end. */
+  private[graft] def exactMedians(df: DataFrame): Map[String, Double] = {
+    val bucket = shiftright(
+      expr("cast(floor(x * 100 + 0.5) as bigint)"), 13).as("b")
+    val hist = df.groupBy(col("flag"), bucket).count()
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    if (hist.isEmpty) return Map.empty
+    // per flag: 1-based bracketing ranks, and for each the covering
+    // bucket plus the cumulative count BEFORE that bucket
+    val ranks = hist.groupBy(_._1).map { case (f, rs) =>
+      val n = rs.map(_._3).sum
+      f -> ((n - 1) / 2 + 1, n / 2 + 1)
+    }
+    def bucketAt(rs: Array[(String, Long, Long)], r: Long): (Long, Long) = {
+      val sorted = rs.sortBy(_._2)
+      val cums = sorted.scanLeft(0L)(_ + _._3).tail
+      val i = cums.indexWhere(_ >= r)
+      (sorted(i)._2, cums(i) - sorted(i)._3)
+    }
+    val byFlag = hist.groupBy(_._1)
+    val targets = ranks.map { case (f, (rLo, rHi)) =>
+      f -> (bucketAt(byFlag(f), rLo), bucketAt(byFlag(f), rHi))
+    }
+    val inBuckets = targets.flatMap { case (f, ((bLo, _), (bHi, _))) =>
+      Seq(bLo, bHi).distinct.map(b =>
+        col("flag") === f && bucket === b)
+    }.reduce(_ || _)
+    val within = df.filter(inBuckets)
+      .groupBy(col("flag"), bucket, col("x")).count()
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def valueAt(f: String, b: Long, before: Long, r: Long): Double = {
+      val sorted = within.filter(w => w._1 == f && w._2 == b).sortBy(_._3)
+      val cums = sorted.scanLeft(before)(_ + _._4).tail
+      sorted(cums.indexWhere(_ >= r))._3
+    }
+    targets.map { case (f, ((bLo, beforeLo), (bHi, beforeHi))) =>
+      val (rLo, rHi) = ranks(f)
+      val vLo = valueAt(f, bLo, beforeLo, rLo)
+      f -> (if (rLo == rHi) vLo
+            else 0.5 * vLo + 0.5 * valueAt(f, bHi, beforeHi, rHi))
+    }
+  }
+
+  /** Bounded per-flag double literals as a CASE chain — the 3-row analog
+    * of a broadcast dim, with no extra join (the sketch twin's
+    * `flagMap`, for doubles; `lit(v)` preserves exact bits). */
+  private def doubleFlagMap(m: Map[String, Double]): Column = {
+    val items = m.toSeq
+    items.tail.foldLeft(when(col("flag") === items.head._1, items.head._2)) {
+      case (acc, (f, v)) => acc.when(col("flag") === f, v)
+    }
   }
 
   /** Grid-quantile robust stats (`agg_robust_stats_sketch`) — the

@@ -1201,6 +1201,61 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("agg_robust_stats: selection medians are bit-identical to percentile()") {
+    // the r16 rework replaced the value-buffering percentile() with
+    // distributed selection over the distinct-value table; its contract
+    // is BIT-equality with the buffering form (same interpolation
+    // arithmetic: 0.5*lo + 0.5*hi), which this pins on the gate data
+    val reworked = SparkEntry.queries("agg_robust_stats")(spark, sfDir).collect()
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag AS flag", "l_extendedprice AS x")
+    val med = li.groupBy("flag")
+      .agg(org.apache.spark.sql.functions.expr("percentile(x, 0.5)").as("median_price"))
+    val mad = li.join(org.apache.spark.sql.functions.broadcast(med), "flag")
+      .selectExpr("flag", "median_price", "abs(x - median_price) AS d")
+      .groupBy("flag")
+      .agg(org.apache.spark.sql.functions.min("median_price").as("median_price"),
+        org.apache.spark.sql.functions.expr("percentile(d, 0.5)").as("mad_price"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(reworked.length == mad.size)
+    reworked.foreach { r =>
+      val (m, md) = mad(r.getString(0))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToLongBits(m),
+        s"flag ${r.getString(0)}: selection median ${r.getDouble(1)} != percentile $m")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(md),
+        s"flag ${r.getString(0)}: selection MAD ${r.getDouble(2)} != percentile $md")
+    }
+  }
+
+  test("exactMedians: odd/even/duplicate-heavy groups match percentile()") {
+    import spark.implicits._
+    // odd n (exact element), even n (interpolated midpoint), duplicates
+    // straddling the bracketing ranks, a 1-row group, an even group
+    // whose two bracketing ranks land in DIFFERENT 8192-cent buckets
+    // (exercises the two-bucket refine path), and non-grid doubles
+    val data = Seq(
+      ("odd", Seq(3.0, 1.0, 2.0)),
+      ("even", Seq(4.0, 1.0, 3.0, 2.0)),
+      ("dups", Seq(5.0, 5.0, 5.0, 1.0, 1.0, 9.0)),
+      ("one", Seq(7.25)),
+      ("evdup", Seq(2.0, 2.0, 8.0, 8.0)),
+      ("span", Seq(10.0, 81.0, 82.5, 200.0)),
+      ("frac", Seq(1.03, 2.17, 9.41, 9.42))
+    ).flatMap { case (f, xs) => xs.map(x => (f, x)) }.toDF("flag", "x")
+    val expected = data.groupBy("flag")
+      .agg(org.apache.spark.sql.functions.expr("percentile(x, 0.5)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val got = graft.operators.Relational.exactMedians(data)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (f, m) =>
+      assert(java.lang.Double.doubleToLongBits(m) ==
+        java.lang.Double.doubleToLongBits(expected(f)),
+        s"group $f: selection $m != percentile ${expected(f)}")
+    }
+  }
+
   test("agg_robust_stats_sketch: shape parity and agreement with the exact variant") {
     val exact = SparkEntry.queries("agg_robust_stats")(spark, sfDir).collect()
       .map(r => r.getString(0) ->

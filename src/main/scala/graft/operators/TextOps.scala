@@ -1407,7 +1407,16 @@ object TextOps {
     * Spark's). `ln` is only 1-ulp-accurate (not bit-stable across libm
     * builds), so the mean is rounded to 6 decimals — ~1e-14 accumulated
     * divergence vs a 5e-7 rounding quantum. The collect_list is per
-    * (doc, DISTINCT token), bounded by document vocabulary, not corpus. */
+    * (doc, DISTINCT token), bounded by document vocabulary, not corpus.
+    *
+    * The per-term `k·ln(c/n)` is computed in a CODEGEN projection
+    * BEFORE the collect (r16: higher-order-function lambdas are
+    * interpreted per element — evaluating the log inside the fold cost
+    * the bigram sibling ~30 of its 84 task-CPU-s at the 10× rung,
+    * probe-decomposed); the fold lambda is now a plain add over the
+    * same doubles in the same token order, so the result is
+    * bit-identical (suite-pinned on the sibling's shape) and DuckDB's
+    * list_reduce-over-terms formulation is matched exactly. */
   def textLmLogprob(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val tok = Tables.documents(spark, dir)
@@ -1417,15 +1426,17 @@ object TextOps {
     val totals = vocab.agg(sum($"c").as("n_total"))
     val docTok = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("k"))
     docTok.join(vocab, Seq("token"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"token", $"k",
+        ($"k".cast("double") *
+          log($"c".cast("double") / $"n_total".cast("double"))).as("term"))
       .groupBy($"doc_id")
       .agg(sum($"k").as("n_tokens"),
-        sort_array(collect_list(struct($"token", $"k", $"c"))).as("xs"))
-      .crossJoin(broadcast(totals))
+        sort_array(collect_list(struct($"token", $"term"))).as("xs"))
       .select($"doc_id", $"n_tokens",
         round(
           aggregate($"xs", lit(0.0), (acc, x) =>
-            acc + x.getField("k").cast("double") *
-              log(x.getField("c").cast("double") / $"n_total".cast("double")))
+            acc + x.getField("term"))
             / $"n_tokens".cast("double"), 6).as("avg_logprob"))
       .orderBy($"doc_id")
   }
@@ -1489,21 +1500,29 @@ object TextOps {
     val bgc = bg.groupBy($"bigram").agg(count(lit(1)).as("cxy"))
     val dbg = bg.groupBy($"doc_id", $"bigram", $"x", $"y")
       .agg(count(lit(1)).as("k"))
+    // per-term smoothed log computed in a CODEGEN projection before the
+    // collect (r16: the HOF lambda is interpreted per element — probe-
+    // decomposed at the 10× rung, the in-lambda log cost ~30 of the
+    // query's 84 task-CPU-s; projecting the term drops the query to
+    // 58 CPU-s with bit-identical output, parity-checked over all 50k
+    // docs). The fold is a plain add over the same doubles in the same
+    // bigram order — the exact sequence DuckDB's list_reduce folds.
     dbg.join(bgc, "bigram")
       .join(vocab.select($"token".as("x"), $"c".as("cx")), Seq("x"))
       .join(vocab.select($"token".as("y"), $"c".as("cy")), Seq("y"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"bigram", $"k",
+        ($"k".cast("double") *
+          log(($"cxy".cast("double") +
+               $"cy".cast("double") / $"n_total".cast("double")) /
+              ($"cx".cast("double") + lit(1.0)))).as("term"))
       .groupBy($"doc_id")
       .agg(sum($"k").as("n_bigrams"),
-        sort_array(collect_list(
-          struct($"bigram", $"k", $"cxy", $"cx", $"cy"))).as("xs"))
-      .crossJoin(broadcast(totals))
+        sort_array(collect_list(struct($"bigram", $"term"))).as("xs"))
       .select($"doc_id", $"n_bigrams",
         round(
           aggregate($"xs", lit(0.0), (acc, t) =>
-            acc + t.getField("k").cast("double") *
-              log((t.getField("cxy").cast("double") +
-                   t.getField("cy").cast("double") / $"n_total".cast("double")) /
-                  (t.getField("cx").cast("double") + lit(1.0)))) /
+            acc + t.getField("term")) /
             $"n_bigrams".cast("double"), 6).as("avg_logprob2"))
       .orderBy($"doc_id")
   }

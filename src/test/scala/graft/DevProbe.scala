@@ -6,9 +6,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only scratch: time named variants to isolate a perf anomaly.
-  * Not part of the driver contract. Current probe: decompose the r14
-  * ppjoin build into its sub-plans to locate the CPU floor the sf1
-  * isolation run surfaced (388 task-CPU-s vs r13's 269 packed). */
+  * Not part of the driver contract. Current probe: decompose
+  * text_bigram_logprob (the #2 genuine CPU line at sf3, 142.9 task-CPU-s)
+  * into its corpus passes — token/bigram explodes, vocab joins, and the
+  * collect_list + interpreted-`aggregate`-HOF fold — and time a variant
+  * that moves the per-element log() term out of the interpreted lambda
+  * into a codegen projection (fold becomes a plain interpreted add). */
 object DevProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/tmp/testdata_sf1")
@@ -29,6 +32,8 @@ object DevProbe {
         if (te.taskMetrics != null)
           cpuNs.addAndGet(te.taskMetrics.executorCpuTime)
     })
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
     def time(name: String)(f: => Any): Unit = {
       Thread.sleep(300) // let listener drain
       val c0 = cpuNs.get(); val t0 = System.nanoTime()
@@ -38,69 +43,66 @@ object DevProbe {
       println(f"PROBE $name wall=$wall%.2f s cpu=${(cpuNs.get() - c0) / 1e9}%.2f s")
     }
 
-    time("shingle_index_build")(
-      graft.operators.DedupOps.shingleSizes(spark, sfDir).count())
-    val idx = graft.operators.DedupOps.shingleIndex(spark, sfDir)
-
-    val sets = idx.groupBy($"doc_id")
-      .agg(md5(sort_array(collect_list($"h")).cast("string")).as("ck"))
-    time("sets_once")(sets.count())
-    val members = sets
-      .join(sets.groupBy($"ck").agg(min($"doc_id").as("rep")), "ck")
-      .select($"doc_id", $"rep").persist()
-    time("members")(members.count())
-
-    val docTok = idx
-      .join(members.filter($"doc_id" === $"rep").select($"doc_id"),
-        Seq("doc_id"), "left_semi")
-      .groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"df", $"h"))).as("ts"))
+    val toks = Tables.documents(spark, sfDir)
       .select($"doc_id",
-        expr("transform(ts, x -> x.h)").as("hs"),
-        size($"ts").cast("long").as("len"))
-      .persist()
-    time("docTok")(docTok.count())
+        expr("filter(split(lower(text), ' '), x -> x <> '')").as("a"))
+    val tok = toks.select($"doc_id", explode($"a").as("token"))
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum($"c").as("n_total"))
+    val bg = toks.filter(size($"a") >= 2)
+      .select($"doc_id", explode(expr(
+        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
+          |  (x, y) -> named_struct('x', x, 'y', y))""".stripMargin)).as("b"))
+      .select($"doc_id", $"b.x".as("x"), $"b.y".as("y"),
+        concat($"b.x", lit(" "), $"b.y").as("bigram"))
+    val bgc = bg.groupBy($"bigram").agg(count(lit(1)).as("cxy"))
+    val dbg = bg.groupBy($"doc_id", $"bigram", $"x", $"y")
+      .agg(count(lit(1)).as("k"))
 
-    val pfx = docTok
-      .select($"doc_id", $"len", posexplode(
-        expr("slice(hs, 1, cast(len - (len + 1) div 2 + 1 as int))")))
-      .select($"doc_id", $"len",
-        ($"pos" + 1).cast("long").as("pos"), $"col".as("h"))
-    val pfxIdx = pfx.filter(
-      $"pos" <= expr("len - (len * 2 + 2) div 3 + 1"))
-    time("pfx_count")(pfx.count())
+    time("vocab")(noop(vocab))
+    time("bgc")(noop(bgc))
+    time("dbg")(noop(dbg))
 
-    val cand = pfxIdx.as("a").join(pfx.as("b"),
-        $"a.h" === $"b.h" &&
-        ($"a.len" < $"b.len" ||
-          ($"a.len" === $"b.len" && $"a.doc_id" < $"b.doc_id")) &&
-        $"b.len" <= $"a.len" * 2 &&
-        lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
-          expr("(a.len + b.len + 2) div 3"))
-      .select(least($"a.doc_id", $"b.doc_id").as("doc_a"),
-        greatest($"a.doc_id", $"b.doc_id").as("doc_b")).distinct()
-    time("cand")(cand.count())
+    val joined = dbg.join(bgc, "bigram")
+      .join(vocab.select($"token".as("x"), $"c".as("cx")), Seq("x"))
+      .join(vocab.select($"token".as("y"), $"c".as("cy")), Seq("y"))
+    time("joins_no_agg")(noop(joined))
 
-    // r13-shape candidate join for comparison: symmetric full prefixes
-    val candOld = pfx.as("a").join(pfx.as("b"),
-        $"a.h" === $"b.h" && $"a.doc_id" < $"b.doc_id" &&
-        $"a.len" <= $"b.len" * 2 && $"b.len" <= $"a.len" * 2 &&
-        lit(1) + least($"a.len" - $"a.pos", $"b.len" - $"b.pos") >=
-          expr("(a.len + b.len + 2) div 3"))
-      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-    time("cand_r13_shape")(candOld.count())
+    time("full_current")(noop(
+      graft.operators.TextOps.textBigramLogprob(spark, sfDir)))
 
-    val repPairs = cand
-      .join(docTok.select($"doc_id".as("doc_a"),
-        $"hs".as("hs_a"), $"len".as("sz_a")), "doc_a")
-      .join(docTok.select($"doc_id".as("doc_b"),
-        $"hs".as("hs_b"), $"len".as("sz_b")), "doc_b")
-      .select($"doc_a", $"doc_b",
-        size(array_intersect($"hs_a", $"hs_b")).cast("long").as("n_common"),
-        $"sz_a", $"sz_b")
-      .withColumn("union_n", $"sz_a" + $"sz_b" - $"n_common")
-      .filter($"n_common" * 2 >= $"union_n")
-    time("verify")(repPairs.count())
+    // variant: term computed in a codegen projection; the HOF lambda
+    // folds plain adds over (bigram, term) structs sorted by bigram —
+    // identical IEEE sequence (same products, same add order)
+    val variant = joined
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"k", $"bigram",
+        ($"k".cast("double") *
+          log(($"cxy".cast("double") +
+               $"cy".cast("double") / $"n_total".cast("double")) /
+              ($"cx".cast("double") + lit(1.0)))).as("term"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_bigrams"),
+        sort_array(collect_list(struct($"bigram", $"term"))).as("xs"))
+      .select($"doc_id", $"n_bigrams",
+        round(
+          aggregate($"xs", lit(0.0), (acc, t) =>
+            acc + t.getField("term")) /
+            $"n_bigrams".cast("double"), 6).as("avg_logprob2"))
+      .orderBy($"doc_id")
+    time("full_term_projected")(noop(variant))
+
+    // bit-parity of the variant against the registered query
+    val cur = graft.operators.TextOps.textBigramLogprob(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val v = variant.collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val mismatch = cur.keySet.union(v.keySet).filter { k =>
+      cur.get(k) != v.get(k) ||
+        java.lang.Double.doubleToLongBits(cur(k)._2) !=
+          java.lang.Double.doubleToLongBits(v(k)._2)
+    }
+    println(s"PROBE parity mismatches=${mismatch.size} of ${cur.size}")
 
     spark.stop()
   }

@@ -1452,6 +1452,45 @@ class OperatorSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == corpusTokens)
   }
 
+  test("lm scorers: projected-term fold is bit-identical to the in-lambda fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // r16 moved the per-element k*ln(...) out of the interpreted
+    // aggregate-HOF lambda into a codegen projection; the contract is
+    // BIT-equality with the in-lambda formulation (same products, same
+    // sorted fold order), pinned here for the unigram scorer (the
+    // bigram sibling shares the shape and was probe-parity-checked over
+    // the full 10x rung)
+    val tok = graft.Tables.documents(spark, sfDir)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+      .filter($"token" =!= "")
+    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c"))
+    val totals = vocab.agg(sum($"c").as("n_total"))
+    val docTok = tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("k"))
+    val lambdaForm = docTok.join(vocab, Seq("token"))
+      .groupBy($"doc_id")
+      .agg(sum($"k").as("n_tokens"),
+        sort_array(collect_list(struct($"token", $"k", $"c"))).as("xs"))
+      .crossJoin(broadcast(totals))
+      .select($"doc_id", $"n_tokens",
+        round(
+          aggregate($"xs", lit(0.0), (acc, x) =>
+            acc + x.getField("k").cast("double") *
+              log(x.getField("c").cast("double") / $"n_total".cast("double")))
+            / $"n_tokens".cast("double"), 6).as("avg_logprob"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val shipped = SparkEntry.queries("text_lm_logprob")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(shipped.keySet == lambdaForm.keySet)
+    shipped.foreach { case (doc, (n, lp)) =>
+      val (n0, lp0) = lambdaForm(doc)
+      assert(n == n0)
+      assert(java.lang.Double.doubleToLongBits(lp) ==
+        java.lang.Double.doubleToLongBits(lp0),
+        s"doc $doc: projected-term $lp != in-lambda $lp0")
+    }
+  }
+
   test("agg_linear_regression nulls slope/intercept for a constant-x group") {
     import spark.implicits._
     // a group whose x-values are all equal has n·sxx − sx² = 0: the OLS

@@ -38,14 +38,9 @@ object CurationOps {
     * (doc, token) aggregation shuffles the wide stream. */
   def qualityRepetitionScore(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val tok = Tables.documents(spark, dir)
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
-      .filter($"token" =!= "")
-    tok.groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max($"c").as("top_count"))
+    // r17: reads the memoized token-stats stage (same two-aggregation
+    // chain this query always computed — see [[tokenGateStats]])
+    tokenGateStats(spark, dir)
       .select($"doc_id", $"n_tokens", $"n_distinct", $"top_count",
         ($"top_count".cast("double") / $"n_tokens").as("top_frac"),
         ($"n_distinct".cast("double") / $"n_tokens").as("type_token_ratio"))
@@ -79,17 +74,10 @@ object CurationOps {
     * contract a mandatory broadcast would be sound.) */
   def contaminationNgramOverlap(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    // session-shared cached shingle set: this query reads it twice (the
-    // stand-in benchmark side and the corpus side), and the dedup family
-    // already built it — without the cache both branches re-ran the full
-    // explode+distinct
-    val sh = DedupOps.sharedShingles(spark, dir)
-    val bench = sh.filter($"doc_id" % 97 === 0)
-      .select($"m").distinct().withColumn("hit", lit(1))
-    sh.filter($"doc_id" % 97 =!= 0)
-      .join(bench, Seq("m"), "left")
-      .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_contaminated"))
+    // r17: reads the memoized [[decontamStats]] stage — the corpus ⋈
+    // benchmark shingle join + per-doc aggregation runs once per
+    // (session, dir) instead of once per consumer
+    decontamStats(spark, dir)
       .select($"doc_id", $"n_shingles", $"n_contaminated",
         ($"n_contaminated".cast("double") / $"n_shingles").as("contamination"))
       .orderBy($"doc_id")
@@ -430,17 +418,53 @@ object CurationOps {
     * [[curationTrainingExtract]] (which filters the keep thresholds
     * directly on the aggregate, spine-free, since kept docs always have
     * stats). */
-  private def tokenGateStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    Tables.documents(spark, dir)
-      .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
-      .filter($"token" =!= "")
-      .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
-      .groupBy($"doc_id")
-      .agg(sum($"c").as("n_tokens"),
-        count(lit(1)).as("n_distinct"),
-        max($"c").as("top_count"))
-  }
+  private def tokenGateStats(spark: SparkSession, dir: String): DataFrame =
+    // r17: memoized + PERSISTED shared stage (`token_stats` ledger line).
+    // Five consumers recomputed the tokenize + two-aggregation chain from
+    // scratch (repetition score, quality gate, both training extracts,
+    // and the funnel via the gate) — at sf3 the funnel alone re-ran it
+    // inside its 93.6 CPU-s plan. The cached table is ONE skinny row per
+    // document (4 longs), so the persist is doc-count-bounded — the same
+    // budget class as shingle_sets — and every consumer now reads the
+    // aggregation instead of re-exploding the token stream. Guide §2.4
+    // (share one exchange), §5 (cache only what is reused and bounded).
+    DedupOps.cachedDf(spark, s"tokstats:$dir") {
+      import spark.implicits._
+      Tables.documents(spark, dir)
+        .select($"doc_id", explode(split(lower($"text"), " ")).as("token"))
+        .filter($"token" =!= "")
+        .groupBy($"doc_id", $"token").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          max($"c").as("top_count"))
+        .persist()
+    }
+
+  /** Bench/registry accessor for the shared token-stats stage. */
+  private[graft] def tokenStatsStage(spark: SparkSession, dir: String): DataFrame =
+    tokenGateStats(spark, dir)
+
+  /** Memoized + PERSISTED per-document contamination counts
+    * `(doc_id, n_shingles, n_contaminated)` — the `rep` table four
+    * consumers previously recomputed end-to-end (the overlap report, the
+    * decontamination decision, the by-source rollup, and the funnel):
+    * each re-ran the corpus-shingle ⋈ benchmark-shingle join + per-doc
+    * aggregation (~10 CPU-s each at sf0.1, shingle-stream-sized at
+    * scale). One skinny row per scoreable document, so the persist is
+    * doc-count-bounded. Guide §2.4. */
+  private[graft] def decontamStats(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.cachedDf(spark, s"decontam:$dir") {
+      import spark.implicits._
+      val sh = DedupOps.sharedShingles(spark, dir)
+      val bench = sh.filter($"doc_id" % 97 === 0)
+        .select($"m").distinct().withColumn("hit", lit(1))
+      sh.filter($"doc_id" % 97 =!= 0)
+        .join(bench, Seq("m"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count($"hit").as("n_contaminated"))
+        .persist()
+    }
 
   def curationQualityGate(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

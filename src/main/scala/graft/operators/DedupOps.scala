@@ -1551,7 +1551,19 @@ object DedupOps {
       // the first build also TRAINS the merge table into TextOps'
       // driver-side memo; a retry must drop it too or the rebuild
       // re-times only the encode tail and under-reports the stage
-      extraEvict = () => TextOps.evictBpeMergeMemo(spark, dir)))
+      extraEvict = () => TextOps.evictBpeMergeMemo(spark, dir)),
+    // per-document token stats (r17): five consumers — repetition score,
+    // quality gate, both training extracts, and the funnel (via the
+    // gate) — each recomputed the tokenize + two-aggregation chain
+    SharedStage("token_stats", Seq(s"tokstats:$dir"),
+      () => CurationOps.tokenStatsStage(spark, dir)),
+    // per-document contamination counts (r17): the shingles ⋈ benchmark
+    // join + per-doc aggregation, shared by the overlap report, the
+    // decontamination decision, the by-source rollup, and the funnel.
+    // AFTER shingle_sets in this list so its line measures only the
+    // join+agg, not the shingle build.
+    SharedStage("decontam_stats", Seq(s"decontam:$dir"),
+      () => CurationOps.decontamStats(spark, dir)))
 
   /** LSH banding-threshold tuning report (`dedup_lsh_tuning`): every
     * MinHash candidate pair verified against EXACT shingle Jaccard,

@@ -157,7 +157,7 @@ object GraphOps {
 
   /** Memoized degree-rank-oriented edges, persisted: the wedge self-join
     * reads it twice. Same 3n bound as [[knnUndirected]]. */
-  private[operators] def knnOriented(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def knnOriented(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedDf(spark, s"knnoriented:$dir") {
       orientEdges(knnUndirected(spark, dir)).persist()
     }

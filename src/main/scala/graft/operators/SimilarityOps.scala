@@ -1162,15 +1162,21 @@ object SimilarityOps {
     * [[similarityRecallReport]]. */
   def similarityKnnGraph(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val n = quantized(spark, dir)
-    val asg = ivfAssign(spark, dir)
-    val pairs = asg.as("a").join(asg.as("b"),
+    // r17: attach (q, n2) to the cell assignment ONCE and score inside the
+    // same-cell self-join, instead of enumerating skinny (vid, nid) pairs
+    // and re-joining the corpus twice to fetch both vectors. The old shape
+    // pushed ~cell-width×n pair rows CARRYING a 64-long array through two
+    // more hash exchanges (the dominant cost: pair-count × ~0.5 KB of
+    // serde per hop); this one shuffles the corpus-sized member table
+    // twice (once per join side, keyed by pivot_id), computes the cosine
+    // while both arrays are in hand, and only skinny scored rows reach
+    // the top-3 window. Same pairs, same kernel, same tie-break — the
+    // result is bit-identical.
+    val members = ivfAssign(spark, dir).join(quantized(spark, dir), "vec_id")
+    val scored = members.as("a").join(members.as("b"),
         $"a.pivot_id" === $"b.pivot_id" && $"a.vec_id" =!= $"b.vec_id")
-      .select($"a.vec_id".as("vid"), $"b.vec_id".as("neighbor_id"))
-    val scored = pairs
-      .join(n.select($"vec_id".as("vid"), $"q".as("qq"), $"n2".as("qn2")), "vid")
-      .join(n.select($"vec_id".as("neighbor_id"), $"q", $"n2"), "neighbor_id")
-      .select($"vid", $"neighbor_id", cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+      .select($"a.vec_id".as("vid"), $"b.vec_id".as("neighbor_id"),
+        cosine("a.q", "b.q", "a.n2", "b.n2").as("cos_sim"))
     val w = Window.partitionBy($"vid").orderBy($"cos_sim".desc, $"neighbor_id".asc)
     scored.withColumn("rk", row_number().over(w)).filter($"rk" <= 3)
       .select($"vid".as("vec_id"), $"neighbor_id", $"cos_sim", $"rk")

@@ -6,15 +6,14 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Dev-only scratch: time named variants to isolate a perf anomaly.
-  * Not part of the driver contract. Current probe: decompose
-  * text_bigram_logprob (the #2 genuine CPU line at sf3, 142.9 task-CPU-s)
-  * into its corpus passes — token/bigram explodes, vocab joins, and the
-  * collect_list + interpreted-`aggregate`-HOF fold — and time a variant
-  * that moves the per-element log() term out of the interpreted lambda
-  * into a codegen projection (fold becomes a plain interpreted add). */
+  * Not part of the driver contract. Current probe (r17): decompose the
+  * consumers of the new token_stats / decontam_stats shared stages and
+  * the reworked knn_edges build, to attribute their per-run task CPU
+  * after the caches are hot (the packed bench read an anomalous 5.3
+  * CPU-s for quality_repetition_score reading a 5k-row cached table). */
 object DevProbe {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/tmp/testdata_sf1")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -23,8 +22,6 @@ object DevProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-    import org.apache.spark.sql.functions._
 
     val cpuNs = new AtomicLong(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -43,66 +40,44 @@ object DevProbe {
       println(f"PROBE $name wall=$wall%.2f s cpu=${(cpuNs.get() - c0) / 1e9}%.2f s")
     }
 
-    val toks = Tables.documents(spark, sfDir)
-      .select($"doc_id",
-        expr("filter(split(lower(text), ' '), x -> x <> '')").as("a"))
-    val tok = toks.select($"doc_id", explode($"a").as("token"))
-    val vocab = tok.groupBy($"token").agg(count(lit(1)).as("c"))
-    val totals = vocab.agg(sum($"c").as("n_total"))
-    val bg = toks.filter(size($"a") >= 2)
-      .select($"doc_id", explode(expr(
-        """zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1),
-          |  (x, y) -> named_struct('x', x, 'y', y))""".stripMargin)).as("b"))
-      .select($"doc_id", $"b.x".as("x"), $"b.y".as("y"),
-        concat($"b.x", lit(" "), $"b.y").as("bigram"))
-    val bgc = bg.groupBy($"bigram").agg(count(lit(1)).as("cxy"))
-    val dbg = bg.groupBy($"doc_id", $"bigram", $"x", $"y")
-      .agg(count(lit(1)).as("k"))
-
-    time("vocab")(noop(vocab))
-    time("bgc")(noop(bgc))
-    time("dbg")(noop(dbg))
-
-    val joined = dbg.join(bgc, "bigram")
-      .join(vocab.select($"token".as("x"), $"c".as("cx")), Seq("x"))
-      .join(vocab.select($"token".as("y"), $"c".as("cy")), Seq("y"))
-    time("joins_no_agg")(noop(joined))
-
-    time("full_current")(noop(
-      graft.operators.TextOps.textBigramLogprob(spark, sfDir)))
-
-    // variant: term computed in a codegen projection; the HOF lambda
-    // folds plain adds over (bigram, term) structs sorted by bigram —
-    // identical IEEE sequence (same products, same add order)
-    val variant = joined
-      .crossJoin(broadcast(totals))
-      .select($"doc_id", $"k", $"bigram",
-        ($"k".cast("double") *
-          log(($"cxy".cast("double") +
-               $"cy".cast("double") / $"n_total".cast("double")) /
-              ($"cx".cast("double") + lit(1.0)))).as("term"))
-      .groupBy($"doc_id")
-      .agg(sum($"k").as("n_bigrams"),
-        sort_array(collect_list(struct($"bigram", $"term"))).as("xs"))
-      .select($"doc_id", $"n_bigrams",
-        round(
-          aggregate($"xs", lit(0.0), (acc, t) =>
-            acc + t.getField("term")) /
-            $"n_bigrams".cast("double"), 6).as("avg_logprob2"))
-      .orderBy($"doc_id")
-    time("full_term_projected")(noop(variant))
-
-    // bit-parity of the variant against the registered query
-    val cur = graft.operators.TextOps.textBigramLogprob(spark, sfDir)
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    val v = variant.collect().map(r =>
-      r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
-    val mismatch = cur.keySet.union(v.keySet).filter { k =>
-      cur.get(k) != v.get(k) ||
-        java.lang.Double.doubleToLongBits(cur(k)._2) !=
-          java.lang.Double.doubleToLongBits(v(k)._2)
-    }
-    println(s"PROBE parity mismatches=${mismatch.size} of ${cur.size}")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // knn-edge rule: OLD (skinny pairs + two array-fetch joins) vs NEW
+    // (arrays attached to the assignment, cosine inline) — same JVM
+    val n = graft.operators.SimilarityOps.quantized(spark, sfDir)
+    val asg = graft.operators.SimilarityOps.ivfAssign(spark, sfDir)
+    noop(n); noop(asg) // warm both caches so only the join shapes differ
+    def cosine(qa: String, qb: String, n2a: String, n2b: String) =
+      expr(s"cast(graft_dot($qa, $qb) as double)") /
+        (sqrt(col(n2a)) * sqrt(col(n2b)))
+    val oldPairs = asg.as("a").join(asg.as("b"),
+        col("a.pivot_id") === col("b.pivot_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vid"), col("b.vec_id").as("neighbor_id"))
+    val oldScored = oldPairs
+      .join(n.select(col("vec_id").as("vid"), col("q").as("qq"),
+        col("n2").as("qn2")), "vid")
+      .join(n.select(col("vec_id").as("neighbor_id"), col("q"),
+        col("n2")), "neighbor_id")
+      .select(col("vid"), col("neighbor_id"),
+        cosine("qq", "q", "qn2", "n2").as("cos_sim"))
+    val wk = Window.partitionBy(col("vid"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id").asc)
+    val oldKnn = oldScored.withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= 3)
+      .select(col("vid").as("vec_id"), col("neighbor_id"), col("cos_sim"),
+        col("rk"))
+    val members = asg.join(n, "vec_id")
+    val newKnn = members.as("a").join(members.as("b"),
+        col("a.pivot_id") === col("b.pivot_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vid"), col("b.vec_id").as("neighbor_id"),
+        cosine("a.q", "b.q", "a.n2", "b.n2").as("cos_sim"))
+      .withColumn("rk", row_number().over(wk)).filter(col("rk") <= 3)
+      .select(col("vid").as("vec_id"), col("neighbor_id"), col("cos_sim"),
+        col("rk"))
+    for (i <- 1 to 3) time(s"knn OLD shape $i")(noop(oldKnn))
+    for (i <- 1 to 3) time(s"knn NEW shape $i")(noop(newKnn))
 
     spark.stop()
   }

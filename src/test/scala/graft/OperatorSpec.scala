@@ -1025,14 +1025,18 @@ class OperatorSpec extends SparkTestBase {
       "low-resource language should be repeated at least as often as the largest")
   }
 
-  test("plan: curation_training_extract scans documents exactly twice") {
-    // token stream + corpus spine; the keeper window must NOT duplicate
-    // the gate subtree the way a groupBy + semi join back would
+  test("plan: curation_training_extract scans documents exactly once") {
+    // r17: the gate's token stats come from the memoized token_stats
+    // stage (an InMemoryTableScan), so the only parquet scan left is the
+    // corpus spine; the keeper window must still NOT duplicate the gate
+    // subtree the way a groupBy + semi join back would
     // count detail headers "(n) Scan parquet" — the formatted plan lists
     // each scan once in the tree and once in the detail section
     val p = fmtPlan("curation_training_extract")
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
-    assert(scans == 2, s"expected 2 documents scans, found $scans:\n$p")
+    assert(scans == 1, s"expected 1 documents scan, found $scans:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"expected the cached token_stats stage in the plan:\n$p")
   }
 
   test("curation_training_extract conserves the gated-deduped-train token mass") {

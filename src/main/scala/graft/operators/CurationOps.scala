@@ -1031,17 +1031,24 @@ object CurationOps {
       |  FROM documents d
       |  JOIN gate g USING (doc_id)
       |  LEFT JOIN rep r USING (doc_id)),
-      |firsts AS (
-      |  SELECT content_hash,
-      |         min(CASE WHEN pass_decont THEN doc_id END) AS first_id
-      |  FROM flags GROUP BY content_hash),
+      |firsted AS (
+      |  -- window formulation, in lockstep with the engine (r17, ADVICE):
+      |  -- the old GROUP BY + JOIN USING(content_hash) dropped NULL-hash
+      |  -- rows from the funnel counts (equi-join on NULL matches
+      |  -- nothing) while the engine's window groups NULLs into one
+      |  -- partition — harmless on non-null text, but the formulations
+      |  -- must not be able to diverge
+      |  SELECT doc_id, pass_gate, pass_decont,
+      |         min(CASE WHEN pass_decont THEN doc_id END)
+      |           OVER (PARTITION BY content_hash) AS first_id
+      |  FROM flags),
       |counts AS (
       |  SELECT count(*) AS n,
       |    CAST(sum(CASE WHEN f.pass_gate THEN 1 ELSE 0 END) AS BIGINT) AS g,
       |    CAST(sum(CASE WHEN f.pass_decont THEN 1 ELSE 0 END) AS BIGINT) AS d,
-      |    CAST(sum(CASE WHEN f.pass_decont AND f.doc_id = fs.first_id
+      |    CAST(sum(CASE WHEN f.pass_decont AND f.doc_id = f.first_id
       |             THEN 1 ELSE 0 END) AS BIGINT) AS u
-      |  FROM flags f JOIN firsts fs USING (content_hash)),
+      |  FROM firsted f),
       |funnel AS (
       |  SELECT 1 AS stage_ord, 'ingest' AS stage, n AS docs_in, n AS docs_out FROM counts
       |  UNION ALL SELECT 2, 'quality_gate', n, g FROM counts

@@ -40,6 +40,26 @@ object DevProbe {
       println(f"PROBE $name wall=$wall%.2f s cpu=${(cpuNs.get() - c0) / 1e9}%.2f s")
     }
 
+    // post-broadcast-cliff join strategy probe: at sf3 the TPC-H joins
+    // flip broadcast → sort-merge; compare SMJ vs AQE shuffled-hash vs
+    // runtime bloom filter on the same data in the same JVM
+    println("bloom default = " + spark.conf.getOption(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled"))
+    val tpch = Seq("sql_nation_trade_volume", "join_range_shipping",
+      "sql_product_profit", "sql_customer_distribution",
+      "sql_supplier_count", "sql_top_supplier")
+    def runSet(tag: String): Unit = tpch.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      time(s"$tag $q")(noop(df))
+    }
+    for (round <- 1 to 3) {
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+      runSet(s"smj r$round")
+      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      runSet(s"shj r$round")
+    }
+    sys.exit(0)
+
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     // knn-edge rule: OLD (skinny pairs + two array-fetch joins) vs NEW

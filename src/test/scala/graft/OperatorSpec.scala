@@ -1260,6 +1260,51 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("exactQuantiles: general-p selection is bit-identical to percentile()") {
+    import spark.implicits._
+    // r17: agg_percentiles / agg_approx_percentile replaced their
+    // value-buffering percentile() aggregates with exactQuantiles; the
+    // contract is BIT-equality with Percentile's (n-1)*p interpolation
+    // at every requested p, pinned here on the gate data (fractional
+    // interpolation weights at p=0.9/0.99/0.95) and on a synthetic with
+    // duplicate/spanning groups
+    val ps = Seq(0.5, 0.9, 0.95, 0.99)
+    val li = Tables.lineitem(spark, sfDir)
+      .selectExpr("l_returnflag AS flag", "l_extendedprice AS x")
+    val expected = li.groupBy("flag")
+      .agg(org.apache.spark.sql.functions
+        .expr(s"percentile(x, array(${ps.map(p => s"${p}D").mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got = graft.operators.Relational.exactQuantiles(li, ps)
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (f, vs) =>
+      vs.zip(expected(f)).zip(ps).foreach { case ((g, e), p) =>
+        assert(java.lang.Double.doubleToLongBits(g) ==
+          java.lang.Double.doubleToLongBits(e),
+          s"flag $f p=$p: selection $g != percentile $e")
+      }
+    }
+    val data = Seq(
+      ("odd", Seq(3.0, 1.0, 2.0)),
+      ("dups", Seq(5.0, 5.0, 5.0, 1.0, 1.0, 9.0)),
+      ("one", Seq(7.25)),
+      ("span", Seq(10.0, 81.0, 82.5, 200.0)),
+      ("frac", Seq(1.03, 2.17, 9.41, 9.42))
+    ).flatMap { case (f, xs) => xs.map(x => (f, x)) }.toDF("flag", "x")
+    val exp2 = data.groupBy("flag")
+      .agg(org.apache.spark.sql.functions
+        .expr(s"percentile(x, array(${ps.map(p => s"${p}D").mkString(",")}))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val got2 = graft.operators.Relational.exactQuantiles(data, ps)
+    got2.foreach { case (f, vs) =>
+      vs.zip(exp2(f)).zip(ps).foreach { case ((g, e), p) =>
+        assert(java.lang.Double.doubleToLongBits(g) ==
+          java.lang.Double.doubleToLongBits(e),
+          s"synthetic group $f p=$p: selection $g != percentile $e")
+      }
+    }
+  }
+
   test("agg_robust_stats_sketch: shape parity and agreement with the exact variant") {
     val exact = SparkEntry.queries("agg_robust_stats")(spark, sfDir).collect()
       .map(r => r.getString(0) ->

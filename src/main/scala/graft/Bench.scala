@@ -234,6 +234,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // scan-split sizing (r17, guide §2.2/§6): Spark picks split size as
+      // min(maxPartitionBytes, max(openCostInBytes, bytes/defaultParallelism)),
+      // so the default 4 MB openCost floors a small-corpus-per-core scan at
+      // ~bytes/4MB tasks — at sf3 every documents/events scan ran its
+      // explode tower on 1-5 tasks of 32 (measured: text_fingerprint wall
+      // 3.35 → 0.85 s, text_bpe_pairs 3.61 → 1.13 s at sf3 with 128 KB).
+      // 128 KB is NOT a local[32] constant: the binding term self-adapts —
+      // whenever data/core exceeds 4 MB (any production corpus, and the
+      // driver's lower-core runs) the bytes/parallelism or 128 MB cap
+      // governs exactly as before; openCost only stops flooring the
+      // small-data regime where parallelism is otherwise wasted.
+      .config("spark.sql.files.openCostInBytes", (128L * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // cap app-status retention: a full bench executes ~500 queries plus

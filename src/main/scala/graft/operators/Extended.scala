@@ -205,10 +205,22 @@ object Extended {
     * total levels — subtotal rows carry NULL group keys on both engines. */
   def aggRollupRevenue(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val li = Tables.lineitem(spark, dir)
-    li.rollup($"l_returnflag", $"l_linestatus")
-      .agg(count(lit(1)).as("n_items"),
-        sum($"l_extendedprice".cast(Dec)).cast("double").as("gross_revenue"))
+    // r17: partial-aggregate to the FINEST grouping first, then rollup
+    // the bounded partial table — Spark plans a bare rollup as
+    // Expand(×3) → partial agg, so the fact stream was materialized and
+    // aggregated three times over; pre-aggregation is exact because both
+    // aggregates are algebraic over exact types (count → sum of longs,
+    // sum of DECIMAL(12,2) → sum of exact decimals; the double cast
+    // happens once, on the same exact total). Guide §2.3 (aggregate
+    // before you expand/shuffle). Subtotal NULL-key semantics are
+    // unchanged: the outer rollup sees the base keys exactly as the
+    // fact rows carried them.
+    val base = Tables.lineitem(spark, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), sum($"l_extendedprice".cast(Dec)).as("rev"))
+    base.rollup($"l_returnflag", $"l_linestatus")
+      .agg(sum($"n").as("n_items"),
+        sum($"rev").cast("double").as("gross_revenue"))
       .orderBy($"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
   }
 
@@ -223,10 +235,13 @@ object Extended {
     * priority) — completes the grouping-sets family next to ROLLUP. */
   def aggCubeOrders(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, dir)
-      .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"),
-        sum($"o_totalprice".cast(Dec)).cast("double").as("total_price"))
+    // r17: pre-aggregate before the ×4 cube expand (see aggRollupRevenue)
+    val base = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice".cast(Dec)).as("rev"))
+    base.cube($"o_orderstatus", $"o_orderpriority")
+      .agg(sum($"n").as("n_orders"),
+        sum($"rev").cast("double").as("total_price"))
       .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
   }
 
@@ -609,13 +624,18 @@ object Extended {
     * aggregate pass, same shuffle shape as rollup. */
   def aggGroupingSets(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    Tables.orders(spark, dir)
-      .groupingSets(
+    // r17: pre-aggregate before the ×3 expand (see aggRollupRevenue);
+    // the finest requested set IS (status, priority), so the expansion
+    // runs over the bounded partial table
+    val base = Tables.orders(spark, dir)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("nn"), sum($"o_totalprice".cast(Dec)).as("rev"))
+    base.groupingSets(
         Seq(Seq($"o_orderstatus", $"o_orderpriority"), Seq($"o_orderstatus"), Seq()),
         $"o_orderstatus", $"o_orderpriority")
       .agg(grouping_id().cast("bigint").as("gid"),
-        count(lit(1)).as("n"),
-        sum($"o_totalprice".cast(Dec)).cast("double").as("revenue"))
+        sum($"nn").as("n"),
+        sum($"rev").cast("double").as("revenue"))
       .orderBy($"gid", $"o_orderstatus".asc_nulls_first,
         $"o_orderpriority".asc_nulls_first)
   }

@@ -45,18 +45,18 @@ object DevProbe {
     // runtime bloom filter on the same data in the same JVM
     println("bloom default = " + spark.conf.getOption(
       "spark.sql.optimizer.runtime.bloomFilter.enabled"))
-    val tpch = Seq("sql_nation_trade_volume", "join_range_shipping",
-      "sql_product_profit", "sql_customer_distribution",
-      "sql_supplier_count", "sql_top_supplier")
-    def runSet(tag: String): Unit = tpch.foreach { q =>
+    val qs = Seq("text_tfidf_topterms", "text_fingerprint",
+      "text_bpe_pairs", "text_feature_hashing", "text_chunk_overlap",
+      "agg_rollup_revenue", "agg_cube_orders", "agg_grouping_sets")
+    def runSet(tag: String): Unit = qs.foreach { q =>
       val df = SparkEntry.queries(q)(spark, sfDir)
       time(s"$tag $q")(noop(df))
     }
     for (round <- 1 to 3) {
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
-      runSet(s"smj r$round")
-      spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      runSet(s"shj r$round")
+      spark.conf.set("spark.sql.files.openCostInBytes", (4L << 20).toString)
+      runSet(s"oc4m r$round")
+      spark.conf.set("spark.sql.files.openCostInBytes", (128L << 10).toString)
+      runSet(s"oc128k r$round")
     }
     sys.exit(0)
 

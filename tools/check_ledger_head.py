@@ -32,7 +32,12 @@ commits ago is fine if it matched the tree THEN):
     commit (r15 ADVICE).
 
 Artifact kinds (detected from the JSON, no filename conventions):
-  * graft.Bench ledgers (`head` at top level, `queries`/`metric`);
+  * graft.Bench ledgers (`head` at top level, `queries`/`metric`):
+    a ledger carrying a `note` with "before" is a deliberate
+    prior-state baseline (e.g. an optimization round's same-host
+    baseline captured at the previous round's seal) -- exempt from
+    the tree match like BEFORE probes, but the capture head must
+    still be a clean ancestor commit;
   * tools/iso_probe.py probes (`tool` == "tools/iso_probe.py"):
     same rules, EXCEPT a probe whose `note` contains the word
     "before" is a BEFORE-fix baseline that intentionally pins an older
@@ -163,7 +168,8 @@ def extract_provenance(ledger):
         if m:
             return ("driver", m.group(1), m.group(2) == "true", "")
         return ("driver", None, None, "")
-    return ("bench", ledger.get("head"), ledger.get("dirty"), "")
+    return ("bench", ledger.get("head"), ledger.get("dirty"),
+            str(ledger.get("note") or ""))
 
 
 BEFORE_RE = re.compile(r"\b(before|rejected|reverted)\b", re.IGNORECASE)
@@ -202,12 +208,18 @@ def check(path):
         problems.append(
             f"{path}: working-tree bytes differ from the sealed blob at "
             f"{seal[:12]} -- edited after sealing; re-seal or restore")
-    if kind == "iso" and BEFORE_RE.search(note):
+    if kind in ("iso", "bench") and BEFORE_RE.search(note):
         # BEFORE-fix baseline or rejected-variant probe: intentionally
-        # pins a non-seal engine state; clean capture + real commit is
-        # all that can be asserted
+        # pins a non-seal engine state (e.g. an optimization round's
+        # same-host baseline captured at the PRIOR round's seal, then
+        # committed alongside the round's first engine change); clean
+        # capture + real ancestor commit is all that can be asserted
+        if not is_ancestor(head, seal):
+            problems.append(
+                f"{path}: capture head {head[:12]} is not an ancestor of "
+                f"seal {seal[:12]} -- side-branch capture")
         return len(problems) == 0, problems or [
-            f"{path}: BEFORE/REJECTED-probe (note: {note[:60]!r}) -- "
+            f"{path}: BEFORE/REJECTED artifact (note: {note[:60]!r}) -- "
             "engine-state match exempt by design"]
     if head != seal:
         mismatch = None

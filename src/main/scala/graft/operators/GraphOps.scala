@@ -150,7 +150,7 @@ object GraphOps {
     * pays ~7× its own weight in stage scheduling (measured 14.9 s vs
     * 1-2 s at sf0.1 on a 4k-edge graph). 3n-row bound at any corpus
     * size, so the persist is as cheap as the edge list itself. */
-  private[operators] def knnUndirected(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def knnUndirected(spark: SparkSession, dir: String): DataFrame =
     DedupOps.cachedDf(spark, s"knnund:$dir") {
       canonicalUndirected(knnEdges(spark, dir)).persist()
     }
@@ -178,7 +178,7 @@ object GraphOps {
     * destination's degree so the wedge join can rank the two
     * out-neighbors without re-joining the degree table. */
   private[graft] def orientEdges(und: DataFrame): DataFrame = {
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
     val aLow = deg.select(col("v").as("a"), col("degree").as("dega"))
     val bLow = deg.select(col("v").as("b"), col("degree").as("degb"))
@@ -203,7 +203,15 @@ object GraphOps {
     * orientation, so each is emitted exactly once. */
   private[graft] def triangleStats(
       nodes: DataFrame, und: DataFrame, oriented: DataFrame): DataFrame = {
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+    // r17: both count tables are built by exploding each row's endpoints
+    // into ONE pass instead of unioning per-endpoint projections of the
+    // same subtree. A union's branches are separate plan subtrees: for
+    // `deg` that was two cache reads, but for `tcount` the three branches
+    // each repeated the wedge-join + existence-join chain — single
+    // execution relied on runtime exchange reuse firing (it did not,
+    // reliably: same-JVM A/B at the 30× rung read 26-64 CPU-s for the
+    // union form vs 15-19 for this one, rows bit-identical). Guide §2.4.
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("degree"))
     // wedges: ordered pairs of out-neighbors of one center; the strict
     // (degree, id) inequality picks each unordered pair once
@@ -217,9 +225,8 @@ object GraphOps {
         und("a") === least(col("d1"), col("d2")) &&
           und("b") === greatest(col("d1"), col("d2")))
       .select(col("src").as("ta"), col("d1").as("tb"), col("d2").as("tc"))
-    val tcount = tri.select(col("ta").as("v"))
-      .union(tri.select(col("tb").as("v")))
-      .union(tri.select(col("tc").as("v")))
+    val tcount = tri
+      .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
     nodes
       .join(deg, col("vec_id") === deg("v"), "left").drop(deg("v"))

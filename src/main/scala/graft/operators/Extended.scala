@@ -345,17 +345,83 @@ object Extended {
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
+  /** Rank budget per (priority, price-bucket) shard in the ntile
+    * restatement; same 64k rationale as the event scans'. */
+  private val NtileRowsPerShard = 65536L
+
+  /** Floor on shards per priority, so the rank-carry path is exercised
+    * at every scale (incl. the sf0.01 oracle gate) instead of
+    * degenerating to one bucket below 64k rows/priority. */
+  private val NtileMinShardsPerKey = 8L
+
   /** NTILE window function: revenue quartiles of orders per order
     * priority (even-split buckets, earlier buckets larger on remainder —
-    * identical SQL-standard semantics on both engines). */
-  def windowNtileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    * identical SQL-standard semantics on both engines).
+    *
+    * r17: `o_orderpriority` is a 5-value alphabet, so the textbook
+    * window (`ntile(4) OVER (PARTITION BY priority ORDER BY price DESC,
+    * key)`) sorts each priority's full stream on ONE task — the same
+    * bounded-cardinality parallelism floor the event scans shed in r16.
+    * Restated as a two-level scan: the global per-priority row_number
+    * comes from (priority, price-bucket) shards — bucket is a monotone
+    * non-decreasing function of DESCENDING price (equal prices always
+    * share a bucket, so a boundary can never split a tie group the
+    * ordering resolves by orderkey), each shard sorts locally, and a
+    * tiny bucket-summary carry supplies the count of rows in earlier
+    * buckets — and the tile is then pure integer arithmetic on
+    * (rank, n): SQL-standard NTILE gives the first n mod 4 tiles
+    * ceil(n/4) rows and the rest floor(n/4). Bit-identical to the plain
+    * window (spec-pinned down to 1-row shards); the oracle keeps the
+    * textbook SQL. */
+  def windowNtileQuartiles(spark: SparkSession, dir: String): DataFrame =
+    windowNtileSharded(spark, dir, NtileRowsPerShard)
+
+  /** The sharded body; `rowsPerShard` is a parameter only so the spec
+    * can force tiny shards and pin rank-carry composition against the
+    * plain single-window form. */
+  private[graft] def windowNtileSharded(
+      spark: SparkSession, dir: String, rowsPerShard: Long): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"o_orderpriority")
+    val ord = Tables.orders(spark, dir)
+      .select($"o_orderpriority", $"o_orderkey", $"o_totalprice")
+    val keyStats = ord.groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("v_lo"), max($"o_totalprice").as("v_hi"))
+      .select($"o_orderpriority", $"n", $"v_lo", $"v_hi",
+        greatest(lit(NtileMinShardsPerKey),
+          expr(s"(n + ${rowsPerShard - 1}) div $rowsPerShard")).as("nb"))
+    // bucket sizes are a performance knob only: the decimal difference
+    // is exact, its double cast order-preserving, and equal prices land
+    // in the same bucket by construction
+    val bucketed = ord.join(broadcast(keyStats), "o_orderpriority")
+      .withColumn("bucket",
+        when($"v_hi" === $"v_lo", lit(0L)).otherwise(
+          least($"nb" - 1,
+            floor(($"v_hi" - $"o_totalprice").cast("double") /
+              ($"v_hi" - $"v_lo").cast("double") * $"nb").cast("long"))))
+    val wLoc = Window.partitionBy($"o_orderpriority", $"bucket")
       .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
-    Tables.orders(spark, dir)
-      .select($"o_orderpriority", $"o_orderkey",
-        ntile(4).over(w).as("quartile"))
-      .groupBy($"o_orderpriority", $"quartile")
+    val wPrev = Window.partitionBy($"o_orderpriority").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // bucket summary rides the shard partitioning (map-side partials,
+    // |priorities|·|buckets| rows): off = rows in all earlier buckets
+    val carry = bucketed.groupBy($"o_orderpriority", $"bucket")
+      .agg(count(lit(1)).as("cb"))
+      .withColumn("off", coalesce(sum($"cb").over(wPrev), lit(0L)))
+      .select($"o_orderpriority", $"bucket", $"off")
+    // ceil(a/b) = (a + b - 1) div b on positive longs; the untaken CASE
+    // branch is never evaluated, so n < 4 (q = 0) cannot divide by zero
+    val ranked = bucketed
+      .withColumn("rn_loc", row_number().over(wLoc))
+      .join(broadcast(carry), Seq("o_orderpriority", "bucket"))
+      .withColumn("rn", $"off" + $"rn_loc")
+      .withColumn("quartile",
+        when($"rn" <= (expr("n div 4") + 1) * expr("n % 4"),
+          expr("(rn + n div 4) div (n div 4 + 1)"))
+          .otherwise(expr(
+            "n % 4 + (rn - (n div 4 + 1) * (n % 4) + n div 4 - 1) div (n div 4)"))
+          .cast("int"))
+    ranked.groupBy($"o_orderpriority", $"quartile")
       .agg(count(lit(1)).as("n_orders"),
         min($"o_orderkey").as("first_orderkey"))
       .orderBy($"o_orderpriority", $"quartile")

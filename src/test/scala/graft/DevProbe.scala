@@ -42,60 +42,21 @@ object DevProbe {
     }
 
     import org.apache.spark.sql.functions._
-    import graft.operators.{GraphOps, SimilarityOps}
 
-    // warm the memoized stages so only the enumeration shapes differ
-    val und = GraphOps.knnUndirected(spark, sfDir)
-    val oriented = GraphOps.knnOriented(spark, sfDir)
-    time("warm knn stages") { noop(und); noop(oriented) }
-    val nodes = SimilarityOps.quantized(spark, sfDir).select(col("vec_id"))
-
-    // current form (three-way union of tri, two-way union for deg)
-    def triCurrent = GraphOps.triangleStats(nodes, und, oriented)
-
-    // explode variant: tri executes once; deg built from one exploded pass
-    def triExplode = {
-      val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("degree"))
-      val wedges = oriented
-        .select(col("src"), col("dst").as("d1"), col("ddeg").as("g1"))
-        .join(oriented.select(col("src"), col("dst").as("d2"),
-          col("ddeg").as("g2")), "src")
-        .filter(col("g1") < col("g2") ||
-          (col("g1") === col("g2") && col("d1") < col("d2")))
-      val tri = wedges
-        .join(und,
-          und("a") === least(col("d1"), col("d2")) &&
-            und("b") === greatest(col("d1"), col("d2")))
-        .select(col("src").as("ta"), col("d1").as("tb"), col("d2").as("tc"))
-      val tcount = tri
-        .select(explode(array(col("ta"), col("tb"), col("tc"))).as("v"))
-        .groupBy(col("v")).agg(count(lit(1)).as("triangles"))
-      nodes
-        .join(deg, col("vec_id") === deg("v"), "left").drop(deg("v"))
-        .join(tcount, col("vec_id") === tcount("v"), "left").drop(tcount("v"))
-        .select(col("vec_id"),
-          coalesce(col("degree"), lit(0L)).as("degree"),
-          coalesce(col("triangles"), lit(0L)).as("triangles"))
-        .withColumn("clustering",
-          when(col("degree") >= 2,
-            round(lit(2.0) * col("triangles") /
-              (col("degree") * (col("degree") - lit(1.0))), 6))
-            .otherwise(lit(0.0)))
-        .orderBy(col("vec_id"))
-    }
-
-    for (i <- 1 to 3) time(s"triangle CURRENT $i")(noop(triCurrent))
-    for (i <- 1 to 3) time(s"triangle EXPLODE $i")(noop(triExplode))
-
-    // parity: identical rows in identical order
-    val a = triCurrent.collect()
-    val b = triExplode.collect()
-    println(s"PROBE tri parity rows=${a.length} equal=${a.sameElements(b)}")
-
-    // pagerank: current vs persisted edges⋈outdeg
-    def prCurrent = GraphOps.graphPagerankKnn(spark, sfDir)
-    for (i <- 1 to 3) time(s"pagerank CURRENT $i")(noop(prCurrent))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    def ntilePlain = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        ntile(4).over(w).as("quartile"))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("first_orderkey"))
+      .orderBy(col("o_orderpriority"), col("quartile"))
+    def ntileSharded = graft.operators.Extended.windowNtileSharded(spark, sfDir, 65536L)
+    for (i <- 1 to 3) time(s"ntile PLAIN $i")(noop(ntilePlain))
+    for (i <- 1 to 3) time(s"ntile SHARDED $i")(noop(ntileSharded))
+    val pa = ntilePlain.collect(); val pb = ntileSharded.collect()
+    println(s"PROBE ntile parity rows=${pa.length} equal=${pa.sameElements(pb)}")
 
     spark.stop()
   }

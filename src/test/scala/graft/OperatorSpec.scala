@@ -2847,6 +2847,37 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("ntile shards compose exactly: tiny shards match the single-window form") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{count, lit, min, ntile}
+    // the textbook one-window form the (priority, price-bucket)
+    // two-level rank restatement must replicate bit-for-bit
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+    val plain = Tables.orders(spark, sfDir)
+      .select($"o_orderpriority", $"o_orderkey",
+        ntile(4).over(w).as("quartile"))
+      .groupBy($"o_orderpriority", $"quartile")
+      .agg(count(lit(1)).as("n_orders"),
+        min($"o_orderkey").as("first_orderkey"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(plain.nonEmpty)
+    // default shards (floor-8 carry path), a mid size forcing many
+    // multi-bucket carries, and the degenerate one-row-per-bucket
+    // extreme where every rank is pure carry composition
+    Seq(65536L, 40L, 1L).foreach { rps =>
+      val got = graft.operators.Extended
+        .windowNtileSharded(spark, sfDir, rps)
+        .collect().map(r => (r.getString(0), r.getInt(1)) ->
+          ((r.getLong(2), r.getLong(3)))).toMap
+      assert(got == plain,
+        s"rowsPerShard=$rps: diffs=${plain.keySet.filter(k => got.get(k) != plain.get(k))}")
+    }
+  }
+
   test("text_winnowing_fingerprint: exact rightmost-min selection per window") {
     // 60-bit fingerprint space (first 15 hex chars of the md5), matching
     // the r14 widening in TextOps.winnowFps and its oracle CTE

@@ -43,20 +43,38 @@ object DevProbe {
 
     import org.apache.spark.sql.functions._
 
+
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("o_orderpriority"))
-      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-    def ntilePlain = Tables.orders(spark, sfDir)
-      .select(col("o_orderpriority"), col("o_orderkey"),
-        ntile(4).over(w).as("quartile"))
-      .groupBy(col("o_orderpriority"), col("quartile"))
-      .agg(count(lit(1)).as("n_orders"), min(col("o_orderkey")).as("first_orderkey"))
-      .orderBy(col("o_orderpriority"), col("quartile"))
-    def ntileSharded = graft.operators.Extended.windowNtileSharded(spark, sfDir, 65536L)
-    for (i <- 1 to 3) time(s"ntile PLAIN $i")(noop(ntilePlain))
-    for (i <- 1 to 3) time(s"ntile SHARDED $i")(noop(ntileSharded))
-    val pa = ntilePlain.collect(); val pb = ntileSharded.collect()
-    println(s"PROBE ntile parity rows=${pa.length} equal=${pa.sameElements(pb)}")
+    def q21Sql = graft.Sql.sqlWaitingSuppliers(spark, sfDir)
+    def q21Rewrite = {
+      graft.Sql.register(spark, sfDir)
+      val o = spark.table("orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
+      val l = spark.table("lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val L = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          expr("l_shipdate > o_orderdate + INTERVAL '60' DAY"))
+      val w = Window.partitionBy(col("l_orderkey"))
+      val flagged = L
+        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+        .withColumn("n_late", size(collect_set(
+          when(col("late"), col("l_suppkey"))).over(w)))
+      val sn = spark.table("supplier").join(spark.table("nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
+        .select(col("s_suppkey"), col("s_name"))
+      flagged.filter(col("late") && col("o_orderstatus") === "F" &&
+          col("n_supp") >= 2 && col("n_late") === 1)
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }
+    for (i <- 1 to 3) time(s"q21 SQL $i")(noop(q21Sql))
+    for (i <- 1 to 3) time(s"q21 REWRITE $i")(noop(q21Rewrite))
+    val qa = q21Sql.collect(); val qb = q21Rewrite.collect()
+    println(s"PROBE q21 parity rows=${qa.length}/${qb.length} equal=${qa.sameElements(qb)}")
 
     spark.stop()
   }

@@ -797,12 +797,19 @@ class OperatorSpec extends SparkTestBase {
       s"brand/size OR-envelope not pushed into the part scan:\n$p")
   }
 
-  test("plan: sql_waiting_suppliers decorrelates both quantifiers into hash joins") {
+  test("plan: sql_waiting_suppliers computes both quantifiers in one pass") {
+    // r17: the EXISTS/NOT-EXISTS pair (which Catalyst planned as a left
+    // semi + left anti join, re-scanning lineitem twice more) is
+    // restated as per-order distinct-supplier counts over ONE
+    // lineitem ⋈ orders pass; the plan must carry a Window and neither
+    // quantifier join, and scan lineitem exactly once
     val p = fmtPlan("sql_waiting_suppliers")
-    assert(p.contains("LeftSemi"),
-      s"EXISTS did not become a left semi join:\n$p")
-    assert(p.contains("LeftAnti"),
-      s"NOT EXISTS did not become a left anti join:\n$p")
+    assert(!p.contains("LeftSemi") && !p.contains("LeftAnti"),
+      s"quantifier joins are back — lineitem is being re-scanned:\n$p")
+    assert(p.contains("Window"), s"expected the per-order count window:\n$p")
+    val liScans = "Scan parquet[^\\n]*lineitem".r.findAllIn(p).length
+    assert(liScans <= 2, // tree + detail section of the ONE scan
+      s"expected one lineitem scan, found $liScans:\n$p")
   }
 
   test("plan: sql_forecast_revenue pushes all three predicates into the scan, no joins") {
@@ -2845,6 +2852,16 @@ class OperatorSpec extends SparkTestBase {
       assert(got == plain,
         s"rowsPerShard=$rps: diffs=${plain.keySet.filter(k => got.get(k) != plain.get(k))}")
     }
+  }
+
+  test("sql_waiting_suppliers: single-pass quantifier counts match the ANSI text") {
+    // the engine's one-pass distinct-supplier-count formulation must be
+    // row-identical to the EXISTS/NOT-EXISTS text the oracle runs
+    val ansi = Sql.sql(spark, sfDir, Sql.waitingSuppliersSql).collect()
+    val got = SparkEntry.queries("sql_waiting_suppliers")(spark, sfDir).collect()
+    assert(ansi.nonEmpty, "fixture produced no waiting suppliers")
+    assert(got.sameElements(ansi),
+      s"engine rows diverge from the ANSI text: got=${got.take(5).mkString(";")}")
   }
 
   test("ntile shards compose exactly: tiny shards match the single-window form") {

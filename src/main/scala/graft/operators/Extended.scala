@@ -345,13 +345,14 @@ object Extended {
     """SELECT r_name, n_name FROM region CROSS JOIN nation
       |ORDER BY r_name, n_name""".stripMargin
 
-  /** Rank budget per (priority, price-bucket) shard in the ntile
-    * restatement; same 64k rationale as the event scans'. */
+  /** Rank budget per (key, value-bucket) shard in the sharded-window
+    * restatements (ntile, percent_rank, cume_dist); same 64k rationale
+    * as the event scans'. */
   private val NtileRowsPerShard = 65536L
 
-  /** Floor on shards per priority, so the rank-carry path is exercised
-    * at every scale (incl. the sf0.01 oracle gate) instead of
-    * degenerating to one bucket below 64k rows/priority. */
+  /** Floor on shards per key, so the rank-carry path is exercised at
+    * every scale (incl. the sf0.01 oracle gate) instead of
+    * degenerating to one bucket below 64k rows/key. */
   private val NtileMinShardsPerKey = 8L
 
   /** NTILE window function: revenue quartiles of orders per order
@@ -575,14 +576,54 @@ object Extended {
     * customer's balance within its nation. Both are rank-derived rational
     * doubles — (rank-1)/(n-1) and rows≤current/n — so the values are
     * bit-equal across engines given the same total window order. */
-  def windowPercentRank(spark: SparkSession, dir: String): DataFrame = {
+  def windowPercentRank(spark: SparkSession, dir: String): DataFrame =
+    windowPercentRankSharded(spark, dir, NtileRowsPerShard)
+
+  /** r17: `c_nationkey` is a 25-value alphabet, so the textbook window
+    * sorted each nation's customers on one task — the same
+    * bounded-cardinality floor the ntile rework sheds, on a smaller
+    * table. The window's (acctbal, custkey) order is TOTAL, so both
+    * functions are row-number arithmetic: percent_rank = (rn−1)/(n−1)
+    * (0 when n = 1, as Spark defines it) and cume_dist = rn/n — the
+    * global rn comes from the same (key, value-bucket) two-level scan
+    * as the ntile rework (equal balances share a bucket; ties inside a
+    * bucket resolve by custkey). Divisions are the identical IEEE
+    * double ops Spark's PercentRank/CumeDist evaluate, so the output
+    * is bit-identical (spec-pinned down to 1-row shards). The oracle
+    * keeps the textbook window SQL. */
+  private[graft] def windowPercentRankSharded(
+      spark: SparkSession, dir: String, rowsPerShard: Long): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"c_nationkey")
+    val cust = Tables.customer(spark, dir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal")
+    val keyStats = cust.groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        min($"c_acctbal").as("v_lo"), max($"c_acctbal").as("v_hi"))
+      .select($"c_nationkey", $"n", $"v_lo", $"v_hi",
+        greatest(lit(NtileMinShardsPerKey),
+          expr(s"(n + ${rowsPerShard - 1}) div $rowsPerShard")).as("nb"))
+    val bucketed = cust.join(broadcast(keyStats), "c_nationkey")
+      .withColumn("bucket",
+        when($"v_hi" === $"v_lo", lit(0L)).otherwise(
+          least($"nb" - 1,
+            floor(($"c_acctbal" - $"v_lo").cast("double") /
+              ($"v_hi" - $"v_lo").cast("double") * $"nb").cast("long"))))
+    val wLoc = Window.partitionBy($"c_nationkey", $"bucket")
       .orderBy($"c_acctbal".asc, $"c_custkey".asc)
-    Tables.customer(spark, dir)
+    val wPrev = Window.partitionBy($"c_nationkey").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.groupBy($"c_nationkey", $"bucket")
+      .agg(count(lit(1)).as("cb"))
+      .withColumn("off", coalesce(sum($"cb").over(wPrev), lit(0L)))
+      .select($"c_nationkey", $"bucket", $"off")
+    bucketed
+      .withColumn("rn_loc", row_number().over(wLoc))
+      .join(broadcast(carry), Seq("c_nationkey", "bucket"))
+      .withColumn("rn", $"off" + $"rn_loc")
       .select($"c_nationkey", $"c_custkey", $"c_acctbal",
-        percent_rank().over(w).as("pr"),
-        cume_dist().over(w).as("cd"))
+        when($"n" > 1, ($"rn" - 1).cast("double") /
+          ($"n" - 1).cast("double")).otherwise(lit(0.0)).as("pr"),
+        ($"rn".cast("double") / $"n".cast("double")).as("cd"))
       .orderBy($"c_nationkey", $"c_custkey")
   }
 
@@ -1198,12 +1239,53 @@ object Extended {
     *
     * Scale: one hash-partitioned window sort per segment — the same
     * shape as every other ranking window here; no global sort. */
-  def windowCumeDist(spark: SparkSession, dir: String): DataFrame = {
+  def windowCumeDist(spark: SparkSession, dir: String): DataFrame =
+    windowCumeDistSharded(spark, dir, NtileRowsPerShard)
+
+  /** r17: `c_mktsegment` is a 5-value alphabet — same bounded-alphabet
+    * window floor as [[windowNtileSharded]] / the percent_rank pair.
+    * This order (acctbal only) HAS ties, and cume_dist counts every
+    * peer: count(rows with bal ≤ current) / n. The bucket is a function
+    * of the VALUE alone, so an entire tie group always lands in one
+    * bucket and the local ordered count over the default RANGE frame
+    * (unbounded preceding → current row, peers included) plus the
+    * earlier-bucket carry is exactly the global ≤-count. The division
+    * is the same IEEE double op Spark's CumeDist evaluates —
+    * bit-identical, spec-pinned down to 1-row shards. Oracle keeps the
+    * textbook window SQL. */
+  private[graft] def windowCumeDistSharded(
+      spark: SparkSession, dir: String, rowsPerShard: Long): DataFrame = {
     import spark.implicits._
-    val w = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
-    Tables.customer(spark, dir)
+    val cust = Tables.customer(spark, dir)
       .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
-      .withColumn("bal_cume", cume_dist().over(w))
+    val keyStats = cust.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        min($"c_acctbal").as("v_lo"), max($"c_acctbal").as("v_hi"))
+      .select($"c_mktsegment", $"n", $"v_lo", $"v_hi",
+        greatest(lit(NtileMinShardsPerKey),
+          expr(s"(n + ${rowsPerShard - 1}) div $rowsPerShard")).as("nb"))
+    val bucketed = cust.join(broadcast(keyStats), "c_mktsegment")
+      .withColumn("bucket",
+        when($"v_hi" === $"v_lo", lit(0L)).otherwise(
+          least($"nb" - 1,
+            floor(($"c_acctbal" - $"v_lo").cast("double") /
+              ($"v_hi" - $"v_lo").cast("double") * $"nb").cast("long"))))
+    // default frame of an ordered window = RANGE unbounded → current
+    // row: the count includes every peer of the current balance
+    val wLoc = Window.partitionBy($"c_mktsegment", $"bucket")
+      .orderBy($"c_acctbal")
+    val wPrev = Window.partitionBy($"c_mktsegment").orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = bucketed.groupBy($"c_mktsegment", $"bucket")
+      .agg(count(lit(1)).as("cb"))
+      .withColumn("off", coalesce(sum($"cb").over(wPrev), lit(0L)))
+      .select($"c_mktsegment", $"bucket", $"off")
+    bucketed
+      .withColumn("le_loc", count(lit(1)).over(wLoc))
+      .join(broadcast(carry), Seq("c_mktsegment", "bucket"))
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        (($"off" + $"le_loc").cast("double") / $"n".cast("double"))
+          .as("bal_cume"))
       .orderBy($"c_mktsegment", $"c_acctbal", $"c_custkey")
   }
 

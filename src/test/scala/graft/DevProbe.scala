@@ -44,37 +44,25 @@ object DevProbe {
     import org.apache.spark.sql.functions._
 
 
+
     import org.apache.spark.sql.expressions.Window
-    def q21Sql = graft.Sql.sqlWaitingSuppliers(spark, sfDir)
-    def q21Rewrite = {
-      graft.Sql.register(spark, sfDir)
-      val o = spark.table("orders")
-        .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderdate"))
-      val l = spark.table("lineitem")
-        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val L = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .withColumn("late",
-          expr("l_shipdate > o_orderdate + INTERVAL '60' DAY"))
-      val w = Window.partitionBy(col("l_orderkey"))
-      val flagged = L
-        .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
-        .withColumn("n_late", size(collect_set(
-          when(col("late"), col("l_suppkey"))).over(w)))
-      val sn = spark.table("supplier").join(spark.table("nation"),
-          col("s_nationkey") === col("n_nationkey"))
-        .filter(col("n_name").isin("NATION_1", "NATION_2", "NATION_3"))
-        .select(col("s_suppkey"), col("s_name"))
-      flagged.filter(col("late") && col("o_orderstatus") === "F" &&
-          col("n_supp") >= 2 && col("n_late") === 1)
-        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
-    }
-    for (i <- 1 to 3) time(s"q21 SQL $i")(noop(q21Sql))
-    for (i <- 1 to 3) time(s"q21 REWRITE $i")(noop(q21Rewrite))
-    val qa = q21Sql.collect(); val qb = q21Rewrite.collect()
-    println(s"PROBE q21 parity rows=${qa.length}/${qb.length} equal=${qa.sameElements(qb)}")
+    val wp = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+    def prPlain = Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_custkey"), col("c_acctbal"),
+        percent_rank().over(wp).as("pr"), cume_dist().over(wp).as("cd"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+    def prSharded = graft.operators.Extended.windowPercentRankSharded(spark, sfDir, 65536L)
+    val wc = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    def cdPlain = Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("bal_cume", cume_dist().over(wc))
+      .orderBy(col("c_mktsegment"), col("c_acctbal"), col("c_custkey"))
+    def cdSharded = graft.operators.Extended.windowCumeDistSharded(spark, sfDir, 65536L)
+    for (i <- 1 to 3) time(s"pr PLAIN $i")(noop(prPlain))
+    for (i <- 1 to 3) time(s"pr SHARDED $i")(noop(prSharded))
+    for (i <- 1 to 3) time(s"cd PLAIN $i")(noop(cdPlain))
+    for (i <- 1 to 3) time(s"cd SHARDED $i")(noop(cdSharded))
 
     spark.stop()
   }

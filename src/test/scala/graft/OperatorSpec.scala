@@ -2895,6 +2895,44 @@ class OperatorSpec extends SparkTestBase {
     }
   }
 
+  test("percent_rank/cume_dist shards compose exactly: tiny shards match the windows") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{cume_dist, percent_rank}
+    import java.lang.Double.doubleToLongBits
+    // plain single-window forms the sharded restatements must replicate
+    // bit-for-bit (double compares via raw bits — no tolerance)
+    val wp = Window.partitionBy($"c_nationkey")
+      .orderBy($"c_acctbal".asc, $"c_custkey".asc)
+    val plainPr = Tables.customer(spark, sfDir)
+      .select($"c_nationkey", $"c_custkey", $"c_acctbal",
+        percent_rank().over(wp).as("pr"), cume_dist().over(wp).as("cd"))
+      .collect().map(r => r.getLong(1) ->
+        ((doubleToLongBits(r.getDouble(3)), doubleToLongBits(r.getDouble(4))))).toMap
+    val wc = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal")
+    val plainCd = Tables.customer(spark, sfDir)
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal")
+      .withColumn("bal_cume", cume_dist().over(wc))
+      .collect().map(r => r.getLong(1) ->
+        doubleToLongBits(r.getDouble(3))).toMap
+    assert(plainPr.nonEmpty && plainCd.nonEmpty)
+    Seq(65536L, 40L, 1L).foreach { rps =>
+      val gotPr = graft.operators.Extended
+        .windowPercentRankSharded(spark, sfDir, rps)
+        .collect().map(r => r.getLong(1) ->
+          ((doubleToLongBits(r.getDouble(3)), doubleToLongBits(r.getDouble(4))))).toMap
+      assert(gotPr == plainPr, s"percent_rank rowsPerShard=$rps: " +
+        s"diffs=${plainPr.keySet.filter(k => gotPr.get(k) != plainPr.get(k)).take(5)}")
+      val gotCd = graft.operators.Extended
+        .windowCumeDistSharded(spark, sfDir, rps)
+        .collect().map(r => r.getLong(1) ->
+          doubleToLongBits(r.getDouble(3))).toMap
+      assert(gotCd == plainCd, s"cume_dist rowsPerShard=$rps: " +
+        s"diffs=${plainCd.keySet.filter(k => gotCd.get(k) != plainCd.get(k)).take(5)}")
+    }
+  }
+
   test("text_winnowing_fingerprint: exact rightmost-min selection per window") {
     // 60-bit fingerprint space (first 15 hex chars of the md5), matching
     // the r14 widening in TextOps.winnowFps and its oracle CTE
